@@ -1,0 +1,13 @@
+"""Model zoo: classical (KNN) + neural (MLP/CNN/GPT/BERT)."""
+
+from np_modeling_tpu.models.bert import BertConfig, BertEncoder
+from np_modeling_tpu.models.cnn import CNNClassifier
+from np_modeling_tpu.models.knn import (Algorithm, KNearestNeighbours,
+                                        euclidean_distance)
+from np_modeling_tpu.models.mlp import MLP
+from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
+
+__all__ = [
+    "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
+    "GPTConfig", "KNearestNeighbours", "MLP", "euclidean_distance",
+]

@@ -1,0 +1,140 @@
+"""GPT-style causal decoder-only language model — the flagship.
+
+BASELINE.json config #5 ("TransformerDecoder stack, GPT-style, causal-masked
+attention, autoregressive loss, Adam"). The reference's decoder has no causal
+mask and no KV cache (transformer.py:120 ``TODO: support cache``); both are
+first-class here. Attention runs the Pallas flash kernel with whole-tile
+causal skipping; decoding uses per-layer KV caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu import ops
+from np_modeling_tpu.nn import Dropout, Embedding, LayerNorm, Linear
+from np_modeling_tpu.nn.module import Module, split_rngs
+from np_modeling_tpu.nn.transformer import TransformerEncoderBlock
+
+
+@dataclasses.dataclass
+class GPTConfig:
+    vocab_size: int = 32000
+    d_model: int = 512
+    num_heads: int = 8
+    num_kv_heads: int | None = None      # GQA
+    num_layers: int = 4
+    hidden_units: int = 2048
+    max_len: int = 1024
+    drop_rate: float = 0.0
+    norm_first: bool = True
+    tie_embeddings: bool = True
+
+
+@dataclasses.dataclass
+class GPT(Module):
+    config: GPTConfig
+
+    def __post_init__(self):
+        c = self.config
+        self.embed = Embedding(c.vocab_size, c.d_model)
+        self.pos_embed = Embedding(c.max_len, c.d_model)
+        self.block = TransformerEncoderBlock(
+            c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
+            causal=True, num_kv_heads=c.num_kv_heads)
+        self.final_norm = LayerNorm()
+        self.drop = Dropout(c.drop_rate)
+        if not c.tie_embeddings:
+            self.lm_head = Linear(c.vocab_size, use_bias=False)
+
+    def init(self, key, tokens):
+        c = self.config
+        ks = jax.random.split(key, c.num_layers + 4)
+        x = jnp.zeros((*tokens.shape, c.d_model), jnp.float32)
+        params = {
+            "embedding": self.embed.init(ks[0]),
+            "pos_embedding": self.pos_embed.init(ks[1]),
+            "final_norm": self.final_norm.init(ks[2], x),
+        }
+        for i in range(c.num_layers):
+            params[f"layer_{i}"] = self.block.init(ks[3 + i], x)
+        if not c.tie_embeddings:
+            params["lm_head"] = self.lm_head.init(ks[-1], x)
+        return params
+
+    def apply(self, params, tokens, training=False, rngs=None,
+              caches=None, decode=False, positions=None):
+        c = self.config
+        x = self.embed.apply(params["embedding"], tokens)
+        if positions is None:
+            start = caches[0]["index"] if decode else 0
+            positions = start + jnp.arange(tokens.shape[-1])
+        x = x + self.pos_embed.apply(params["pos_embedding"], positions)
+        x = self.drop.apply({}, x, training, rngs, salt=1000)
+
+        new_caches = [] if decode else None
+        for i in range(c.num_layers):
+            r = split_rngs(rngs, i)
+            if decode:
+                x, cache = self.block.apply(params[f"layer_{i}"], x,
+                                            training=training, rngs=r,
+                                            cache=caches[i], decode=True)
+                new_caches.append(cache)
+            else:
+                x = self.block.apply(params[f"layer_{i}"], x,
+                                     training=training, rngs=r)
+
+        x = self.final_norm.apply(params["final_norm"], x)
+        if c.tie_embeddings:
+            logits = self.embed.attend(params["embedding"], x)
+        else:
+            logits = self.lm_head.apply(params["lm_head"], x)
+        if decode:
+            return logits, new_caches
+        return logits
+
+    # ---- losses / decoding ---------------------------------------------
+
+    def loss(self, params, tokens, training=False, rngs=None):
+        """Next-token CE (mean over positions) via the fused softmax-xent op."""
+        logits = self.apply(params, tokens[..., :-1], training=training,
+                            rngs=rngs)
+        targets = tokens[..., 1:]
+        ce = ops.softmax_cross_entropy_with_integer_labels(logits, targets)
+        return jnp.mean(ce)
+
+    def init_cache(self, batch, max_len=None, dtype=jnp.float32):
+        c = self.config
+        max_len = max_len or c.max_len
+        return [self.block.init_cache(batch, max_len, c.d_model, dtype)
+                for _ in range(c.num_layers)]
+
+    def generate(self, params, prompt_tokens, steps: int, key=None,
+                 temperature: float = 0.0):
+        """Greedy/sampled autoregressive decode with KV caches (jittable scan)."""
+        b, plen = prompt_tokens.shape
+        caches = self.init_cache(b, plen + steps)
+        logits, caches = self.apply(params, prompt_tokens, caches=caches,
+                                    decode=True)
+        next_tok = self._sample(logits[:, -1], key, temperature, 0)
+
+        def body(carry, i):
+            tok, caches, key = carry
+            logits, caches = self.apply(params, tok[:, None], caches=caches,
+                                        decode=True)
+            nxt = self._sample(logits[:, -1], key, temperature, i)
+            return (nxt, caches, key), nxt
+
+        (_, _, _), toks = jax.lax.scan(
+            body, (next_tok, caches, key), jnp.arange(1, steps))
+        return jnp.concatenate([next_tok[:, None], toks.T], axis=1)
+
+    @staticmethod
+    def _sample(logits, key, temperature, salt):
+        if temperature == 0.0 or key is None:
+            return jnp.argmax(logits, axis=-1)
+        key = jax.random.fold_in(key, salt)
+        return jax.random.categorical(key, logits / temperature, axis=-1)

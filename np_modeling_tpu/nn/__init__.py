@@ -1,0 +1,19 @@
+"""Neural-net modules: functional init/apply over explicit param pytrees."""
+
+from np_modeling_tpu.nn.attention import MultiHeadAttention
+from np_modeling_tpu.nn.conv import Conv2D
+from np_modeling_tpu.nn.embedding import Embedding
+from np_modeling_tpu.nn.linear import (Dense, Dropout, LayerNorm, Linear,
+                                       RMSNorm)
+from np_modeling_tpu.nn.module import Module, Sequential, rng_for, split_rngs
+from np_modeling_tpu.nn import initializers
+from np_modeling_tpu.nn.transformer import (TransformerDecoderBlock,
+                                            TransformerEncoder,
+                                            TransformerEncoderBlock)
+
+__all__ = [
+    "Conv2D", "Dense", "Dropout", "Embedding", "LayerNorm", "Linear",
+    "Module", "MultiHeadAttention", "RMSNorm", "Sequential",
+    "TransformerDecoderBlock", "TransformerEncoder", "TransformerEncoderBlock",
+    "initializers", "rng_for", "split_rngs",
+]

@@ -1,0 +1,131 @@
+"""Multi-head attention module (full MHA + GQA + KV-cache decode).
+
+Reference parity: /root/reference/layers/attentions.py.
+- Self-attention defaulting: ``key <- query``, ``value <- key``
+  (attentions.py:27-30, 73-76).
+- Mask semantics: boolean [batch, heads, sq, skv], True = attend
+  (attentions.py:106-107) — and unlike the reference, the masked *backward*
+  works (closes the NotImplementedError at attentions.py:152-153).
+- GQA (num_kv_heads < num_heads): first-class (reference test-only,
+  attentions_test.py:267-358).
+- KV-cache decode: closes the reference's ``TODO: support cache``
+  (transformer.py:120).
+
+Param layout matches Flax MultiHeadDotProductAttention so tests can bind
+Flax weights directly: wq/wk/wv: [d_model, heads, head_dim];
+bq/bk/bv: [heads, head_dim]; wo: [heads, head_dim, d_out]; bo: [d_out].
+The attention core runs as the Pallas flash kernel (ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu import ops
+from np_modeling_tpu.nn import initializers
+from np_modeling_tpu.nn.module import Module
+
+
+@dataclasses.dataclass
+class MultiHeadAttention(Module):
+    num_heads: int
+    num_kv_heads: Optional[int] = None   # GQA; defaults to num_heads
+    head_dim: Optional[int] = None       # defaults to features // num_heads
+    causal: bool = False
+    kernel_init: Callable = initializers.lecun_normal
+    bias_init: Callable = initializers.zeros
+
+    def _dims(self, features):
+        hq = self.num_heads
+        hkv = self.num_kv_heads or hq
+        dk = self.head_dim or features // hq
+        assert hq % hkv == 0
+        return hq, hkv, dk
+
+    def init(self, key, query, key_=None, value=None):
+        # Lazy shape inference from example inputs (reference
+        # attentions.py:17-65 semantics, explicit pytree output).
+        kv_src = key_ if key_ is not None else query
+        d_q = query.shape[-1]
+        d_kv = kv_src.shape[-1]
+        hq, hkv, dk = self._dims(d_q)
+        ks = jax.random.split(key, 8)
+        return {
+            "wq": self.kernel_init(ks[0], (d_q, hq, dk)),
+            "wk": self.kernel_init(ks[1], (d_kv, hkv, dk)),
+            "wv": self.kernel_init(ks[2], (d_kv, hkv, dk)),
+            "wo": self.kernel_init(ks[3], (hq, dk, d_q)),
+            "bq": self.bias_init(ks[4], (hq, dk)),
+            "bk": self.bias_init(ks[5], (hkv, dk)),
+            "bv": self.bias_init(ks[6], (hkv, dk)),
+            "bo": self.bias_init(ks[7], (d_q,)),
+        }
+
+    def _project(self, x, w, b):
+        # [b, s, d] @ [d, h, dk] -> [b, h, s, dk]; uses ops.linear (manual VJP)
+        # on the flattened head dims, so the MXU matmul kernel is reused.
+        d, h, dk = w.shape
+        y = ops.linear(x, w.reshape(d, h * dk), b.reshape(h * dk))
+        y = y.reshape(*x.shape[:-1], h, dk)
+        return jnp.swapaxes(y, -3, -2)
+
+    def apply(self, params, query, key=None, value=None, mask=None,
+              training=False, rngs=None, cache=None, decode=False):
+        del training, rngs
+        if key is None:
+            key = query
+        if value is None:
+            value = key
+
+        q = self._project(query, params["wq"], params["bq"])
+        k = self._project(key, params["wk"], params["bk"])
+        v = self._project(value, params["wv"], params["bv"])
+
+        new_cache = None
+        if decode:
+            if cache is None:
+                raise ValueError("decode=True requires a cache; build one "
+                                 "with init_cache()")
+            k, v, mask, new_cache = self._update_cache(cache, k, v)
+            o = ops.flash_attention(q, k, v, mask=mask, causal=False)
+        else:
+            o = ops.flash_attention(q, k, v, mask=mask, causal=self.causal)
+
+        # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
+        o = jnp.swapaxes(o, -3, -2)
+        hq, dk, d_out = params["wo"].shape[0], params["wo"].shape[1], params["wo"].shape[2]
+        o = o.reshape(*o.shape[:-2], hq * dk)
+        out = ops.linear(o, params["wo"].reshape(hq * dk, d_out), params["bo"])
+        if decode:
+            return out, new_cache
+        return out
+
+    # ---- KV-cache decode path ------------------------------------------
+
+    def init_cache(self, batch, max_len, features, dtype=jnp.float32):
+        hq, hkv, dk = self._dims(features)
+        return {
+            "k": jnp.zeros((batch, hkv, max_len, dk), dtype),
+            "v": jnp.zeros((batch, hkv, max_len, dk), dtype),
+            "index": jnp.zeros((), jnp.int32),
+        }
+
+    def _update_cache(self, cache, k_new, v_new):
+        """Insert the step's k/v at cache['index']; mask future positions."""
+        idx = cache["index"]
+        s_new = k_new.shape[2]
+        k = jax.lax.dynamic_update_slice(cache["k"], k_new.astype(cache["k"].dtype),
+                                         (0, 0, idx, 0))
+        v = jax.lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype),
+                                         (0, 0, idx, 0))
+        max_len = cache["k"].shape[2]
+        # Query position i (of this step) may attend to cache slots <= idx+i.
+        q_pos = idx + jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 0)
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 1)
+        mask = (kv_pos <= q_pos)[None, None]
+        new_cache = {"k": k, "v": v, "index": idx + s_new}
+        return k, v, mask, new_cache

@@ -1,0 +1,220 @@
+"""Transformer encoder/decoder blocks and stacks.
+
+Reference parity: /root/reference/layers/transformer.py.
+- Block structure and residual/norm/dropout ORDER match the reference exactly
+  (dropout applied BEFORE the norm in the pre-norm path, transformer.py:36-38;
+  attention block then 2-layer FFN Dense(ReLU)->Linear, transformer.py:49-52).
+- The reference reshapes to 2-D for the FFN because its Dense is 2-D-only
+  (transformer.py:44-45); our Linear handles batched dims natively.
+- Decoder adds cross-attention (transformer.py:139) and — new here — a causal
+  flag for the self-attention (the reference decoder is unmasked) plus a
+  KV-cache decode path (closing ``TODO: support cache``, transformer.py:120).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu.nn.attention import MultiHeadAttention
+from np_modeling_tpu.nn.linear import Dense, Dropout, LayerNorm, Linear
+from np_modeling_tpu.nn.module import Module, split_rngs
+
+
+@dataclasses.dataclass
+class TransformerEncoderBlock(Module):
+    num_heads: int
+    hidden_units: int
+    norm_first: bool
+    drop_rate: float = 0.0
+    causal: bool = False            # GPT-style decoder-only blocks set True
+    num_kv_heads: Optional[int] = None
+
+    def __post_init__(self):
+        self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
+                                       causal=self.causal)
+        self.norm1 = LayerNorm()
+        self.norm2 = LayerNorm()
+        self.dense1 = Dense(self.hidden_units)   # ReLU, reference default
+        self.drop = Dropout(self.drop_rate)
+
+    def init(self, key, x):
+        ks = jax.random.split(key, 4)
+        h1 = self.dense1.init(ks[2], x)
+        features = x.shape[-1]
+        self.dense2 = Linear(features)           # lazily sized, ref :25-27
+        hidden = self.dense1.apply(h1, x)
+        return {
+            "self_attention": self.attn.init(ks[0], x),
+            "norm1": self.norm1.init(ks[0], x),
+            "norm2": self.norm2.init(ks[1], x),
+            "dense1": h1,
+            "dense2": self.dense2.init(ks[3], hidden),
+        }
+
+    def apply(self, params, x, mask=None, training=False, rngs=None,
+              cache=None, decode=False):
+        dense2 = Linear(x.shape[-1])
+        new_cache = None
+
+        skip = x
+        if self.norm_first:
+            x = self.drop.apply({}, x, training, rngs, salt=1)
+            x = self.norm1.apply(params["norm1"], x)
+        if decode:
+            y, new_cache = self.attn.apply(params["self_attention"], x,
+                                           mask=mask, cache=cache, decode=True)
+        else:
+            y = self.attn.apply(params["self_attention"], x, mask=mask)
+        y = y + skip
+        if not self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=1)
+            y = self.norm1.apply(params["norm1"], y)
+
+        skip = y
+        if self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=2)
+            y = self.norm2.apply(params["norm2"], y)
+        y = self.dense1.apply(params["dense1"], y)
+        y = dense2.apply(params["dense2"], y)
+        y = y + skip
+        if not self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=2)
+            y = self.norm2.apply(params["norm2"], y)
+
+        if decode:
+            return y, new_cache
+        return y
+
+    def init_cache(self, batch, max_len, features, dtype=jnp.float32):
+        return self.attn.init_cache(batch, max_len, features, dtype)
+
+
+@dataclasses.dataclass
+class TransformerDecoderBlock(Module):
+    """Self-attention + cross-attention + FFN (reference transformer.py:95-203)."""
+
+    num_heads: int
+    hidden_units: int
+    norm_first: bool
+    drop_rate: float = 0.0
+    causal: bool = False
+
+    def __post_init__(self):
+        self.self_attn = MultiHeadAttention(self.num_heads, causal=self.causal)
+        self.cross_attn = MultiHeadAttention(self.num_heads)
+        self.norm1 = LayerNorm()
+        self.norm2 = LayerNorm()
+        self.norm3 = LayerNorm()
+        self.dense1 = Dense(self.hidden_units)
+        self.drop = Dropout(self.drop_rate)
+
+    def init(self, key, q, kv):
+        ks = jax.random.split(key, 6)
+        h1 = self.dense1.init(ks[4], q)
+        features = q.shape[-1]
+        hidden = self.dense1.apply(h1, q)
+        return {
+            "self_attention": self.self_attn.init(ks[0], q),
+            "cross_attention": self.cross_attn.init(ks[1], q, kv),
+            "norm1": self.norm1.init(ks[0], q),
+            "norm2": self.norm2.init(ks[2], q),
+            "norm3": self.norm3.init(ks[3], q),
+            "dense1": h1,
+            "dense2": Linear(features).init(ks[5], hidden),
+        }
+
+    def apply(self, params, q, kv, self_mask=None, cross_mask=None,
+              training=False, rngs=None, cache=None, decode=False):
+        dense2 = Linear(q.shape[-1])
+        new_cache = None
+
+        skip = q
+        if self.norm_first:
+            q = self.drop.apply({}, q, training, rngs, salt=1)
+            q = self.norm1.apply(params["norm1"], q)
+        if decode:
+            y, new_cache = self.self_attn.apply(params["self_attention"], q,
+                                                mask=self_mask, cache=cache,
+                                                decode=True)
+        else:
+            y = self.self_attn.apply(params["self_attention"], q,
+                                     mask=self_mask)
+        y = y + skip
+        if not self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=1)
+            y = self.norm1.apply(params["norm1"], y)
+
+        skip = y
+        if self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=2)
+            y = self.norm2.apply(params["norm2"], y)
+        y = self.cross_attn.apply(params["cross_attention"], y, kv,
+                                  mask=cross_mask)
+        y = y + skip
+        if not self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=2)
+            y = self.norm2.apply(params["norm2"], y)
+
+        skip = y
+        if self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=3)
+            y = self.norm3.apply(params["norm3"], y)
+        y = self.dense1.apply(params["dense1"], y)
+        y = dense2.apply(params["dense2"], y)
+        y = y + skip
+        if not self.norm_first:
+            y = self.drop.apply({}, y, training, rngs, salt=3)
+            y = self.norm3.apply(params["norm3"], y)
+
+        if decode:
+            return y, new_cache
+        return y
+
+    def init_cache(self, batch, max_len, features, dtype=jnp.float32):
+        return self.self_attn.init_cache(batch, max_len, features, dtype)
+
+
+@dataclasses.dataclass
+class TransformerEncoder(Module):
+    """Stack of encoder blocks; params keyed ``layer_0..layer_{n-1}``."""
+
+    num_layers: int
+    num_heads: int
+    hidden_units: int
+    norm_first: bool = True
+    drop_rate: float = 0.0
+    causal: bool = False
+
+    def __post_init__(self):
+        self.block = TransformerEncoderBlock(
+            self.num_heads, self.hidden_units, self.norm_first,
+            self.drop_rate, self.causal)
+
+    def init(self, key, x):
+        return {f"layer_{i}": self.block.init(jax.random.fold_in(key, i), x)
+                for i in range(self.num_layers)}
+
+    def apply(self, params, x, mask=None, training=False, rngs=None,
+              caches=None, decode=False):
+        new_caches = [] if decode else None
+        for i in range(self.num_layers):
+            r = split_rngs(rngs, i)
+            if decode:
+                x, c = self.block.apply(params[f"layer_{i}"], x, mask=mask,
+                                        training=training, rngs=r,
+                                        cache=caches[i], decode=True)
+                new_caches.append(c)
+            else:
+                x = self.block.apply(params[f"layer_{i}"], x, mask=mask,
+                                     training=training, rngs=r)
+        if decode:
+            return x, new_caches
+        return x
+
+    def init_cache(self, batch, max_len, features, dtype=jnp.float32):
+        return [self.block.init_cache(batch, max_len, features, dtype)
+                for _ in range(self.num_layers)]

@@ -1,0 +1,37 @@
+"""Op library: every op carries a hand-written VJP (jax.custom_vjp).
+
+``jax.grad`` of anything built from these ops uses OUR manual gradients —
+the TPU-native analogue of the reference framework's per-layer ``backward()``
+methods, validated against autodiff in tests (same oracle strategy as the
+reference, see /root/reference/README.md:11 and SURVEY.md §4).
+"""
+
+from np_modeling_tpu.ops import dispatch
+from np_modeling_tpu.ops.activations import (ACTIVATIONS, gelu,
+                                             get_activation, relu, silu,
+                                             softmax)
+from np_modeling_tpu.ops.attention import (DEFAULT_MASK_VALUE,
+                                           attention_reference,
+                                           flash_attention)
+from np_modeling_tpu.ops.conv import conv2d, conv2d_transpose
+from np_modeling_tpu.ops.linear import linear
+from np_modeling_tpu.ops.losses import (cross_entropy_probs, mse,
+                                        softmax_cross_entropy,
+                                        softmax_cross_entropy_with_integer_labels)
+from np_modeling_tpu.ops.matmul import matmul
+from np_modeling_tpu.ops.metrics import (BinaryClassificationMetrics, accuracy,
+                                         binary_classification_metrics,
+                                         confusion_matrix)
+from np_modeling_tpu.ops.normalization import (dropout, dropout_with_mask,
+                                               layer_norm, make_dropout_mask,
+                                               rms_norm)
+
+__all__ = [
+    "ACTIVATIONS", "BinaryClassificationMetrics", "DEFAULT_MASK_VALUE",
+    "accuracy", "attention_reference", "binary_classification_metrics",
+    "confusion_matrix", "conv2d", "conv2d_transpose", "cross_entropy_probs",
+    "dispatch", "dropout", "dropout_with_mask", "flash_attention", "gelu",
+    "get_activation", "layer_norm", "linear", "make_dropout_mask", "matmul",
+    "mse", "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
+    "softmax_cross_entropy_with_integer_labels",
+]

@@ -1,0 +1,460 @@
+"""Flash attention: Pallas TPU kernels with a hand-written VJP.
+
+This promotes the reference's *test-only* blockwise online-softmax attention
+(/root/reference/layers/attentions_test.py:158-265: 32x32 tiles, running max
+``m_i``, running denominator ``l_i``, accumulator rescale) to a first-class
+MXU/VMEM-tiled Pallas kernel, and adds what the reference lacks:
+
+- a manual backward (FlashAttention-2 style recompute with saved LSE; the
+  reference's non-flash backward materializes O(S^3) softmax Jacobians,
+  activations.py:42-45, and raises NotImplementedError for masked backward,
+  attentions.py:152-153 — both closed here),
+- causal masking with whole-tile skipping,
+- GQA (grouped-query attention; reference test-only at
+  attentions_test.py:267-358) via head-index folding in the BlockSpecs.
+
+Layouts: q [b, hq, sq, d]; k/v [b, hkv, skv, d]; hq % hkv == 0.
+Softmax statistics are fp32; LSE residuals are stored lane-broadcast as
+[b, h, sq, 128] (the TPU T(8,128) tiling's natural shape).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from np_modeling_tpu.ops import dispatch
+from np_modeling_tpu.ops.matmul import round_up
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+NUM_LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp oracle (no custom gradient) — the trusted baseline tests diff against.
+# ---------------------------------------------------------------------------
+
+
+def attention_reference(q, k, v, mask=None, causal=False, scale=None):
+    """Plain attention in jnp; autodiff-able. Used as the test oracle."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    g = q.shape[1] // k.shape[1]
+    kk = jnp.repeat(k, g, axis=1) if g > 1 else k
+    vv = jnp.repeat(v, g, axis=1) if g > 1 else v
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
+                   preferred_element_type=jnp.float32) * scale
+    s = _apply_masks(s, mask, causal)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, vv,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _apply_masks(s, mask, causal):
+    if causal:
+        sq, skv = s.shape[-2], s.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+    if mask is not None:
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# The op: custom_vjp wrapping pallas kernels (TPU) / manual jnp math (fallback)
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(q, k, v, mask=None, *, causal=False, scale=None,
+                    block_q=256, block_kv=512):
+    """Scaled dot-product attention with a hand-written VJP.
+
+    ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
+    convention, attentions.py:106-107). Arbitrary masks run on the manual jnp
+    path; ``causal=True`` and unmasked run as Pallas flash kernels on TPU.
+    """
+    d = q.shape[-1]
+    scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
+    assert q.shape[1] % k.shape[1] == 0, "q heads must be a multiple of kv heads"
+    assert k.shape[:2] == v.shape[:2] and k.shape[2] == v.shape[2]
+    return _attn(q, k, v, mask, causal, scale, block_q, block_kv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _attn(q, k, v, mask, causal, scale, block_q, block_kv):
+    o, _ = _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv)
+    return o
+
+
+def _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv):
+    if dispatch.use_pallas() and mask is None:
+        return _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv)
+    return _attn_fwd_jnp(q, k, v, mask, causal, scale)
+
+
+def _attn_fwd(q, k, v, mask, causal, scale, block_q, block_kv):
+    o, lse = _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv)
+    return o, (q, k, v, o, lse, mask)
+
+
+def _attn_bwd(causal, scale, block_q, block_kv, res, do):
+    q, k, v, o, lse, mask = res
+    if dispatch.use_pallas() and mask is None:
+        dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale,
+                                       block_q, block_kv)
+    else:
+        dq, dk, dv = _attn_bwd_jnp(q, k, v, o, lse, do, mask, causal, scale)
+    return dq, dk, dv, None
+
+
+_attn.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Manual jnp path (CPU fallback; also handles arbitrary boolean masks)
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_jnp(q, k, v, mask, causal, scale):
+    g = q.shape[1] // k.shape[1]
+    kk = jnp.repeat(k, g, axis=1) if g > 1 else k
+    vv = jnp.repeat(v, g, axis=1) if g > 1 else v
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
+                   preferred_element_type=jnp.float32) * scale
+    s = _apply_masks(s, mask, causal)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vv,
+                   preferred_element_type=jnp.float32) / l
+    lse = jnp.squeeze(m, -1) + jnp.log(jnp.squeeze(l, -1))
+    return o.astype(q.dtype), lse
+
+
+def _attn_bwd_jnp(q, k, v, o, lse, do, mask, causal, scale):
+    """FlashAttention-2-style manual gradients (recompute p from saved LSE)."""
+    g = q.shape[1] // k.shape[1]
+    kk = jnp.repeat(k, g, axis=1) if g > 1 else k
+    vv = jnp.repeat(v, g, axis=1) if g > 1 else v
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
+                   preferred_element_type=jnp.float32) * scale
+    s = _apply_masks(s, mask, causal)
+    p = jnp.exp(s - lse[..., None])
+    do32 = do.astype(jnp.float32)
+    dv_full = jnp.einsum("bhqk,bhqd->bhkd", p, do32,
+                         preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do32, vv.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    di = jnp.sum(do32 * o.astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - di) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kk.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    dk_full = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    dk, dv = _group_sum(dk_full, g), _group_sum(dv_full, g)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _group_sum(x_full, g):
+    """Sum per-q-head kv grads over each GQA group: [b,hq,..] -> [b,hkv,..]."""
+    if g == 1:
+        return x_full
+    b, hq = x_full.shape[:2]
+    return x_full.reshape(b, hq // g, g, *x_full.shape[2:]).sum(axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *,
+                causal, scale, kv_len, block_q, block_kv, n_kv):
+    q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_padded = n_kv * block_kv != kv_len
+    if causal:
+        # Skip KV tiles entirely above the diagonal.
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        if causal or kv_padded:
+            shape = (block_q, block_kv)
+            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
+            mask = col < kv_len if kv_padded else None
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
+                cmask = col <= row
+                mask = cmask if mask is None else (mask & cmask)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]                 # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)                 # [bq, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scr[...], l_scr[...] = m_next, l_next
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
+        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = lse
+
+
+def _pad4(x, s_to, d_to):
+    ps, pd = s_to - x.shape[2], d_to - x.shape[3]
+    if ps or pd:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))
+    return x
+
+
+def _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv):
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    bq = min(round_up(sq, 128), block_q)
+    bkv = min(round_up(skv, 128), block_kv)
+    sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
+    qp = _pad4(q, sq_p, d_p)
+    kp = _pad4(k, skv_p, d_p)
+    vp = _pad4(v, skv_p, d_p)
+    n_kv = skv_p // bkv
+
+    grid = (b, hq, sq_p // bq, n_kv)
+    kernel = functools.partial(_fwd_kernel, causal=causal, scale=scale,
+                               kv_len=skv, block_q=bq, block_kv=bkv, n_kv=n_kv)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bkv, d_p),
+                         lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d_p),
+                         lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, NUM_LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * skv * d,
+            bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
+            transcendentals=b * hq * sq * skv),
+        interpret=dispatch.interpret_mode(),
+    )(qp, kp, vp)
+    return o[:, :, :sq, :d], lse[:, :, :sq, 0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (FlashAttention-2: dq kernel + dkv kernel)
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
+               causal, scale, kv_len, block_q, block_kv, n_kv):
+    q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    kv_padded = n_kv * block_kv != kv_len
+    should_run = (True if not causal
+                  else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
+
+    @pl.when(should_run)
+    def _run():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, di = lse_ref[0, 0], di_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal or kv_padded:
+            shape = (block_q, block_kv)
+            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
+            mask = col < kv_len if kv_padded else None
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
+                cmask = col <= row
+                mask = cmask if mask is None else (mask & cmask)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse[:, 0:1])
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di[:, 0:1]) * scale
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *,
+                causal, scale, kv_len, block_q, block_kv, n_q, n_kv):
+    kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    kv_padded = n_kv * block_kv != kv_len
+    should_run = (True if not causal
+                  else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
+
+    @pl.when(should_run)
+    def _run():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, di = lse_ref[0, 0], di_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal or kv_padded:
+            shape = (block_q, block_kv)
+            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
+            mask = col < kv_len if kv_padded else None
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
+                cmask = col <= row
+                mask = cmask if mask is None else (mask & cmask)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse[:, 0:1])                          # [bq, bkv]
+        # dv += pᵀ @ do ; transpose folded into dot_general contraction dims.
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di[:, 0:1]) * scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_kv):
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    bq = min(round_up(sq, 128), block_q)
+    bkv = min(round_up(skv, 128), block_kv)
+    sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+
+    qp, kp, vp = _pad4(q, sq_p, d_p), _pad4(k, skv_p, d_p), _pad4(v, skv_p, d_p)
+    dop = _pad4(do, sq_p, d_p)
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # Lane-broadcast [b,h,sq,128]; pad the seq axis. Padded q rows are
+    # harmless: their do rows are zero, so dv += pᵀ@do and ds = p*(dp-di)
+    # both vanish; padded dq rows are sliced away below.
+    lse4 = jnp.broadcast_to(lse[..., None], (*lse.shape, NUM_LANES))
+    di4 = jnp.broadcast_to(di[..., None], (*di.shape, NUM_LANES))
+    lse4 = jnp.pad(lse4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    di4 = jnp.pad(di4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+
+    q_spec = pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+    kv_spec = pl.BlockSpec((1, 1, bkv, d_p),
+                           lambda ib, ih, iq, ik: (ib, ih // g, ik, 0))
+    lm_spec = pl.BlockSpec((1, 1, bq, NUM_LANES),
+                           lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+
+    dq_kernel = functools.partial(_dq_kernel, causal=causal, scale=scale,
+                                  kv_len=skv, block_q=bq, block_kv=bkv,
+                                  n_kv=n_kv)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec],
+        out_specs=pl.BlockSpec((1, 1, bq, d_p),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=dispatch.interpret_mode(),
+    )(qp, kp, vp, dop, lse4, di4)
+
+    # dk/dv: grid loops kv tiles in the 3rd dim, q tiles sequentially in the
+    # 4th. Computed per q-head ([b, hq, skv, d]) then group-summed for GQA.
+    q_spec_t = pl.BlockSpec((1, 1, bq, d_p),
+                            lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
+    kv_spec_t = pl.BlockSpec((1, 1, bkv, d_p),
+                             lambda ib, ih, ikv, iq: (ib, ih // g, ikv, 0))
+    lm_spec_t = pl.BlockSpec((1, 1, bq, NUM_LANES),
+                             lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
+    dkv_out_spec = pl.BlockSpec((1, 1, bkv, d_p),
+                                lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
+    dkv_kernel = functools.partial(_dkv_kernel, causal=causal, scale=scale,
+                                   kv_len=skv, block_q=bq, block_kv=bkv,
+                                   n_q=n_q, n_kv=n_kv)
+    dk_full, dv_full = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, hq, n_kv, n_q),
+        in_specs=[q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,
+                  lm_spec_t],
+        out_specs=[dkv_out_spec, dkv_out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
+                   jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((bkv, d_p), jnp.float32),
+                        pltpu.VMEM((bkv, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=dispatch.interpret_mode(),
+    )(qp, kp, vp, dop, lse4, di4)
+
+    dq = dq[:, :, :sq, :d]
+    dk = _group_sum(dk_full[:, :, :skv, :d], g)
+    dv = _group_sum(dv_full[:, :, :skv, :d], g)
+    return dq, dk, dv

@@ -1,0 +1,16 @@
+"""Training: pure-function optimizers, jitted train step, checkpointing."""
+
+from np_modeling_tpu.training.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adam,
+                                                 adamw, apply_updates, chain,
+                                                 clip_by_global_norm, momentum,
+                                                 sgd)
+from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
+                                              make_train_step, resolve_loss)
+
+__all__ = [
+    "AdamState", "Optimizer", "Trainer", "adam", "adamw", "apply_updates",
+    "chain", "clip_by_global_norm", "load_checkpoint", "make_eval_step",
+    "make_train_step", "momentum", "resolve_loss", "save_checkpoint", "sgd",
+]

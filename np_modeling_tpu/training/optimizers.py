@@ -1,0 +1,150 @@
+"""Optimizers as pure gradient transformations.
+
+Reference parity: /root/reference/optimizer.py. The reference mutates weights
+in place during the backward sweep, keyed by ``id(obj).attr``
+(optimizer.py:12-23) — the functional equivalent is a pure
+``(grads, state, params) -> (updates, state)`` over pytrees, applied after
+``jax.grad`` inside one jitted train step.
+
+Adam note: the reference puts epsilon INSIDE the sqrt — ``m̂/√(v̂+ε)`` with
+ε=1e-7 (optimizer.py:62-63) — deviating from canonical ``m̂/(√v̂+ε)``. We
+default to canonical and expose ``reference_epsilon=True`` for bit-parity
+with the reference's trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Optimizer(NamedTuple):
+    init: Callable[[Any], Any]
+    update: Callable[[Any, Any, Any], tuple]  # (grads, state, params) -> (updates, state)
+
+
+def apply_updates(params, updates):
+    return jax.tree_util.tree_map(lambda p, u: (p + u).astype(p.dtype),
+                                  params, updates)
+
+
+def sgd(learning_rate: float) -> Optimizer:
+    """w -= lr * g (reference optimizer.py:26-33)."""
+
+    def init(params):
+        del params
+        return ()
+
+    def update(grads, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda g: -learning_rate * g, grads), state
+
+    return Optimizer(init, update)
+
+
+def momentum(learning_rate: float, beta: float = 0.9) -> Optimizer:
+    def init(params):
+        return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def update(grads, state, params=None):
+        del params
+        new_v = jax.tree_util.tree_map(lambda v, g: beta * v + g, state, grads)
+        updates = jax.tree_util.tree_map(lambda v: -learning_rate * v, new_v)
+        return updates, new_v
+
+    return Optimizer(init, update)
+
+
+class AdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def adam(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
+         epsilon: float = 1e-8, reference_epsilon: bool = False) -> Optimizer:
+    """Bias-corrected Adam.
+
+    ``reference_epsilon=True`` -> ``m̂/√(v̂+ε)`` (reference optimizer.py:62-63,
+    ε default there is 1e-7); False -> canonical ``m̂/(√v̂+ε)`` (optax-equal).
+    """
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros((), jnp.int32), z,
+                         jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: beta2 * v + (1 - beta2) * jnp.square(g),
+            state.nu, grads)
+        bc1 = 1 - beta1 ** t
+        bc2 = 1 - beta2 ** t
+
+        def u(m, v):
+            mhat = m / bc1
+            vhat = v / bc2
+            if reference_epsilon:
+                denom = jnp.sqrt(vhat + epsilon)
+            else:
+                denom = jnp.sqrt(vhat) + epsilon
+            return -learning_rate * mhat / denom
+
+        updates = jax.tree_util.tree_map(u, mu, nu)
+        return updates, AdamState(count, mu, nu)
+
+    return Optimizer(init, update)
+
+
+def adamw(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
+          epsilon: float = 1e-8, weight_decay: float = 0.01) -> Optimizer:
+    """Adam with decoupled weight decay (extension)."""
+    base = adam(learning_rate, beta1, beta2, epsilon)
+
+    def update(grads, state, params):
+        updates, state2 = base.update(grads, state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - learning_rate * weight_decay * p, updates, params)
+        return updates, state2
+
+    return Optimizer(base.init, update)
+
+
+def clip_by_global_norm(max_norm: float):
+    """Gradient clipping transform, composable via ``chain``."""
+
+    def init(params):
+        del params
+        return ()
+
+    def update(grads, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_leaves(grads)
+        norm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+        return jax.tree_util.tree_map(lambda g: g * scale, grads), state
+
+    return Optimizer(init, update)
+
+
+def chain(*transforms: Optimizer) -> Optimizer:
+    """Compose transforms left-to-right (each one's output feeds the next)."""
+
+    def init(params):
+        return tuple(t.init(params) for t in transforms)
+
+    def update(grads, state, params=None):
+        new_state = []
+        for t, s in zip(transforms, state):
+            grads, s2 = t.update(grads, s, params)
+            new_state.append(s2)
+        return grads, tuple(new_state)
+
+    return Optimizer(init, update)

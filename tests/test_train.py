@@ -1,0 +1,72 @@
+"""End-to-end training (reference train_test.py workloads, with assertions
+the reference lacks: loss decrease is ASSERTED, not printed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from np_modeling_tpu import models, nn, training
+from np_modeling_tpu.utils.testing import assert_allclose, rand
+
+rng = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("opt_name", ["sgd", "adam"])
+def test_mlp_regression(opt_name):
+    # Reference workload: 5-layer MLP, full-batch, SGD & Adam
+    # (train_test.py:14-46; BASELINE.json config 1).
+    x = jnp.asarray(rand(32, 16, rng=rng))
+    t = jnp.asarray(rand(32, 4, rng=rng))
+    model = models.MLP([32, 32, 32, 32], 4)
+    opt = (training.sgd(1e-2) if opt_name == "sgd"
+           else training.adam(1e-3))
+    trainer = training.Trainer(model, loss="mse", optimizer=opt, seed=0)
+    params = trainer.init(x)
+    loss0 = float(trainer.evaluate(params, x, t))
+    params, _, losses = trainer.fit(params, x, t, steps=30)
+    assert float(losses[-1]) < loss0, "loss must decrease"
+
+    # eval() twice must agree — forward has no side effects
+    # (reference asserts this, train_test.py:44-46).
+    e1 = trainer.evaluate(params, x, t)
+    e2 = trainer.evaluate(params, x, t)
+    assert_allclose(e1, e2, rtol=0, atol=0)
+
+
+def test_cnn_classification():
+    # Reference workload 2: CNN + softmax CE + Adam (train_test.py:48-81).
+    x = jnp.asarray(rand(8, 14, 14, 1, rng=rng))
+    labels = jnp.asarray(np.arange(8) % 4)
+    t = jax.nn.one_hot(labels, 4)
+    model = models.CNNClassifier(conv_channels=(4, 8), hidden=32,
+                                 num_classes=4)
+    trainer = training.Trainer(model, loss="cross_entropy",
+                               optimizer=training.adam(1e-3), seed=0)
+    params = trainer.init(x)
+    loss0 = float(trainer.evaluate(params, x, t))
+    params, _, losses = trainer.fit(params, x, t, steps=20)
+    assert float(losses[-1]) < loss0
+
+
+def test_dropout_model_trains_with_rngs():
+    x = jnp.asarray(rand(16, 8, rng=rng))
+    t = jnp.asarray(rand(16, 2, rng=rng))
+    model = nn.Sequential([nn.Dense(16), nn.Dropout(0.25), nn.Linear(2)])
+    trainer = training.Trainer(model, loss="mse",
+                               optimizer=training.sgd(1e-2), seed=1)
+    params = trainer.init(x)
+    params, _, losses = trainer.fit(params, x, t, steps=10)
+    assert np.isfinite(float(losses[-1]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    x = jnp.asarray(rand(4, 8, rng=rng))
+    model = models.MLP([8], 2)
+    params = model.init(jax.random.PRNGKey(0), x)
+    path = str(tmp_path / "ckpt.msgpack")
+    training.save_checkpoint(path, params)
+    like = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = training.load_checkpoint(path, like)
+    y1, y2 = model.apply(params, x), model.apply(restored, x)
+    assert_allclose(y1, y2, rtol=0, atol=0)
