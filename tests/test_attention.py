@@ -1,0 +1,204 @@
+"""Attention: manual-VJP op vs oracle + jax.grad; Pallas kernels in interpret
+mode; MHA layer vs Flax MultiHeadDotProductAttention (reference
+attentions_test.py strategy); GQA; masked backward (reference gap)."""
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from np_modeling_tpu import nn, ops
+from np_modeling_tpu.ops import dispatch
+from np_modeling_tpu.utils.testing import assert_allclose, rand
+
+rng = np.random.default_rng(0)
+
+
+def _qkv(b=2, hq=4, hkv=4, sq=24, skv=24, d=8):
+    q = jnp.asarray(rand(b, hq, sq, d, rng=rng))
+    k = jnp.asarray(rand(b, hkv, skv, d, rng=rng))
+    v = jnp.asarray(rand(b, hkv, skv, d, rng=rng))
+    return q, k, v
+
+
+class TestJnpPath:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_vs_oracle(self, causal):
+        q, k, v = _qkv()
+        out = ops.flash_attention(q, k, v, causal=causal)
+        ref = ops.attention_reference(q, k, v, causal=causal)
+        assert_allclose(out, ref)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_backward_vs_autodiff(self, causal):
+        q, k, v = _qkv()
+        t = jnp.asarray(rand(*q.shape, rng=rng))
+
+        loss_ours = lambda q, k, v: ops.mse(
+            ops.flash_attention(q, k, v, causal=causal), t)
+        loss_ref = lambda q, k, v: ops.mse(
+            ops.attention_reference(q, k, v, causal=causal), t)
+        g_ours = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b)
+
+    def test_gqa_forward_and_backward(self):
+        # GQA: 8 query heads sharing 2 kv heads (reference test-only
+        # capability, attentions_test.py:267-358).
+        q, k, v = _qkv(hq=8, hkv=2)
+        out = ops.flash_attention(q, k, v)
+        ref = ops.attention_reference(q, k, v)
+        assert_allclose(out, ref)
+        g_ours = jax.grad(lambda *a: jnp.sum(ops.flash_attention(*a) ** 2),
+                          argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(lambda *a: jnp.sum(ops.attention_reference(*a) ** 2),
+                         argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b)
+
+    def test_masked_backward(self):
+        # The reference raises NotImplementedError for masked backward
+        # (attentions.py:152-153). Ours must work.
+        q, k, v = _qkv(sq=8, skv=8)
+        mask = jnp.asarray(rng.random((2, 1, 8, 8)) > 0.3)
+        mask = mask | jnp.eye(8, dtype=bool)  # keep rows non-empty
+        g_ours = jax.grad(
+            lambda q: jnp.sum(ops.flash_attention(q, k, v, mask=mask) ** 2))(q)
+        g_ref = jax.grad(
+            lambda q: jnp.sum(ops.attention_reference(q, k, v, mask=mask) ** 2))(q)
+        assert_allclose(g_ours, g_ref)
+
+
+class TestPallasKernels:
+    """Kernels run in interpret mode on CPU — same code path as TPU."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("shape", [
+        (1, 2, 128, 128, 64),       # exact tiles
+        (2, 4, 256, 384, 128),      # multi-tile kv
+        (1, 2, 200, 200, 64),       # padded seq (non-multiple of 128)
+    ])
+    def test_forward(self, causal, shape):
+        b, h, sq, skv, d = shape
+        q, k, v = _qkv(b, h, h, sq, skv, d)
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.flash_attention(q, k, v, causal=causal,
+                                      block_q=128, block_kv=128)
+        ref = ops.attention_reference(q, k, v, causal=causal)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_backward(self, causal):
+        q, k, v = _qkv(1, 2, 2, 256, 256, 64)
+        t = jnp.asarray(rand(*q.shape, rng=rng))
+
+        def loss_pallas(q, k, v):
+            return ops.mse(ops.flash_attention(q, k, v, causal=causal,
+                                               block_q=128, block_kv=128), t)
+
+        def loss_ref(q, k, v):
+            return ops.mse(ops.attention_reference(q, k, v, causal=causal), t)
+
+        with dispatch.force_pallas(True, interpret=True):
+            g_ours = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b, rtol=2e-5, atol=5e-5)
+
+    def test_backward_padded_gqa(self):
+        # GQA + non-tile-multiple sequence exercises padding + group-sum.
+        q, k, v = _qkv(1, 4, 2, 160, 160, 64)
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+        with dispatch.force_pallas(True, interpret=True):
+            g_ours = jax.grad(
+                loss(lambda *a: ops.flash_attention(*a, block_q=128,
+                                                    block_kv=128)),
+                argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(ops.attention_reference),
+                         argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b, rtol=2e-5, atol=5e-5)
+
+
+class TestMHALayerVsFlax:
+    """Bind Flax MultiHeadDotProductAttention weights into our layer
+    (the reference's exact oracle strategy, attentions_test.py:23-85)."""
+
+    def _flax_and_ours(self, num_heads=4, d=32, b=2, s=10):
+        x = jnp.asarray(rand(b, s, d, rng=rng))
+        flax_mha = fnn.MultiHeadDotProductAttention(
+            num_heads=num_heads, qkv_features=d, out_features=d)
+        fparams = flax_mha.init(jax.random.PRNGKey(0), x, x)["params"]
+        ours = nn.MultiHeadAttention(num_heads=num_heads)
+        params = {
+            "wq": fparams["query"]["kernel"], "bq": fparams["query"]["bias"],
+            "wk": fparams["key"]["kernel"], "bk": fparams["key"]["bias"],
+            "wv": fparams["value"]["kernel"], "bv": fparams["value"]["bias"],
+            "wo": fparams["out"]["kernel"], "bo": fparams["out"]["bias"],
+        }
+        return x, flax_mha, fparams, ours, params
+
+    def test_forward_parity(self):
+        x, flax_mha, fparams, ours, params = self._flax_and_ours()
+        ref = flax_mha.apply({"params": fparams}, x, x)
+        out = ours.apply(params, x)
+        assert_allclose(out, ref)
+
+    def test_input_grad_parity(self):
+        # Reference identity: flax dquery == dq + dk + dv for self-attention
+        # (attentions_test.py:77). With one shared input, jax.grad gives the
+        # total directly on both sides.
+        x, flax_mha, fparams, ours, params = self._flax_and_ours()
+        t = jnp.asarray(rand(*x.shape, rng=rng))
+        g_ref = jax.grad(
+            lambda x: ops.mse(flax_mha.apply({"params": fparams}, x, x), t))(x)
+        g_ours = jax.grad(lambda x: ops.mse(ours.apply(params, x), t))(x)
+        assert_allclose(g_ours, g_ref)
+
+    def test_weight_grad_parity(self):
+        x, flax_mha, fparams, ours, params = self._flax_and_ours()
+        t = jnp.asarray(rand(*x.shape, rng=rng))
+        gf = jax.grad(lambda p: ops.mse(
+            flax_mha.apply({"params": p}, x, x), t))(fparams)
+        go = jax.grad(lambda p: ops.mse(ours.apply(p, x), t))(params)
+        assert_allclose(go["wq"], gf["query"]["kernel"])
+        assert_allclose(go["wo"], gf["out"]["kernel"])
+        assert_allclose(go["bv"], gf["value"]["bias"])
+
+    def test_cross_attention(self):
+        x, flax_mha, fparams, ours, params = self._flax_and_ours()
+        kv = jnp.asarray(rand(2, 14, 32, rng=rng))
+        ref = flax_mha.apply({"params": fparams}, x, kv)
+        out = ours.apply(params, x, kv)
+        assert_allclose(out, ref)
+
+
+class TestKVCache:
+    def test_incremental_decode_matches_full_forward(self):
+        mha = nn.MultiHeadAttention(num_heads=4, causal=True)
+        x = jnp.asarray(rand(2, 12, 32, rng=rng))
+        params = mha.init(jax.random.PRNGKey(0), x)
+        full = mha.apply(params, x)
+
+        cache = mha.init_cache(batch=2, max_len=16, features=32)
+        outs = []
+        for i in range(12):
+            o, cache = mha.apply(params, x[:, i:i + 1], cache=cache,
+                                 decode=True)
+            outs.append(o)
+        stepwise = jnp.concatenate(outs, axis=1)
+        assert_allclose(stepwise, full, rtol=1e-4, atol=1e-4)
+
+    def test_chunked_prefill_then_decode(self):
+        mha = nn.MultiHeadAttention(num_heads=2, causal=True)
+        x = jnp.asarray(rand(1, 8, 16, rng=rng))
+        params = mha.init(jax.random.PRNGKey(0), x)
+        full = mha.apply(params, x)
+        cache = mha.init_cache(batch=1, max_len=8, features=16)
+        o1, cache = mha.apply(params, x[:, :5], cache=cache, decode=True)
+        o2, cache = mha.apply(params, x[:, 5:], cache=cache, decode=True)
+        assert_allclose(jnp.concatenate([o1, o2], axis=1), full,
+                        rtol=1e-4, atol=1e-4)
