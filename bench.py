@@ -23,6 +23,7 @@ import numpy as np
 
 BATCH, SEQ, D_MODEL, HEADS, LAYERS, FFN, VOCAB = 2, 2048, 1024, 8, 4, 4096, 8192
 K = 8  # steps per timed jit call
+DTYPE = jnp.bfloat16  # compute dtype both sides; params/grads/loss fp32
 
 
 def _time_scan_steps(step_fn, params, opt_state, tokens):
@@ -52,7 +53,8 @@ def bench_ours(tokens):
     from np_modeling_tpu import models, training
 
     cfg = models.GPTConfig(vocab_size=VOCAB, d_model=D_MODEL, num_heads=HEADS,
-                           num_layers=LAYERS, hidden_units=FFN, max_len=SEQ)
+                           num_layers=LAYERS, hidden_units=FFN, max_len=SEQ,
+                           dtype=DTYPE)
     gpt = models.GPT(cfg)
     params = gpt.init(jax.random.PRNGKey(0), tokens)
     opt = training.adam(1e-3)
@@ -74,27 +76,28 @@ def bench_flax(tokens):
         @fnn.compact
         def __call__(self, x, mask):
             skip = x
-            y = fnn.LayerNorm(epsilon=1e-3)(x)
+            y = fnn.LayerNorm(epsilon=1e-3, dtype=DTYPE)(x)
             y = fnn.MultiHeadDotProductAttention(
-                HEADS, qkv_features=D_MODEL, out_features=D_MODEL)(y, y,
-                                                                   mask=mask)
+                HEADS, qkv_features=D_MODEL, out_features=D_MODEL,
+                dtype=DTYPE)(y, y, mask=mask)
             y = y + skip
             skip = y
-            z = fnn.LayerNorm(epsilon=1e-3)(y)
-            z = fnn.relu(fnn.Dense(FFN)(z))
-            z = fnn.Dense(D_MODEL)(z)
+            z = fnn.LayerNorm(epsilon=1e-3, dtype=DTYPE)(y)
+            z = fnn.relu(fnn.Dense(FFN, dtype=DTYPE)(z))
+            z = fnn.Dense(D_MODEL, dtype=DTYPE)(z)
             return z + skip
 
     class FlaxGPT(fnn.Module):
         @fnn.compact
         def __call__(self, toks):
-            x = fnn.Embed(VOCAB, D_MODEL)(toks)
-            x = x + fnn.Embed(SEQ, D_MODEL)(jnp.arange(toks.shape[-1]))
+            x = fnn.Embed(VOCAB, D_MODEL, dtype=DTYPE)(toks)
+            x = x + fnn.Embed(SEQ, D_MODEL, dtype=DTYPE)(
+                jnp.arange(toks.shape[-1]))
             mask = fnn.make_causal_mask(toks)
             for _ in range(LAYERS):
                 x = Block()(x, mask)
-            x = fnn.LayerNorm(epsilon=1e-3)(x)
-            return fnn.Dense(VOCAB, use_bias=False)(x)
+            x = fnn.LayerNorm(epsilon=1e-3, dtype=DTYPE)(x)
+            return fnn.Dense(VOCAB, use_bias=False)(x).astype(jnp.float32)
 
     model = FlaxGPT()
     params = model.init(jax.random.PRNGKey(0), tokens)

@@ -32,6 +32,7 @@ class GPTConfig:
     drop_rate: float = 0.0
     norm_first: bool = True
     tie_embeddings: bool = True
+    dtype: object = None          # compute dtype, e.g. jnp.bfloat16 (params fp32)
 
 
 @dataclasses.dataclass
@@ -44,11 +45,11 @@ class GPT(Module):
         self.pos_embed = Embedding(c.max_len, c.d_model)
         self.block = TransformerEncoderBlock(
             c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
-            causal=True, num_kv_heads=c.num_kv_heads)
+            causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype)
         self.final_norm = LayerNorm()
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
-            self.lm_head = Linear(c.vocab_size, use_bias=False)
+            self.lm_head = Linear(c.vocab_size, use_bias=False, dtype=c.dtype)
 
     def init(self, key, tokens):
         c = self.config
@@ -73,6 +74,8 @@ class GPT(Module):
             start = caches[0]["index"] if decode else 0
             positions = start + jnp.arange(tokens.shape[-1])
         x = x + self.pos_embed.apply(params["pos_embedding"], positions)
+        if c.dtype is not None:
+            x = x.astype(c.dtype)
         x = self.drop.apply({}, x, training, rngs, salt=1000)
 
         new_caches = [] if decode else None
@@ -89,9 +92,14 @@ class GPT(Module):
 
         x = self.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:
-            logits = self.embed.attend(params["embedding"], x)
+            table = params["embedding"]["table"]
+            if c.dtype is not None:
+                table = table.astype(c.dtype)
+            logits = jnp.einsum("...d,vd->...v", x, table,
+                                preferred_element_type=jnp.float32)
         else:
             logits = self.lm_head.apply(params["lm_head"], x)
+        logits = logits.astype(jnp.float32)  # losses always in fp32
         if decode:
             return logits, new_caches
         return logits

@@ -20,14 +20,14 @@ The attention core runs as the Pallas flash kernel (ops/attention.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from np_modeling_tpu import ops
 from np_modeling_tpu.nn import initializers
-from np_modeling_tpu.nn.module import Module
+from np_modeling_tpu.nn.module import Module, maybe_cast
 
 
 @dataclasses.dataclass
@@ -38,6 +38,7 @@ class MultiHeadAttention(Module):
     causal: bool = False
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
+    dtype: Optional[Any] = None           # compute dtype (mixed precision)
 
     def _dims(self, features):
         hq = self.num_heads
@@ -68,6 +69,7 @@ class MultiHeadAttention(Module):
     def _project(self, x, w, b):
         # [b, s, d] @ [d, h, dk] -> [b, h, s, dk]; uses ops.linear (manual VJP)
         # on the flattened head dims, so the MXU matmul kernel is reused.
+        x, w, b = (maybe_cast(a, self.dtype) for a in (x, w, b))
         d, h, dk = w.shape
         y = ops.linear(x, w.reshape(d, h * dk), b.reshape(h * dk))
         y = y.reshape(*x.shape[:-1], h, dk)
@@ -97,9 +99,11 @@ class MultiHeadAttention(Module):
 
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)
-        hq, dk, d_out = params["wo"].shape[0], params["wo"].shape[1], params["wo"].shape[2]
+        wo = maybe_cast(params["wo"], self.dtype)
+        bo = maybe_cast(params["bo"], self.dtype)
+        hq, dk, d_out = wo.shape
         o = o.reshape(*o.shape[:-2], hq * dk)
-        out = ops.linear(o, params["wo"].reshape(hq * dk, d_out), params["bo"])
+        out = ops.linear(o, wo.reshape(hq * dk, d_out), bo)
         if decode:
             return out, new_cache
         return out

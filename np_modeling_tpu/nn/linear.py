@@ -14,15 +14,20 @@ import jax
 
 from np_modeling_tpu import ops
 from np_modeling_tpu.nn import initializers
-from np_modeling_tpu.nn.module import Module, split_rngs
+from np_modeling_tpu.nn.module import Module, maybe_cast, split_rngs
 
 
 @dataclasses.dataclass
 class Linear(Module):
+    """Affine layer. ``dtype`` is the compute dtype (mixed precision):
+    params stay fp32, inputs/weights are cast for the matmul, grads flow
+    back to fp32 through the cast's VJP."""
+
     features: int
     use_bias: bool = True
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
+    dtype: Optional[Any] = None
 
     def init(self, key, x):
         kw, kb = jax.random.split(key)
@@ -33,7 +38,9 @@ class Linear(Module):
 
     def apply(self, params, x, training=False, rngs=None):
         del training, rngs
-        return ops.linear(x, params["w"], params.get("b"))
+        return ops.linear(maybe_cast(x, self.dtype),
+                          maybe_cast(params["w"], self.dtype),
+                          maybe_cast(params.get("b"), self.dtype))
 
 
 @dataclasses.dataclass
@@ -45,10 +52,11 @@ class Dense(Module):
     use_bias: bool = True
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
+    dtype: Optional[Any] = None
 
     def __post_init__(self):
         self._linear = Linear(self.features, self.use_bias, self.kernel_init,
-                              self.bias_init)
+                              self.bias_init, self.dtype)
         self._act = ops.get_activation(self.activation)
 
     def init(self, key, x):

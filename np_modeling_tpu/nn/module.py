@@ -40,6 +40,13 @@ class Module(abc.ABC):
         return self.apply(params, *args, **kwargs)
 
 
+def maybe_cast(x, dtype):
+    """Cast to a compute dtype (mixed precision); None = keep as-is."""
+    if x is None or dtype is None:
+        return x
+    return x.astype(dtype)
+
+
 def rng_for(rngs: Rngs, name: str, salt: int = 0) -> jax.Array | None:
     """Derive a sub-key for a named stochastic site (deterministic per salt)."""
     if rngs is None or name not in rngs:

@@ -32,32 +32,33 @@ class TransformerEncoderBlock(Module):
     drop_rate: float = 0.0
     causal: bool = False            # GPT-style decoder-only blocks set True
     num_kv_heads: Optional[int] = None
+    dtype: Optional[object] = None  # compute dtype (mixed precision)
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
-                                       causal=self.causal)
+                                       causal=self.causal, dtype=self.dtype)
         self.norm1 = LayerNorm()
         self.norm2 = LayerNorm()
-        self.dense1 = Dense(self.hidden_units)   # ReLU, reference default
+        self.dense1 = Dense(self.hidden_units, dtype=self.dtype)  # ReLU default
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, x):
         ks = jax.random.split(key, 4)
         h1 = self.dense1.init(ks[2], x)
         features = x.shape[-1]
-        self.dense2 = Linear(features)           # lazily sized, ref :25-27
+        dense2 = Linear(features, dtype=self.dtype)  # lazily sized, ref :25-27
         hidden = self.dense1.apply(h1, x)
         return {
             "self_attention": self.attn.init(ks[0], x),
             "norm1": self.norm1.init(ks[0], x),
             "norm2": self.norm2.init(ks[1], x),
             "dense1": h1,
-            "dense2": self.dense2.init(ks[3], hidden),
+            "dense2": dense2.init(ks[3], hidden),
         }
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
               cache=None, decode=False):
-        dense2 = Linear(x.shape[-1])
+        dense2 = Linear(x.shape[-1], dtype=self.dtype)
         new_cache = None
 
         skip = x

@@ -32,11 +32,14 @@ def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 
 
 def _layer_norm_impl(x, gamma, beta, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    # Statistics always in fp32 (bf16 mean/var is numerically unusable).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    yhat = (x - mean) * rstd
-    return gamma * yhat + beta, yhat, rstd
+    yhat = (xf - mean) * rstd
+    out = gamma.astype(jnp.float32) * yhat + beta.astype(jnp.float32)
+    return out.astype(x.dtype), yhat, rstd
 
 
 def _layer_norm_fwd(x, gamma, beta, eps):
@@ -47,15 +50,16 @@ def _layer_norm_fwd(x, gamma, beta, eps):
 def _layer_norm_bwd(eps, res, dz):
     yhat, rstd, gamma = res
     del eps
+    dzf = dz.astype(jnp.float32)
     batch_axes = tuple(range(dz.ndim - 1))
-    dbeta = jnp.sum(dz, axis=batch_axes)
-    dgamma = jnp.sum(dz * yhat, axis=batch_axes)
-    dyhat = dz * gamma
+    dbeta = jnp.sum(dzf, axis=batch_axes).astype(gamma.dtype)
+    dgamma = jnp.sum(dzf * yhat, axis=batch_axes).astype(gamma.dtype)
+    dyhat = dzf * gamma.astype(jnp.float32)
     # Fused form of the reference's Jacobian (normalizations.py:65-71):
     # dx = rstd * (dyhat - mean(dyhat) - yhat * mean(dyhat * yhat))
     m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
-    dx = rstd * (dyhat - m1 - yhat * m2)
+    dx = (rstd * (dyhat - m1 - yhat * m2)).astype(dz.dtype)
     return dx, dgamma, dbeta
 
 
