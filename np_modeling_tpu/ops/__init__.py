@@ -14,6 +14,9 @@ from np_modeling_tpu.ops.attention import (DEFAULT_MASK_VALUE,
                                            attention_reference,
                                            flash_attention)
 from np_modeling_tpu.ops.conv import conv2d, conv2d_transpose
+from np_modeling_tpu.ops.embedding import embedding_lookup
+from np_modeling_tpu.ops.fused import (dropout_prng, seed_from_key,
+                                       softmax_cross_entropy_fused)
 from np_modeling_tpu.ops.linear import linear
 from np_modeling_tpu.ops.losses import (cross_entropy_probs, mse,
                                         softmax_cross_entropy,
@@ -30,7 +33,9 @@ __all__ = [
     "ACTIVATIONS", "BinaryClassificationMetrics", "DEFAULT_MASK_VALUE",
     "accuracy", "attention_reference", "binary_classification_metrics",
     "confusion_matrix", "conv2d", "conv2d_transpose", "cross_entropy_probs",
-    "dispatch", "dropout", "dropout_with_mask", "flash_attention", "gelu",
+    "dispatch", "dropout", "dropout_prng", "dropout_with_mask",
+    "embedding_lookup", "flash_attention", "gelu", "seed_from_key",
+    "softmax_cross_entropy_fused",
     "get_activation", "layer_norm", "linear", "make_dropout_mask", "matmul",
     "mse", "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",

@@ -20,6 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from np_modeling_tpu.ops import dispatch
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
@@ -42,14 +44,32 @@ def _layer_norm_impl(x, gamma, beta, eps):
     return out.astype(x.dtype), yhat, rstd
 
 
+def _use_ln_kernel():
+    f = dispatch.forced()
+    return f if f is not None else False  # XLA fuses LN well; kernel opt-in
+
+
 def _layer_norm_fwd(x, gamma, beta, eps):
-    out, yhat, rstd = _layer_norm_impl(x, gamma, beta, eps)
-    return out, (yhat, rstd, gamma)
+    # Residual is (x, gamma): stats are recomputed in backward (cheaper in
+    # HBM than saving yhat+rstd, and keeps pallas/jnp paths interchangeable).
+    if _use_ln_kernel():
+        from np_modeling_tpu.ops import fused
+        out = fused.layer_norm_fwd_pallas(x, gamma, beta, eps)
+    else:
+        out, _, _ = _layer_norm_impl(x, gamma, beta, eps)
+    return out, (x, gamma)
 
 
 def _layer_norm_bwd(eps, res, dz):
-    yhat, rstd, gamma = res
-    del eps
+    x, gamma = res
+    if _use_ln_kernel():
+        from np_modeling_tpu.ops import fused
+        return fused.layer_norm_bwd_pallas(x, gamma, dz, eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    yhat = (xf - mean) * rstd
     dzf = dz.astype(jnp.float32)
     batch_axes = tuple(range(dz.ndim - 1))
     dbeta = jnp.sum(dzf, axis=batch_axes).astype(gamma.dtype)
