@@ -5,9 +5,11 @@ from np_modeling_tpu.models.cnn import CNNClassifier
 from np_modeling_tpu.models.knn import (Algorithm, KNearestNeighbours,
                                         euclidean_distance)
 from np_modeling_tpu.models.mlp import MLP
+from np_modeling_tpu.models.seq2seq import Seq2SeqConfig, Seq2SeqTransformer
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
 
 __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
-    "GPTConfig", "KNearestNeighbours", "MLP", "euclidean_distance",
+    "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
+    "Seq2SeqTransformer", "euclidean_distance",
 ]

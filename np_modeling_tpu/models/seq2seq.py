@@ -1,0 +1,106 @@
+"""Encoder-decoder (seq2seq) transformer.
+
+The reference pairs TransformerEncoder with TransformerDecoder in its tests
+(transformer_test.py:160-219: decoder takes q + encoder memory kv). This is
+the full model around that pairing: shared-vocab embeddings, encoder stack,
+causal decoder stack with cross-attention, tied output head, KV-cache greedy
+decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu import ops
+from np_modeling_tpu.nn import Embedding, LayerNorm
+from np_modeling_tpu.nn.transformer import (TransformerDecoder,
+                                            TransformerEncoder)
+from np_modeling_tpu.nn.module import Module
+
+
+@dataclasses.dataclass
+class Seq2SeqConfig:
+    vocab_size: int = 32000
+    d_model: int = 512
+    num_heads: int = 8
+    num_encoder_layers: int = 4
+    num_decoder_layers: int = 4
+    hidden_units: int = 2048
+    max_len: int = 512
+    drop_rate: float = 0.0
+    norm_first: bool = True
+
+
+@dataclasses.dataclass
+class Seq2SeqTransformer(Module):
+    config: Seq2SeqConfig
+
+    def __post_init__(self):
+        c = self.config
+        self.embed = Embedding(c.vocab_size, c.d_model)
+        self.pos_embed = Embedding(c.max_len, c.d_model)
+        self.encoder = TransformerEncoder(
+            c.num_encoder_layers, c.num_heads, c.hidden_units,
+            c.norm_first, c.drop_rate)
+        self.decoder = TransformerDecoder(
+            c.num_decoder_layers, c.num_heads, c.hidden_units,
+            c.norm_first, c.drop_rate, causal=True)
+        self.final_norm = LayerNorm()
+
+    def init(self, key, src, tgt):
+        c = self.config
+        ks = jax.random.split(key, 5)
+        x = jnp.zeros((*src.shape, c.d_model), jnp.float32)
+        y = jnp.zeros((*tgt.shape, c.d_model), jnp.float32)
+        return {
+            "embedding": self.embed.init(ks[0]),
+            "pos_embedding": self.pos_embed.init(ks[1]),
+            "encoder": self.encoder.init(ks[2], x),
+            "decoder": self.decoder.init(ks[3], y, x),
+            "final_norm": self.final_norm.init(ks[4], y),
+        }
+
+    def _embed(self, params, tokens, offset=0):
+        pos = offset + jnp.arange(tokens.shape[-1])
+        return (self.embed.apply(params["embedding"], tokens)
+                + self.pos_embed.apply(params["pos_embedding"], pos))
+
+    def encode(self, params, src, training=False, rngs=None):
+        x = self._embed(params, src)
+        return self.encoder.apply(params["encoder"], x, training=training,
+                                  rngs=rngs)
+
+    def apply(self, params, src, tgt, training=False, rngs=None):
+        memory = self.encode(params, src, training, rngs)
+        y = self._embed(params, tgt)
+        y = self.decoder.apply(params["decoder"], y, memory,
+                               training=training, rngs=rngs)
+        y = self.final_norm.apply(params["final_norm"], y)
+        return self.embed.attend(params["embedding"], y).astype(jnp.float32)
+
+    def loss(self, params, src, tgt, training=False, rngs=None):
+        logits = self.apply(params, src, tgt[..., :-1], training, rngs)
+        ce = ops.softmax_cross_entropy_with_integer_labels(
+            logits, tgt[..., 1:])
+        return jnp.mean(ce)
+
+    def greedy_decode(self, params, src, bos_token: int, steps: int):
+        """KV-cached greedy decode conditioned on encoded src."""
+        b = src.shape[0]
+        c = self.config
+        memory = self.encode(params, src)
+        caches = self.decoder.init_cache(b, steps + 1, c.d_model)
+        tok = jnp.full((b, 1), bos_token, jnp.int32)
+        outs = []
+        for i in range(steps):
+            y = self._embed(params, tok, offset=i)
+            y, caches = self.decoder.apply(params["decoder"], y, memory,
+                                           caches=caches, decode=True)
+            y = self.final_norm.apply(params["final_norm"], y)
+            logits = self.embed.attend(params["embedding"], y)
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            outs.append(tok)
+        return jnp.concatenate(outs, axis=1)

@@ -7,13 +7,15 @@ from np_modeling_tpu.nn.linear import (Dense, Dropout, LayerNorm, Linear,
                                        RMSNorm)
 from np_modeling_tpu.nn.module import Module, Sequential, rng_for, split_rngs
 from np_modeling_tpu.nn import initializers
-from np_modeling_tpu.nn.transformer import (TransformerDecoderBlock,
+from np_modeling_tpu.nn.transformer import (TransformerDecoder,
+                                            TransformerDecoderBlock,
                                             TransformerEncoder,
                                             TransformerEncoderBlock)
 
 __all__ = [
     "Conv2D", "Dense", "Dropout", "Embedding", "LayerNorm", "Linear",
     "Module", "MultiHeadAttention", "RMSNorm", "Sequential",
-    "TransformerDecoderBlock", "TransformerEncoder", "TransformerEncoderBlock",
+    "TransformerDecoder", "TransformerDecoderBlock", "TransformerEncoder",
+    "TransformerEncoderBlock",
     "initializers", "rng_for", "split_rngs",
 ]

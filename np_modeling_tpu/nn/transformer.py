@@ -219,3 +219,50 @@ class TransformerEncoder(Module):
     def init_cache(self, batch, max_len, features, dtype=jnp.float32):
         return [self.block.init_cache(batch, max_len, features, dtype)
                 for _ in range(self.num_layers)]
+
+
+@dataclasses.dataclass
+class TransformerDecoder(Module):
+    """Stack of decoder blocks (self-attn + cross-attn + FFN)."""
+
+    num_layers: int
+    num_heads: int
+    hidden_units: int
+    norm_first: bool = True
+    drop_rate: float = 0.0
+    causal: bool = True
+
+    def __post_init__(self):
+        self.block = TransformerDecoderBlock(
+            self.num_heads, self.hidden_units, self.norm_first,
+            self.drop_rate, self.causal)
+
+    def init(self, key, q, kv):
+        return {f"layer_{i}": self.block.init(jax.random.fold_in(key, i),
+                                              q, kv)
+                for i in range(self.num_layers)}
+
+    def apply(self, params, q, kv, self_mask=None, cross_mask=None,
+              training=False, rngs=None, caches=None, decode=False):
+        new_caches = [] if decode else None
+        for i in range(self.num_layers):
+            r = split_rngs(rngs, i)
+            if decode:
+                q, c = self.block.apply(params[f"layer_{i}"], q, kv,
+                                        self_mask=self_mask,
+                                        cross_mask=cross_mask,
+                                        training=training, rngs=r,
+                                        cache=caches[i], decode=True)
+                new_caches.append(c)
+            else:
+                q = self.block.apply(params[f"layer_{i}"], q, kv,
+                                     self_mask=self_mask,
+                                     cross_mask=cross_mask,
+                                     training=training, rngs=r)
+        if decode:
+            return q, new_caches
+        return q
+
+    def init_cache(self, batch, max_len, features, dtype=jnp.float32):
+        return [self.block.init_cache(batch, max_len, features, dtype)
+                for _ in range(self.num_layers)]
