@@ -15,8 +15,10 @@ forward AND backward pass), redesigned TPU-first:
   a single ``jax.jit`` that shards over a ``jax.sharding.Mesh``.
 """
 
-from np_modeling_tpu import nn, models, ops, parallel, training, utils
+from np_modeling_tpu import (models, nn, ops, parallel, serving, training,
+                             utils)
 
 __version__ = "0.1.0"
 
-__all__ = ["nn", "models", "ops", "parallel", "training", "utils", "__version__"]
+__all__ = ["models", "nn", "ops", "parallel", "serving", "training", "utils",
+           "__version__"]

@@ -28,6 +28,8 @@ from np_modeling_tpu.ops.metrics import (BinaryClassificationMetrics, accuracy,
 from np_modeling_tpu.ops.normalization import (dropout, dropout_with_mask,
                                                layer_norm, make_dropout_mask,
                                                rms_norm)
+from np_modeling_tpu.ops.paged_attention import (paged_attention,
+                                                 paged_attention_reference)
 
 __all__ = [
     "ACTIVATIONS", "BinaryClassificationMetrics", "DEFAULT_MASK_VALUE",
@@ -37,6 +39,7 @@ __all__ = [
     "embedding_lookup", "flash_attention", "gelu", "seed_from_key",
     "softmax_cross_entropy_fused",
     "get_activation", "layer_norm", "linear", "make_dropout_mask", "matmul",
-    "mse", "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
+    "mse", "paged_attention", "paged_attention_reference", "relu", "rms_norm",
+    "silu", "softmax", "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
 ]

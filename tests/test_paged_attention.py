@@ -1,0 +1,125 @@
+"""Paged decode attention: kernel (interpret mode) vs oracle; KV page manager."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from np_modeling_tpu import ops
+from np_modeling_tpu.ops import dispatch
+from np_modeling_tpu.serving import PagedKVCache
+from np_modeling_tpu.serving.kv_cache import OutOfPagesError
+from np_modeling_tpu.utils.testing import assert_allclose, rand
+
+rng = np.random.default_rng(0)
+
+
+def _setup(b=3, hq=4, hkv=2, d=16, psize=8, pages_per_seq=4, total=32):
+    q = jnp.asarray(rand(b, hq, d, rng=rng))
+    k_pages = jnp.asarray(rand(hkv, total, psize, d, rng=rng))
+    v_pages = jnp.asarray(rand(hkv, total, psize, d, rng=rng))
+    # Each sequence gets distinct pages in scrambled order + ragged lengths.
+    perm = rng.permutation(total)[:b * pages_per_seq]
+    page_indices = jnp.asarray(perm.reshape(b, pages_per_seq).astype(np.int32))
+    lengths = jnp.asarray(
+        rng.integers(1, pages_per_seq * psize + 1, b).astype(np.int32))
+    return q, k_pages, v_pages, lengths, page_indices
+
+
+class TestPagedKernel:
+    def test_oracle_vs_dense_attention(self):
+        # The oracle itself must equal plain masked attention on the
+        # gathered cache.
+        q, k_pages, v_pages, lengths, page_indices = _setup()
+        out = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices)
+        b, hq, d = q.shape
+        hkv = k_pages.shape[0]
+        psize = k_pages.shape[2]
+        max_len = page_indices.shape[1] * psize
+        for i in range(b):
+            k_seq = k_pages[:, page_indices[i]].reshape(hkv, max_len, d)
+            v_seq = v_pages[:, page_indices[i]].reshape(hkv, max_len, d)
+            mask = (jnp.arange(max_len) < lengths[i])[None, None, None, :]
+            ref = ops.attention_reference(q[i][None, :, None, :],
+                                          k_seq[None], v_seq[None], mask=mask)
+            assert_allclose(out[i], ref[0, :, 0], rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+    def test_kernel_vs_oracle(self, hq, hkv):
+        q, k_pages, v_pages, lengths, page_indices = _setup(hq=hq, hkv=hkv)
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices)
+        ref = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_kernel_page_sized_lengths(self):
+        q, k_pages, v_pages, _, page_indices = _setup()
+        lengths = jnp.asarray([8, 16, 32], jnp.int32)  # exact page multiples
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices)
+        ref = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+class TestPagedKVCache:
+    def test_append_and_attend(self):
+        cache = PagedKVCache(num_kv_heads=2, head_dim=16, total_pages=16,
+                             page_size=4, max_seqs=4)
+        cache.allocate(0)
+        cache.allocate(1)
+        k0 = jnp.asarray(rand(2, 10, 16, rng=rng))
+        v0 = jnp.asarray(rand(2, 10, 16, rng=rng))
+        k1 = jnp.asarray(rand(2, 3, 16, rng=rng))
+        v1 = jnp.asarray(rand(2, 3, 16, rng=rng))
+        cache.append(0, k0, v0)
+        cache.append(1, k1, v1)
+        assert cache.length(0) == 10 and cache.length(1) == 3
+
+        lengths, tables = cache.batch_views([0, 1])
+        q = jnp.asarray(rand(2, 4, 16, rng=rng))
+        out = ops.paged_attention(q, cache.k_pages, cache.v_pages, lengths,
+                                  tables)
+        # Oracle: dense attention on the raw appended K/V.
+        for i, (kk, vv, ln) in enumerate([(k0, v0, 10), (k1, v1, 3)]):
+            ref = ops.attention_reference(
+                q[i][None, :, None, :], kk[None], vv[None])
+            assert_allclose(out[i], ref[0, :, 0], rtol=2e-5, atol=2e-5)
+
+    def test_incremental_append_across_page_boundary(self):
+        cache = PagedKVCache(num_kv_heads=1, head_dim=8, total_pages=8,
+                             page_size=4, max_seqs=1)
+        cache.allocate(0)
+        ks, vs = [], []
+        for i in range(7):  # crosses a page boundary at 4
+            k = jnp.asarray(rand(1, 1, 8, rng=rng))
+            v = jnp.asarray(rand(1, 1, 8, rng=rng))
+            cache.append(0, k, v)
+            ks.append(k)
+            vs.append(v)
+        lengths, tables = cache.batch_views([0])
+        q = jnp.asarray(rand(1, 2, 8, rng=rng))
+        out = ops.paged_attention(q, cache.k_pages, cache.v_pages, lengths,
+                                  tables)
+        ref = ops.attention_reference(
+            q[0][None, :, None, :], jnp.concatenate(ks, 1)[None],
+            jnp.concatenate(vs, 1)[None])
+        assert_allclose(out[0], ref[0, :, 0], rtol=2e-5, atol=2e-5)
+
+    def test_free_returns_pages(self):
+        cache = PagedKVCache(num_kv_heads=1, head_dim=8, total_pages=2,
+                             page_size=4, max_seqs=2)
+        cache.allocate(0)
+        cache.append(0, jnp.ones((1, 8, 8)), jnp.ones((1, 8, 8)))
+        assert cache.free_pages == 0
+        cache.allocate(1)
+        with pytest.raises(OutOfPagesError):
+            cache.append(1, jnp.ones((1, 1, 8)), jnp.ones((1, 1, 8)))
+        cache.free(0)
+        assert cache.free_pages == 2
+        cache.append(1, jnp.ones((1, 1, 8)), jnp.ones((1, 1, 8)))
+        assert cache.length(1) == 1
