@@ -1,5 +1,7 @@
-"""Training: pure-function optimizers, jitted train step, checkpointing."""
+"""Training: pure-function optimizers, schedules, jitted train step, data
+pipeline, checkpointing."""
 
+from np_modeling_tpu.training import data, schedules
 from np_modeling_tpu.training.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
 from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adam,
@@ -11,6 +13,7 @@ from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
 
 __all__ = [
     "AdamState", "Optimizer", "Trainer", "adam", "adamw", "apply_updates",
-    "chain", "clip_by_global_norm", "load_checkpoint", "make_eval_step",
-    "make_train_step", "momentum", "resolve_loss", "save_checkpoint", "sgd",
+    "chain", "clip_by_global_norm", "data", "load_checkpoint",
+    "make_eval_step", "make_train_step", "momentum", "resolve_loss",
+    "save_checkpoint", "schedules", "sgd",
 ]

@@ -30,16 +30,25 @@ def apply_updates(params, updates):
                                   params, updates)
 
 
-def sgd(learning_rate: float) -> Optimizer:
-    """w -= lr * g (reference optimizer.py:26-33)."""
+def _lr_at(learning_rate, count):
+    """Resolve a constant or schedule (step -> lr) learning rate."""
+    if callable(learning_rate):
+        return learning_rate(count)
+    return learning_rate
+
+
+def sgd(learning_rate) -> Optimizer:
+    """w -= lr * g (reference optimizer.py:26-33). lr: float or schedule."""
 
     def init(params):
         del params
-        return ()
+        return jnp.zeros((), jnp.int32)
 
     def update(grads, state, params=None):
         del params
-        return jax.tree_util.tree_map(lambda g: -learning_rate * g, grads), state
+        lr = _lr_at(learning_rate, state)
+        return (jax.tree_util.tree_map(lambda g: -lr * g, grads),
+                state + 1)
 
     return Optimizer(init, update)
 
@@ -63,9 +72,9 @@ class AdamState(NamedTuple):
     nu: Any
 
 
-def adam(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
+def adam(learning_rate, beta1: float = 0.9, beta2: float = 0.999,
          epsilon: float = 1e-8, reference_epsilon: bool = False) -> Optimizer:
-    """Bias-corrected Adam.
+    """Bias-corrected Adam. lr: float or schedule (step -> lr).
 
     ``reference_epsilon=True`` -> ``m̂/√(v̂+ε)`` (reference optimizer.py:62-63,
     ε default there is 1e-7); False -> canonical ``m̂/(√v̂+ε)`` (optax-equal).
@@ -87,6 +96,7 @@ def adam(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
             state.nu, grads)
         bc1 = 1 - beta1 ** t
         bc2 = 1 - beta2 ** t
+        lr = _lr_at(learning_rate, state.count)
 
         def u(m, v):
             mhat = m / bc1
@@ -95,7 +105,7 @@ def adam(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
                 denom = jnp.sqrt(vhat + epsilon)
             else:
                 denom = jnp.sqrt(vhat) + epsilon
-            return -learning_rate * mhat / denom
+            return -lr * mhat / denom
 
         updates = jax.tree_util.tree_map(u, mu, nu)
         return updates, AdamState(count, mu, nu)
@@ -103,15 +113,16 @@ def adam(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
     return Optimizer(init, update)
 
 
-def adamw(learning_rate: float, beta1: float = 0.9, beta2: float = 0.999,
+def adamw(learning_rate, beta1: float = 0.9, beta2: float = 0.999,
           epsilon: float = 1e-8, weight_decay: float = 0.01) -> Optimizer:
     """Adam with decoupled weight decay (extension)."""
     base = adam(learning_rate, beta1, beta2, epsilon)
 
     def update(grads, state, params):
+        lr = _lr_at(learning_rate, state.count)
         updates, state2 = base.update(grads, state, params)
         updates = jax.tree_util.tree_map(
-            lambda u, p: u - learning_rate * weight_decay * p, updates, params)
+            lambda u, p: u - lr * weight_decay * p, updates, params)
         return updates, state2
 
     return Optimizer(base.init, update)

@@ -41,20 +41,48 @@ def resolve_loss(loss):
 
 
 def make_train_step(apply_fn: Callable, loss_fn, optimizer: Optimizer,
-                    donate: bool = True):
+                    donate: bool = True, grad_accum: int = 1):
     """Build ``step(params, opt_state, x, targets, rng) -> (params, opt_state, loss)``.
 
     ``apply_fn(params, x, training=True, rngs={'dropout': rng})`` must be the
     model's pure forward. The returned step is jitted with donated state.
+    ``grad_accum > 1`` splits the batch into that many microbatches and
+    accumulates gradients in a lax.scan before the single optimizer update
+    (trades step time for activation memory).
     """
     loss_fn = resolve_loss(loss_fn)
 
-    def step(params, opt_state, x, targets, rng):
+    def grads_of(params, x, targets, rng):
         def objective(p):
             y = apply_fn(p, x, training=True, rngs={"dropout": rng})
             return loss_fn(y, targets)
+        return jax.value_and_grad(objective)(params)
 
-        loss, grads = jax.value_and_grad(objective)(params)
+    def step(params, opt_state, x, targets, rng):
+        if grad_accum == 1:
+            loss, grads = grads_of(params, x, targets, rng)
+        else:
+            b = x.shape[0]
+            assert b % grad_accum == 0, (b, grad_accum)
+            mb = b // grad_accum
+            xs = x.reshape(grad_accum, mb, *x.shape[1:])
+            ts = targets.reshape(grad_accum, mb, *targets.shape[1:])
+
+            def micro(carry, inp):
+                loss_sum, grads_acc = carry
+                xi, ti, i = inp
+                li, gi = grads_of(params, xi, ti, jax.random.fold_in(rng, i))
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, gi)
+                return (loss_sum + li, grads_acc), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (loss_sum, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros((), jnp.float32), zeros),
+                (xs, ts, jnp.arange(grad_accum)))
+            loss = loss_sum / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         return apply_updates(params, updates), opt_state2, loss
 

@@ -1,3 +1,3 @@
-from np_modeling_tpu.utils import profiling, testing
+from np_modeling_tpu.utils import debugging, profiling, testing
 
-__all__ = ["profiling", "testing"]
+__all__ = ["debugging", "profiling", "testing"]
