@@ -33,6 +33,10 @@ class GPTConfig:
     norm_first: bool = True
     tie_embeddings: bool = True
     dtype: object = None          # compute dtype, e.g. jnp.bfloat16 (params fp32)
+    scan_layers: bool = False     # lax.scan over stacked layer params
+                                  # (O(1) compile time in depth)
+    remat: bool = False           # jax.checkpoint each block (recompute
+                                  # activations in backward: memory for FLOPs)
 
 
 @dataclasses.dataclass
@@ -60,8 +64,13 @@ class GPT(Module):
             "pos_embedding": self.pos_embed.init(ks[1]),
             "final_norm": self.final_norm.init(ks[2], x),
         }
-        for i in range(c.num_layers):
-            params[f"layer_{i}"] = self.block.init(ks[3 + i], x)
+        if c.scan_layers:
+            layer_keys = jax.random.split(ks[3], c.num_layers)
+            params["layers"] = jax.vmap(
+                lambda k: self.block.init(k, x))(layer_keys)
+        else:
+            for i in range(c.num_layers):
+                params[f"layer_{i}"] = self.block.init(ks[3 + i], x)
         if not c.tie_embeddings:
             params["lm_head"] = self.lm_head.init(ks[-1], x)
         return params
@@ -71,7 +80,11 @@ class GPT(Module):
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
         if positions is None:
-            start = caches[0]["index"] if decode else 0
+            if decode:
+                start = (caches["index"][0] if c.scan_layers
+                         else caches[0]["index"])
+            else:
+                start = 0
             positions = start + jnp.arange(tokens.shape[-1])
         x = x + self.pos_embed.apply(params["pos_embedding"], positions)
         if c.dtype is not None:
@@ -79,16 +92,28 @@ class GPT(Module):
         x = self.drop.apply({}, x, training, rngs, salt=1000)
 
         new_caches = [] if decode else None
-        for i in range(c.num_layers):
-            r = split_rngs(rngs, i)
-            if decode:
-                x, cache = self.block.apply(params[f"layer_{i}"], x,
-                                            training=training, rngs=r,
-                                            cache=caches[i], decode=True)
-                new_caches.append(cache)
-            else:
-                x = self.block.apply(params[f"layer_{i}"], x,
-                                     training=training, rngs=r)
+        if c.scan_layers:
+            x, new_caches = self._apply_scanned(params["layers"], x,
+                                                training, rngs, caches,
+                                                decode)
+        else:
+            block_apply = self.block.apply
+            if c.remat and not decode:
+                block_apply = jax.checkpoint(
+                    lambda p, x, r: self.block.apply(p, x, training=training,
+                                                     rngs=r))
+            for i in range(c.num_layers):
+                r = split_rngs(rngs, i)
+                if decode:
+                    x, cache = self.block.apply(params[f"layer_{i}"], x,
+                                                training=training, rngs=r,
+                                                cache=caches[i], decode=True)
+                    new_caches.append(cache)
+                elif c.remat:
+                    x = block_apply(params[f"layer_{i}"], x, r)
+                else:
+                    x = block_apply(params[f"layer_{i}"], x, training=training,
+                                    rngs=r)
 
         x = self.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:
@@ -104,6 +129,33 @@ class GPT(Module):
             return logits, new_caches
         return logits
 
+    def _apply_scanned(self, stacked, x, training, rngs, caches, decode):
+        """lax.scan over stacked per-layer params (and stacked caches)."""
+        c = self.config
+        idxs = jnp.arange(c.num_layers)
+
+        if decode:
+            def body(x, inp):
+                lp, cache, i = inp
+                r = split_rngs(rngs, i)
+                x, new_cache = self.block.apply(lp, x, training=training,
+                                                rngs=r, cache=cache,
+                                                decode=True)
+                return x, new_cache
+
+            x, new_caches = jax.lax.scan(body, x, (stacked, caches, idxs))
+            return x, new_caches
+
+        def body(x, inp):
+            lp, i = inp
+            r = split_rngs(rngs, i)
+            return self.block.apply(lp, x, training=training, rngs=r), None
+
+        if c.remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, (stacked, idxs))
+        return x, None
+
     # ---- losses / decoding ---------------------------------------------
 
     def loss(self, params, tokens, training=False, rngs=None):
@@ -117,8 +169,13 @@ class GPT(Module):
     def init_cache(self, batch, max_len=None, dtype=jnp.float32):
         c = self.config
         max_len = max_len or c.max_len
-        return [self.block.init_cache(batch, max_len, c.d_model, dtype)
-                for _ in range(c.num_layers)]
+        one = self.block.init_cache(batch, max_len, c.d_model, dtype)
+        if c.scan_layers:
+            return jax.tree_util.tree_map(
+                lambda a: jnp.zeros((c.num_layers, *a.shape), a.dtype), one)
+        return [one] + [self.block.init_cache(batch, max_len, c.d_model,
+                                              dtype)
+                        for _ in range(c.num_layers - 1)]
 
     def generate(self, params, prompt_tokens, steps: int, key=None,
                  temperature: float = 0.0):

@@ -1,0 +1,92 @@
+"""scan_layers and remat GPT options: numerically equal to the loop path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from np_modeling_tpu import models, training
+from np_modeling_tpu.utils.testing import assert_allclose, assert_trees_allclose
+
+rng = np.random.default_rng(0)
+
+
+def _cfg(**kw):
+    return models.GPTConfig(vocab_size=50, d_model=32, num_heads=4,
+                            num_layers=3, hidden_units=64, max_len=16, **kw)
+
+
+def _stack_loop_params(loop_params, n):
+    """Convert loop-layout params (layer_i keys) to scan layout (stacked)."""
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[loop_params[f"layer_{i}"] for i in range(n)])
+    out = {k: v for k, v in loop_params.items()
+           if not k.startswith("layer_")}
+    out["layers"] = stacked
+    return out
+
+
+def test_scan_equals_loop_forward_and_grads():
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    gpt_loop = models.GPT(_cfg())
+    gpt_scan = models.GPT(_cfg(scan_layers=True))
+    p_loop = gpt_loop.init(jax.random.PRNGKey(0), tokens)
+    p_scan = _stack_loop_params(p_loop, 3)
+
+    assert_allclose(gpt_scan.apply(p_scan, tokens),
+                    gpt_loop.apply(p_loop, tokens), rtol=1e-5, atol=1e-5)
+
+    g_loop = jax.grad(lambda p: gpt_loop.loss(p, tokens))(p_loop)
+    g_scan = jax.grad(lambda p: gpt_scan.loss(p, tokens))(p_scan)
+    assert_allclose(g_scan["layers"]["self_attention"]["wq"][1],
+                    g_loop["layer_1"]["self_attention"]["wq"],
+                    rtol=1e-4, atol=1e-5)
+    assert_allclose(g_scan["embedding"]["table"],
+                    g_loop["embedding"]["table"], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("scan", [False, True])
+def test_remat_equals_plain(scan):
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    gpt = models.GPT(_cfg(scan_layers=scan))
+    gpt_r = models.GPT(_cfg(scan_layers=scan, remat=True))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    l1, g1 = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(params)
+    l2, g2 = jax.value_and_grad(lambda p: gpt_r.loss(p, tokens))(params)
+    assert_allclose(l2, l1, rtol=1e-6, atol=1e-6)
+    assert_trees_allclose(g2, g1, rtol=1e-5, atol=1e-5)
+
+
+def test_scan_kv_cache_decode():
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 10)))
+    gpt = models.GPT(_cfg(scan_layers=True))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    full = gpt.apply(params, tokens)
+    caches = gpt.init_cache(batch=2, max_len=12)
+    outs = []
+    for i in range(10):
+        lg, caches = gpt.apply(params, tokens[:, i:i + 1], caches=caches,
+                               decode=True)
+        outs.append(lg)
+    assert_allclose(jnp.concatenate(outs, axis=1), full, rtol=1e-4, atol=1e-4)
+
+
+def test_scan_trains():
+    tokens = jnp.asarray(rng.integers(0, 50, (4, 12)))
+    gpt = models.GPT(_cfg(scan_layers=True, remat=True))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    opt = training.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(p)
+        u, s = opt.update(g, s, p)
+        return training.apply_updates(p, u), s, loss
+
+    losses = [float(step(params, state)[2])]
+    for _ in range(10):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
