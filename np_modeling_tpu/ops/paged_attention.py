@@ -61,10 +61,9 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     return o.reshape(b, hq, d).astype(q.dtype)
 
 
-def _paged_kernel(lengths_ref, page_idx_ref,   # scalar prefetch
-                  q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *,
-                  scale, page_size, n_blocks, g_pad):
+def _paged_body(lengths_ref, q_ref, k, v, o_ref, m_scr, l_scr, acc_scr,
+                scale, page_size, n_blocks):
+    """Shared online-softmax page step. k/v are dequantized fp tiles."""
     b_idx, blk = pl.program_id(0), pl.program_id(2)
 
     @pl.when(blk == 0)
@@ -78,7 +77,6 @@ def _paged_kernel(lengths_ref, page_idx_ref,   # scalar prefetch
     @pl.when(blk * page_size < length)
     def _run():
         q = q_ref[0, 0]                        # [g_pad, d]
-        k = k_ref[0, 0]                        # [page_size, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         pos = blk * page_size + jax.lax.broadcasted_iota(
@@ -92,7 +90,6 @@ def _paged_kernel(lengths_ref, page_idx_ref,   # scalar prefetch
         p = jnp.exp(s - m_next[:, 0:1])
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
-        v = v_ref[0, 0]
         pv = jax.lax.dot_general(p.astype(v.dtype), v,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -105,10 +102,41 @@ def _paged_kernel(lengths_ref, page_idx_ref,   # scalar prefetch
         o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
 
 
-def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None):
-    """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere)."""
+def _paged_kernel(lengths_ref, page_idx_ref,   # scalar prefetch
+                  q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *,
+                  scale, page_size, n_blocks, g_pad):
+    del page_idx_ref, g_pad
+    _paged_body(lengths_ref, q_ref, k_ref[0, 0], v_ref[0, 0], o_ref,
+                m_scr, l_scr, acc_scr, scale, page_size, n_blocks)
+
+
+def _paged_kernel_q(lengths_ref, page_idx_ref,  # scalar prefetch
+                    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                    m_scr, l_scr, acc_scr, *,
+                    scale, page_size, n_blocks, g_pad):
+    """Int8-quantized KV pages: dequantize per-token after the VMEM load
+    (halves page-load HBM bandwidth vs fp32/bf16 caches)."""
+    del page_idx_ref, g_pad
+    k = k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]   # [psize,d]*[psize,1]
+    v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
+    _paged_body(lengths_ref, q_ref, k, v, o_ref, m_scr, l_scr, acc_scr,
+                scale, page_size, n_blocks)
+
+
+def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
+                    k_scales=None, v_scales=None):
+    """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere).
+
+    Int8 cache: pass int8 ``k_pages/v_pages`` plus fp32 per-token
+    ``k_scales/v_scales`` of shape [hkv, total_pages, page_size, 1].
+    """
+    quantized = k_scales is not None
     if dispatch.forced() is False or not (dispatch.forced() or
                                           dispatch.on_tpu()):
+        if quantized:
+            k_pages = k_pages.astype(jnp.float32) * k_scales
+            v_pages = v_pages.astype(jnp.float32) * v_scales
         return paged_attention_reference(q, k_pages, v_pages, lengths,
                                          page_indices, scale)
 
@@ -137,18 +165,27 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None):
         del lengths_ref
         return (h_i, page_idx_ref[b_i, blk], 0, 0)
 
-    kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
+    kv_spec = pl.BlockSpec((1, 1, psize, d_pad), kv_map)
+    scale_spec = pl.BlockSpec((1, 1, psize, 1), kv_map)
+    if quantized:
+        kernel_fn = _paged_kernel_q
+        in_specs = [pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
+                    kv_spec, scale_spec, kv_spec, scale_spec]
+        inputs = (qg, k_pages, k_scales, v_pages, v_scales)
+    else:
+        kernel_fn = _paged_kernel
+        in_specs = [pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
+                    kv_spec, kv_spec]
+        inputs = (qg, k_pages, v_pages)
+
+    kernel = functools.partial(kernel_fn, scale=scale, page_size=psize,
                                n_blocks=pages_per_seq, g_pad=g_pad)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                pl.BlockSpec((1, 1, psize, d_pad), kv_map),
-                pl.BlockSpec((1, 1, psize, d_pad), kv_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
             scratch_shapes=[
                 pltpu.VMEM((g_pad, 128), jnp.float32),
@@ -160,6 +197,5 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=dispatch.interpret_mode(),
-    )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32),
-      qg, k_pages, v_pages)
+    )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), *inputs)
     return out[:, :, :g, :d].reshape(b, hq, d)

@@ -1,0 +1,101 @@
+"""Int8 quantization: absmax quant/dequant + TPU stochastic-rounding kernel.
+
+Primary consumer is the int8 KV cache (serving): halving KV bytes halves the
+page-load bandwidth of decode attention. Also usable for weights/activations.
+
+Granularity: per row of the last axis ("per-token" for [**, d] activations) —
+scale = absmax/127 over the last axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from np_modeling_tpu.ops import dispatch
+from np_modeling_tpu.ops.matmul import round_up
+
+
+class QuantizedTensor(NamedTuple):
+    values: jax.Array   # int8, same shape as the source
+    scales: jax.Array   # fp32, source shape with last axis -> 1
+
+
+def quantize_int8(x: jax.Array) -> QuantizedTensor:
+    """Round-to-nearest absmax int8 over the last axis."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scales = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    values = jnp.clip(jnp.round(x / scales), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(values, scales)
+
+
+def dequantize_int8(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    return (qt.values.astype(jnp.float32) * qt.scales).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic-rounding quantization kernel (TPU PRNG)
+# ---------------------------------------------------------------------------
+
+
+def _sq_kernel(seed_ref, x_ref, v_ref, s_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    x = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    scaled = x / scale
+    # Stochastic round to integer: floor + Bernoulli(frac) carry, uniform
+    # drawn from the top 24 PRNG bits (pltpu.stochastic_round only targets
+    # bf16/fp8, so the int8 variant is hand-rolled).
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    # (top 24 bits fit in int32; Mosaic lacks a direct uint32->f32 cast)
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    fl = jnp.floor(scaled)
+    rounded = fl + (u < (scaled - fl)).astype(jnp.float32)
+    v_ref[...] = jnp.clip(rounded, -127, 127).astype(jnp.int8)
+    s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+
+
+def quantize_int8_stochastic(x: jax.Array, seed: jax.Array) -> QuantizedTensor:
+    """Absmax int8 with stochastic rounding (unbiased; TPU kernel).
+
+    Off-TPU falls back to round-to-nearest (interpret mode's PRNG is a
+    zero stub, so there is no faithful CPU emulation).
+    """
+    if not (dispatch.forced() or dispatch.on_tpu()):
+        return quantize_int8(x)
+    orig = x.shape
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    n = x2.shape[0]
+    bn = min(round_up(n, 8), 512)
+    n_p = round_up(n, bn)
+    if n_p != n:
+        x2 = jnp.pad(x2, ((0, n_p - n), (0, 0)))
+    values, scales = pl.pallas_call(
+        _sq_kernel,
+        grid=(n_p // bn,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bn, d), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, d), lambda i: (i, 0)),
+            pl.BlockSpec((bn, 128), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_p, d), jnp.int8),
+            jax.ShapeDtypeStruct((n_p, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=dispatch.interpret_mode(),
+    )(seed, x2)
+    return QuantizedTensor(values[:n].reshape(orig),
+                           scales[:n, 0:1].reshape(*orig[:-1], 1))

@@ -25,18 +25,29 @@ class OutOfPagesError(RuntimeError):
 
 @dataclasses.dataclass
 class PagedKVCache:
+    """``quantize=True`` stores int8 pages + fp32 per-token scales (halves
+    the decode kernel's page-load bandwidth; ops.quantization)."""
+
     num_kv_heads: int
     head_dim: int
     total_pages: int
     page_size: int
     max_seqs: int
     dtype: object = jnp.float32
+    quantize: bool = False
 
     def __post_init__(self):
         shape = (self.num_kv_heads, self.total_pages, self.page_size,
                  self.head_dim)
-        self.k_pages = jnp.zeros(shape, self.dtype)
-        self.v_pages = jnp.zeros(shape, self.dtype)
+        store_dtype = jnp.int8 if self.quantize else self.dtype
+        self.k_pages = jnp.zeros(shape, store_dtype)
+        self.v_pages = jnp.zeros(shape, store_dtype)
+        if self.quantize:
+            sshape = shape[:-1] + (1,)
+            self.k_scales = jnp.zeros(sshape, jnp.float32)
+            self.v_scales = jnp.zeros(sshape, jnp.float32)
+        else:
+            self.k_scales = self.v_scales = None
         self._free = list(range(self.total_pages - 1, -1, -1))
         self._tables: dict[int, list[int]] = {}
         self._lengths: dict[int, int] = {}
@@ -73,10 +84,16 @@ class PagedKVCache:
 
     def append(self, seq_id: int, k_new: jax.Array, v_new: jax.Array) -> None:
         """Append tokens. k_new/v_new: [num_kv_heads, n_new, head_dim]."""
+        from np_modeling_tpu.ops.quantization import quantize_int8
+
         n_new = k_new.shape[1]
         self._page_for_append(seq_id, n_new)
         pos = self._lengths[seq_id]
         table = self._tables[seq_id]
+        if self.quantize:
+            kq, vq = quantize_int8(k_new), quantize_int8(v_new)
+            k_new, k_sc = kq.values, kq.scales   # scales: [hkv, n_new, 1]
+            v_new, v_sc = vq.values, vq.scales
         # Write token-by-token slots; contiguous runs within a page are
         # written in one dynamic_update_slice.
         start = 0
@@ -88,13 +105,26 @@ class PagedKVCache:
             ks = jax.lax.dynamic_slice_in_dim(k_new, start, run, axis=1)
             vs = jax.lax.dynamic_slice_in_dim(v_new, start, run, axis=1)
             self.k_pages = jax.lax.dynamic_update_slice(
-                self.k_pages, ks[:, None].astype(self.dtype),
+                self.k_pages, ks[:, None].astype(self.k_pages.dtype),
                 (0, page, slot, 0))
             self.v_pages = jax.lax.dynamic_update_slice(
-                self.v_pages, vs[:, None].astype(self.dtype),
+                self.v_pages, vs[:, None].astype(self.v_pages.dtype),
                 (0, page, slot, 0))
+            if self.quantize:
+                kss = jax.lax.dynamic_slice_in_dim(k_sc, start, run, axis=1)
+                vss = jax.lax.dynamic_slice_in_dim(v_sc, start, run, axis=1)
+                self.k_scales = jax.lax.dynamic_update_slice(
+                    self.k_scales, kss[:, None], (0, page, slot, 0))
+                self.v_scales = jax.lax.dynamic_update_slice(
+                    self.v_scales, vss[:, None], (0, page, slot, 0))
             start += run
         self._lengths[seq_id] = pos + n_new
+
+    def attention_kwargs(self):
+        """Extra kwargs for ops.paged_attention (scales when quantized)."""
+        if self.quantize:
+            return {"k_scales": self.k_scales, "v_scales": self.v_scales}
+        return {}
 
     def batch_views(self, seq_ids):
         """(lengths [B], page_indices [B, max_pages]) for paged_attention."""
