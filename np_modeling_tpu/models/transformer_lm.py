@@ -76,7 +76,7 @@ class GPT(Module):
         return params
 
     def apply(self, params, tokens, training=False, rngs=None,
-              caches=None, decode=False, positions=None):
+              caches=None, decode=False, positions=None, collect_kv=False):
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
         if positions is None:
@@ -92,7 +92,9 @@ class GPT(Module):
         x = self.drop.apply({}, x, training, rngs, salt=1000)
 
         new_caches = [] if decode else None
+        collected = [] if collect_kv else None
         if c.scan_layers:
+            assert not collect_kv, "collect_kv requires scan_layers=False"
             x, new_caches = self._apply_scanned(params["layers"], x,
                                                 training, rngs, caches,
                                                 decode)
@@ -111,6 +113,11 @@ class GPT(Module):
                     new_caches.append(cache)
                 elif c.remat:
                     x = block_apply(params[f"layer_{i}"], x, r)
+                elif collect_kv:
+                    x, kv = self.block.apply(params[f"layer_{i}"], x,
+                                             training=training, rngs=r,
+                                             collect_kv=True)
+                    collected.append(kv)
                 else:
                     x = block_apply(params[f"layer_{i}"], x, training=training,
                                     rngs=r)
@@ -127,6 +134,8 @@ class GPT(Module):
         logits = logits.astype(jnp.float32)  # losses always in fp32
         if decode:
             return logits, new_caches
+        if collect_kv:
+            return logits, collected
         return logits
 
     def _apply_scanned(self, stacked, x, training, rngs, caches, decode):

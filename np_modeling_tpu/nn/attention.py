@@ -76,7 +76,10 @@ class MultiHeadAttention(Module):
         return jnp.swapaxes(y, -3, -2)
 
     def apply(self, params, query, key=None, value=None, mask=None,
-              training=False, rngs=None, cache=None, decode=False):
+              training=False, rngs=None, cache=None, decode=False,
+              collect_kv=False):
+        """``collect_kv=True`` additionally returns the projected (k, v)
+        ([b, hkv, s, dk]) — used by serving prefill to seed paged caches."""
         del training, rngs
         if key is None:
             key = query
@@ -106,6 +109,8 @@ class MultiHeadAttention(Module):
         out = ops.linear(o, wo.reshape(hq * dk, d_out), bo)
         if decode:
             return out, new_cache
+        if collect_kv:
+            return out, (k, v)
         return out
 
     # ---- KV-cache decode path ------------------------------------------

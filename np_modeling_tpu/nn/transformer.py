@@ -57,9 +57,10 @@ class TransformerEncoderBlock(Module):
         }
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
-              cache=None, decode=False):
+              cache=None, decode=False, collect_kv=False):
         dense2 = Linear(x.shape[-1], dtype=self.dtype)
         new_cache = None
+        kv = None
 
         skip = x
         if self.norm_first:
@@ -68,6 +69,9 @@ class TransformerEncoderBlock(Module):
         if decode:
             y, new_cache = self.attn.apply(params["self_attention"], x,
                                            mask=mask, cache=cache, decode=True)
+        elif collect_kv:
+            y, kv = self.attn.apply(params["self_attention"], x, mask=mask,
+                                    collect_kv=True)
         else:
             y = self.attn.apply(params["self_attention"], x, mask=mask)
         y = y + skip
@@ -88,6 +92,8 @@ class TransformerEncoderBlock(Module):
 
         if decode:
             return y, new_cache
+        if collect_kv:
+            return y, kv
         return y
 
     def init_cache(self, batch, max_len, features, dtype=jnp.float32):

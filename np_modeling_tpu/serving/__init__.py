@@ -1,5 +1,6 @@
-"""Serving: paged KV-cache management + paged decode attention."""
+"""Serving: paged KV-cache management, paged decode attention, engine."""
 
+from np_modeling_tpu.serving.engine import GenerationEngine
 from np_modeling_tpu.serving.kv_cache import PagedKVCache
 
-__all__ = ["PagedKVCache"]
+__all__ = ["GenerationEngine", "PagedKVCache"]

@@ -1,0 +1,68 @@
+"""GenerationEngine: paged-cache decode must equal the dense-cache decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from np_modeling_tpu import models
+from np_modeling_tpu.serving import GenerationEngine
+
+rng = np.random.default_rng(0)
+
+
+def _gpt():
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_kv_heads=2, num_layers=2, hidden_units=64,
+                           max_len=64)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    return gpt, params
+
+
+def test_engine_matches_dense_generate():
+    gpt, params = _gpt()
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 6)))
+    steps = 5
+    dense = np.asarray(gpt.generate(params, prompt, steps=steps))[0]
+
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           max_seqs=4)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(steps - 1):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), dense)
+
+
+def test_continuous_batching_isolated_sequences():
+    gpt, params = _gpt()
+    p1 = jnp.asarray(rng.integers(0, 64, (6,)))
+    p2 = jnp.asarray(rng.integers(0, 64, (4,)))
+
+    # Solo run of p1 (no batching).
+    solo = GenerationEngine(gpt, params, total_pages=64, page_size=4)
+    t_solo = [solo.add_request(0, p1)]
+    for _ in range(3):
+        t_solo.append(solo.step()[0])
+
+    # p1 batched with p2 joining mid-stream and leaving early.
+    eng = GenerationEngine(gpt, params, total_pages=64, page_size=4)
+    t1 = [eng.add_request(0, p1)]
+    t1.append(eng.step()[0])
+    eng.add_request(1, p2)            # joins
+    out = eng.step()
+    t1.append(out[0])
+    eng.finish(1)                     # leaves; pages reclaimed
+    t1.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t_solo))
+
+
+def test_pages_reclaimed():
+    gpt, params = _gpt()
+    eng = GenerationEngine(gpt, params, total_pages=8, page_size=4)
+    free0 = eng.caches[0].free_pages
+    eng.add_request(0, jnp.asarray(rng.integers(0, 64, (6,))))
+    assert eng.caches[0].free_pages < free0
+    eng.finish(0)
+    assert eng.caches[0].free_pages == free0
+    assert eng.live == []
