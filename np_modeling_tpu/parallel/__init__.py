@@ -4,12 +4,14 @@ from np_modeling_tpu.parallel.context import (gather_attention,
                                               make_context_parallel_attention,
                                               ring_attention)
 from np_modeling_tpu.parallel.mesh import auto_mesh, make_mesh
+from np_modeling_tpu.parallel.pipeline import make_pipeline, pipeline_apply
 from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES, constrain,
                                                partition_specs, shard_batch,
                                                shard_params)
 
 __all__ = [
     "TRANSFORMER_RULES", "auto_mesh", "constrain", "gather_attention",
-    "make_context_parallel_attention", "make_mesh", "partition_specs",
-    "ring_attention", "shard_batch", "shard_params",
+    "make_context_parallel_attention", "make_mesh", "make_pipeline",
+    "partition_specs", "pipeline_apply", "ring_attention", "shard_batch",
+    "shard_params",
 ]
