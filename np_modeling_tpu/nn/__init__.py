@@ -6,6 +6,7 @@ from np_modeling_tpu.nn.embedding import Embedding
 from np_modeling_tpu.nn.linear import (Dense, Dropout, LayerNorm, Linear,
                                        RMSNorm)
 from np_modeling_tpu.nn.module import Module, Sequential, rng_for, split_rngs
+from np_modeling_tpu.nn.moe import MOE_RULES, MoE
 from np_modeling_tpu.nn import initializers
 from np_modeling_tpu.nn.transformer import (TransformerDecoder,
                                             TransformerDecoderBlock,
@@ -14,7 +15,8 @@ from np_modeling_tpu.nn.transformer import (TransformerDecoder,
 
 __all__ = [
     "Conv2D", "Dense", "Dropout", "Embedding", "LayerNorm", "Linear",
-    "Module", "MultiHeadAttention", "RMSNorm", "Sequential",
+    "MOE_RULES", "MoE", "Module", "MultiHeadAttention", "RMSNorm",
+    "Sequential",
     "TransformerDecoder", "TransformerDecoderBlock", "TransformerEncoder",
     "TransformerEncoderBlock",
     "initializers", "rng_for", "split_rngs",

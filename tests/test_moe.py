@@ -1,0 +1,92 @@
+"""MoE layer: routing correctness vs a per-token loop oracle; EP sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from np_modeling_tpu import parallel
+from np_modeling_tpu.nn.moe import MoE
+from np_modeling_tpu.parallel.sharding import shard_params
+from np_modeling_tpu.utils.testing import assert_allclose, rand
+from jax.sharding import PartitionSpec as P
+
+rng = np.random.default_rng(0)
+
+
+def _moe(e=4, ff=32, cf=8.0):
+    # Huge capacity factor -> no token dropping -> loop oracle is exact.
+    return MoE(num_experts=e, hidden_units=ff, capacity_factor=cf)
+
+
+def _oracle(moe, params, x):
+    """Per-token python-loop top-2 routing (no capacity)."""
+    xt = np.asarray(x.reshape(-1, x.shape[-1]))
+    gates = np.asarray(jax.nn.softmax(x.reshape(-1, x.shape[-1])
+                                      @ params["router"], axis=-1))
+    out = np.zeros_like(xt)
+    for t in range(xt.shape[0]):
+        top2 = np.argsort(gates[t])[::-1][:2]
+        w = gates[t][top2]
+        w = w / w.sum()
+        for ei, wi in zip(top2, w):
+            h = np.maximum(xt[t] @ np.asarray(params["w1"][ei])
+                           + np.asarray(params["b1"][ei]), 0.0)
+            y = h @ np.asarray(params["w2"][ei]) + np.asarray(params["b2"][ei])
+            out[t] += wi * y
+    return out.reshape(x.shape)
+
+
+def test_matches_loop_oracle():
+    moe = _moe()
+    x = jnp.asarray(rand(3, 10, 16, rng=rng))
+    params = moe.init(jax.random.PRNGKey(0), x)
+    out = moe.apply(params, x)
+    ref = _oracle(moe, params, x)
+    assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_grads_finite_and_nonzero():
+    moe = _moe()
+    x = jnp.asarray(rand(2, 8, 16, rng=rng))
+    params = moe.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: jnp.sum(moe.apply(p, x) ** 2))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert float(jnp.sum(jnp.abs(g["router"]))) > 0
+    assert float(jnp.sum(jnp.abs(g["w1"]))) > 0
+
+
+def test_capacity_drops_tokens():
+    # Tiny capacity: overflowing tokens contribute nothing (partially or
+    # fully dropped), so outputs differ from the uncapped oracle.
+    moe = MoE(num_experts=2, hidden_units=8, capacity_factor=0.1)
+    x = jnp.asarray(rand(1, 64, 8, rng=rng))
+    params = moe.init(jax.random.PRNGKey(0), x)
+    out = moe.apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = _oracle(moe, params, x)
+    assert not np.allclose(np.asarray(out), ref, atol=1e-3)
+
+
+def test_load_balancing_loss():
+    moe = _moe()
+    x = jnp.asarray(rand(2, 16, 16, rng=rng))
+    params = moe.init(jax.random.PRNGKey(0), x)
+    aux = moe.load_balancing_loss(params, x)
+    assert float(aux) >= 1.0 - 1e-5  # minimum at perfect balance is 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_expert_parallel_sharding_matches():
+    moe = _moe(e=8)
+    x = jnp.asarray(rand(2, 16, 16, rng=rng))
+    params = moe.init(jax.random.PRNGKey(0), x)
+    ref = moe.apply(params, x)
+
+    mesh = parallel.make_mesh({"ep": 8})
+    rules = ((r".*/w[12]$", P("ep", None, None)),
+             (r".*/b[12]$", P("ep", None)))
+    sharded = shard_params(params, mesh, rules)
+    out = jax.jit(moe.apply)(sharded, x)
+    assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
