@@ -37,6 +37,8 @@ class GPTConfig:
                                   # (O(1) compile time in depth)
     remat: bool = False           # jax.checkpoint each block (recompute
                                   # activations in backward: memory for FLOPs)
+    moe_experts: int = 0          # >0: FFN becomes a top-2 routed MoE
+    moe_aux_weight: float = 0.01  # load-balancing aux loss coefficient
 
 
 @dataclasses.dataclass
@@ -49,7 +51,8 @@ class GPT(Module):
         self.pos_embed = Embedding(c.max_len, c.d_model)
         self.block = TransformerEncoderBlock(
             c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
-            causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype)
+            causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
+            moe_experts=c.moe_experts)
         self.final_norm = LayerNorm()
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
@@ -76,7 +79,8 @@ class GPT(Module):
         return params
 
     def apply(self, params, tokens, training=False, rngs=None,
-              caches=None, decode=False, positions=None, collect_kv=False):
+              caches=None, decode=False, positions=None, collect_kv=False,
+              collect_aux=False):
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
         if positions is None:
@@ -93,8 +97,10 @@ class GPT(Module):
 
         new_caches = [] if decode else None
         collected = [] if collect_kv else None
+        aux_total = jnp.zeros((), jnp.float32)
         if c.scan_layers:
-            assert not collect_kv, "collect_kv requires scan_layers=False"
+            assert not (collect_kv or collect_aux), (
+                "collect_kv/collect_aux require scan_layers=False")
             x, new_caches = self._apply_scanned(params["layers"], x,
                                                 training, rngs, caches,
                                                 decode)
@@ -118,6 +124,11 @@ class GPT(Module):
                                              training=training, rngs=r,
                                              collect_kv=True)
                     collected.append(kv)
+                elif collect_aux:
+                    x, aux = self.block.apply(params[f"layer_{i}"], x,
+                                              training=training, rngs=r,
+                                              collect_aux=True)
+                    aux_total = aux_total + aux
                 else:
                     x = block_apply(params[f"layer_{i}"], x, training=training,
                                     rngs=r)
@@ -136,6 +147,8 @@ class GPT(Module):
             return logits, new_caches
         if collect_kv:
             return logits, collected
+        if collect_aux:
+            return logits, aux_total
         return logits
 
     def _apply_scanned(self, stacked, x, training, rngs, caches, decode):
@@ -168,12 +181,21 @@ class GPT(Module):
     # ---- losses / decoding ---------------------------------------------
 
     def loss(self, params, tokens, training=False, rngs=None):
-        """Next-token CE (mean over positions) via the fused softmax-xent op."""
-        logits = self.apply(params, tokens[..., :-1], training=training,
-                            rngs=rngs)
+        """Next-token CE (mean over positions) via the fused softmax-xent op.
+
+        With MoE layers, adds the load-balancing aux loss
+        (moe_aux_weight * Σ per-layer GShard aux)."""
+        c = self.config
+        if c.moe_experts and not c.scan_layers:
+            logits, aux = self.apply(params, tokens[..., :-1],
+                                     training=training, rngs=rngs,
+                                     collect_aux=True)
+        else:
+            logits, aux = self.apply(params, tokens[..., :-1],
+                                     training=training, rngs=rngs), 0.0
         targets = tokens[..., 1:]
         ce = ops.softmax_cross_entropy_with_integer_labels(logits, targets)
-        return jnp.mean(ce)
+        return jnp.mean(ce) + c.moe_aux_weight * aux
 
     def init_cache(self, batch, max_len=None, dtype=jnp.float32):
         c = self.config

@@ -52,6 +52,11 @@ class MoE(Module):
         return -(-c // 4) * 4
 
     def apply(self, params, x, training=False, rngs=None):
+        out, _ = self.apply_with_aux(params, x)
+        return out
+
+    def apply_with_aux(self, params, x, training=False, rngs=None):
+        """Returns (out, load_balancing_aux) — aux feeds the training loss."""
         del training, rngs
         orig = x.shape
         d = orig[-1]
@@ -100,7 +105,10 @@ class MoE(Module):
                       + params["b2"][:, None, :])
         out = jnp.einsum("tec,ecd->td", combine.astype(xt.dtype), expert_out,
                          preferred_element_type=jnp.float32).astype(xt.dtype)
-        return out.reshape(orig)
+        # GShard aux loss: E * Σ_e mean(gate_e)·mean(top1_e) (min 1 balanced).
+        top1 = jax.nn.one_hot(idx1, e)
+        aux = e * jnp.sum(jnp.mean(gates, axis=0) * jnp.mean(top1, axis=0))
+        return out.reshape(orig), aux
 
     def load_balancing_loss(self, params, x):
         """GShard aux loss: E * Σ_e mean(gate_e) * mean(route1_e)."""

@@ -33,34 +33,45 @@ class TransformerEncoderBlock(Module):
     causal: bool = False            # GPT-style decoder-only blocks set True
     num_kv_heads: Optional[int] = None
     dtype: Optional[object] = None  # compute dtype (mixed precision)
+    moe_experts: int = 0            # >0: FFN becomes a top-2 routed MoE
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
                                        causal=self.causal, dtype=self.dtype)
         self.norm1 = LayerNorm()
         self.norm2 = LayerNorm()
-        self.dense1 = Dense(self.hidden_units, dtype=self.dtype)  # ReLU default
+        if self.moe_experts:
+            from np_modeling_tpu.nn.moe import MoE
+            self.moe = MoE(self.moe_experts, self.hidden_units)
+        else:
+            self.dense1 = Dense(self.hidden_units, dtype=self.dtype)  # ReLU
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, x):
         ks = jax.random.split(key, 4)
-        h1 = self.dense1.init(ks[2], x)
-        features = x.shape[-1]
-        dense2 = Linear(features, dtype=self.dtype)  # lazily sized, ref :25-27
-        hidden = self.dense1.apply(h1, x)
-        return {
+        params = {
             "self_attention": self.attn.init(ks[0], x),
             "norm1": self.norm1.init(ks[0], x),
             "norm2": self.norm2.init(ks[1], x),
-            "dense1": h1,
-            "dense2": dense2.init(ks[3], hidden),
         }
+        if self.moe_experts:
+            params["moe"] = self.moe.init(ks[2], x)
+        else:
+            h1 = self.dense1.init(ks[2], x)
+            features = x.shape[-1]
+            dense2 = Linear(features, dtype=self.dtype)  # lazily sized
+            hidden = self.dense1.apply(h1, x)
+            params["dense1"] = h1
+            params["dense2"] = dense2.init(ks[3], hidden)
+        return params
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
-              cache=None, decode=False, collect_kv=False):
-        dense2 = Linear(x.shape[-1], dtype=self.dtype)
+              cache=None, decode=False, collect_kv=False, collect_aux=False):
+        if not self.moe_experts:
+            dense2 = Linear(x.shape[-1], dtype=self.dtype)
         new_cache = None
         kv = None
+        aux = jnp.zeros((), jnp.float32)
 
         skip = x
         if self.norm_first:
@@ -83,8 +94,11 @@ class TransformerEncoderBlock(Module):
         if self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=2)
             y = self.norm2.apply(params["norm2"], y)
-        y = self.dense1.apply(params["dense1"], y)
-        y = dense2.apply(params["dense2"], y)
+        if self.moe_experts:
+            y, aux = self.moe.apply_with_aux(params["moe"], y)
+        else:
+            y = self.dense1.apply(params["dense1"], y)
+            y = dense2.apply(params["dense2"], y)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=2)
@@ -94,6 +108,8 @@ class TransformerEncoderBlock(Module):
             return y, new_cache
         if collect_kv:
             return y, kv
+        if collect_aux:
+            return y, aux
         return y
 
     def init_cache(self, batch, max_len, features, dtype=jnp.float32):

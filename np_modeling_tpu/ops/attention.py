@@ -73,7 +73,7 @@ def _apply_masks(s, mask, causal):
 
 
 def flash_attention(q, k, v, mask=None, *, causal=False, scale=None,
-                    block_q=512, block_kv=1024):
+                    block_q=1024, block_kv=1024):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference

@@ -90,3 +90,32 @@ def test_expert_parallel_sharding_matches():
     sharded = shard_params(params, mesh, rules)
     out = jax.jit(moe.apply)(sharded, x)
     assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_moe_gpt_trains():
+    from np_modeling_tpu import models, training
+    cfg = models.GPTConfig(vocab_size=50, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=16,
+                           moe_experts=4)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 50, (4, 12)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    assert "moe" in params["layer_0"]
+    opt = training.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(p)
+        u, s = opt.update(g, s, p)
+        return training.apply_updates(p, u), s, loss
+
+    losses = []
+    for _ in range(12):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # Router grads flow (aux loss is wired in).
+    g = jax.grad(lambda p: gpt.loss(p, tokens))(params)
+    assert float(jnp.sum(jnp.abs(g["layer_0"]["moe"]["router"]))) > 0
