@@ -14,20 +14,23 @@ from np_modeling_tpu.nn.module import Module
 
 @dataclasses.dataclass
 class Conv2D(Module):
-    """NHWC conv, HWIO filters, SAME padding, stride 1, fused activation.
+    """NHWC conv, HWIO filters, fused activation.
 
-    Default ReLU activation matches the reference (conv.py:32). Params:
+    Defaults (SAME padding, stride 1, ReLU) match the reference
+    (conv.py:17-32); strides and VALID padding are a generalization the
+    reference asserts away (conv.py:27-29). Params:
     ``{'w': [K,K,Cin,Cout], 'b': [Cout]}``.
     """
 
     channels: int
     kernel_size: int
+    strides: tuple = (1, 1)
+    padding: str = "SAME"
     activation: Any = "relu"
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
 
     def __post_init__(self):
-        assert self.kernel_size % 2 == 1, "odd kernels only (reference parity)"
         self._act = ops.get_activation(self.activation)
 
     def init(self, key, x):
@@ -38,4 +41,5 @@ class Conv2D(Module):
 
     def apply(self, params, x, training=False, rngs=None):
         del training, rngs
-        return self._act(ops.conv2d(x, params["w"], params["b"]))
+        return self._act(ops.conv2d(x, params["w"], params["b"],
+                                    self.strides, self.padding))

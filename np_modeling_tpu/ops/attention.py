@@ -72,33 +72,37 @@ def _apply_masks(s, mask, causal):
 # ---------------------------------------------------------------------------
 
 
-def flash_attention(q, k, v, mask=None, *, causal=False, scale=None,
-                    block_q=1024, block_kv=1024):
+def flash_attention(q, k, v, mask=None, bias=None, *, causal=False,
+                    scale=None, block_q=1024, block_kv=1024):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
-    convention, attentions.py:106-107). Arbitrary masks run on the manual jnp
-    path; ``causal=True`` and unmasked run as Pallas flash kernels on TPU.
+    convention, attentions.py:106-107). ``bias``: optional additive score
+    bias (ALiBi / T5-relative style), broadcastable to [b, h, sq, skv];
+    differentiable. Masks/biases run on the manual jnp path; ``causal=True``
+    and unmasked run as Pallas flash kernels on TPU.
     """
     d = q.shape[-1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
     assert q.shape[1] % k.shape[1] == 0, "q heads must be a multiple of kv heads"
     assert k.shape[:2] == v.shape[:2] and k.shape[2] == v.shape[2]
-    return _attn(q, k, v, mask, causal, scale, block_q, block_kv)
+    assert bias is None or bias.ndim == 4, "bias must be [b|1, h|1, sq, skv]"
+    return _attn(q, k, v, mask, bias, causal, scale, block_q, block_kv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _attn(q, k, v, mask, causal, scale, block_q, block_kv):
-    o, _ = _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attn(q, k, v, mask, bias, causal, scale, block_q, block_kv):
+    o, _ = _attn_fwd_impl(q, k, v, mask, bias, causal, scale, block_q,
+                          block_kv)
     return o
 
 
-def _use_flash_kernel(q, k, mask) -> bool:
+def _use_flash_kernel(q, k, mask, bias) -> bool:
     """Measured dispatch policy (TPU v5e, fwd+bwd): the Pallas kernel beats
     XLA's fused attention from ~2k kv sequence (1.3-1.7x), or ~1k when
     head_dim is already lane-aligned (128); below that XLA wins because the
     kernel pads head_dim 64->128. force_pallas() overrides (tests)."""
-    if mask is not None:
+    if mask is not None or bias is not None:
         return False
     f = dispatch.forced()
     if f is not None:
@@ -107,25 +111,28 @@ def _use_flash_kernel(q, k, mask) -> bool:
     return dispatch.on_tpu() and (skv >= 2048 or (skv >= 1024 and d >= 128))
 
 
-def _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv):
-    if _use_flash_kernel(q, k, mask):
+def _attn_fwd_impl(q, k, v, mask, bias, causal, scale, block_q, block_kv):
+    if _use_flash_kernel(q, k, mask, bias):
         return _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv)
-    return _attn_fwd_jnp(q, k, v, mask, causal, scale)
+    return _attn_fwd_jnp(q, k, v, mask, bias, causal, scale)
 
 
-def _attn_fwd(q, k, v, mask, causal, scale, block_q, block_kv):
-    o, lse = _attn_fwd_impl(q, k, v, mask, causal, scale, block_q, block_kv)
-    return o, (q, k, v, o, lse, mask)
+def _attn_fwd(q, k, v, mask, bias, causal, scale, block_q, block_kv):
+    o, lse = _attn_fwd_impl(q, k, v, mask, bias, causal, scale, block_q,
+                            block_kv)
+    return o, (q, k, v, o, lse, mask, bias)
 
 
 def _attn_bwd(causal, scale, block_q, block_kv, res, do):
-    q, k, v, o, lse, mask = res
-    if _use_flash_kernel(q, k, mask):
+    q, k, v, o, lse, mask, bias = res
+    if _use_flash_kernel(q, k, mask, bias):
         dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale,
                                        block_q, block_kv)
+        dbias = None
     else:
-        dq, dk, dv = _attn_bwd_jnp(q, k, v, o, lse, do, mask, causal, scale)
-    return dq, dk, dv, None
+        dq, dk, dv, dbias = _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias,
+                                          causal, scale)
+    return dq, dk, dv, None, dbias
 
 
 _attn.defvjp(_attn_fwd, _attn_bwd)
@@ -136,12 +143,14 @@ _attn.defvjp(_attn_fwd, _attn_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _attn_fwd_jnp(q, k, v, mask, causal, scale):
+def _attn_fwd_jnp(q, k, v, mask, bias, causal, scale):
     g = q.shape[1] // k.shape[1]
     kk = jnp.repeat(k, g, axis=1) if g > 1 else k
     vv = jnp.repeat(v, g, axis=1) if g > 1 else v
     s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
                    preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
     s = _apply_masks(s, mask, causal)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -152,13 +161,15 @@ def _attn_fwd_jnp(q, k, v, mask, causal, scale):
     return o.astype(q.dtype), lse
 
 
-def _attn_bwd_jnp(q, k, v, o, lse, do, mask, causal, scale):
+def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, scale):
     """FlashAttention-2-style manual gradients (recompute p from saved LSE)."""
     g = q.shape[1] // k.shape[1]
     kk = jnp.repeat(k, g, axis=1) if g > 1 else k
     vv = jnp.repeat(v, g, axis=1) if g > 1 else v
     s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
                    preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias
     s = _apply_masks(s, mask, causal)
     p = jnp.exp(s - lse[..., None])
     do32 = do.astype(jnp.float32)
@@ -167,13 +178,22 @@ def _attn_bwd_jnp(q, k, v, o, lse, do, mask, causal, scale):
     dp = jnp.einsum("bhqd,bhkd->bhqk", do32, vv.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     di = jnp.sum(do32 * o.astype(jnp.float32), axis=-1, keepdims=True)
-    ds = p * (dp - di) * scale
+    ds_raw = p * (dp - di)             # grad wrt the post-bias scores
+    ds = ds_raw * scale
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kk.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     dk_full = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
     dk, dv = _group_sum(dk_full, g), _group_sum(dv_full, g)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    dbias = None
+    if bias is not None:
+        dbias = ds_raw.astype(bias.dtype)
+        # Un-broadcast to the bias's original shape.
+        for ax in range(4):
+            if bias.shape[ax] == 1 and dbias.shape[ax] != 1:
+                dbias = jnp.sum(dbias, axis=ax, keepdims=True)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias)
 
 
 def _group_sum(x_full, g):

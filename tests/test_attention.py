@@ -202,3 +202,43 @@ class TestKVCache:
         o2, cache = mha.apply(params, x[:, 5:], cache=cache, decode=True)
         assert_allclose(jnp.concatenate([o1, o2], axis=1), full,
                         rtol=1e-4, atol=1e-4)
+
+
+class TestAdditiveBias:
+    """ALiBi / T5-style additive score bias with differentiable grad."""
+
+    def test_forward_and_all_grads_vs_oracle(self):
+        q, k, v = _qkv(sq=12, skv=12)
+        bias = jnp.asarray(rand(1, 4, 12, 12, rng=rng))
+
+        def oracle(q, k, v, bias):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(8.0)
+            p = jax.nn.softmax(s + bias, axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        out = ops.flash_attention(q, k, v, bias=bias)
+        assert_allclose(out, oracle(q, k, v, bias), rtol=1e-5, atol=2e-5)
+
+        g_ours = jax.grad(
+            lambda q, k, v, b: jnp.sum(
+                ops.flash_attention(q, k, v, bias=b) ** 2),
+            argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(
+            lambda q, k, v, b: jnp.sum(oracle(q, k, v, b) ** 2),
+            argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_broadcast_bias_grad_unbroadcasts(self):
+        q, k, v = _qkv(sq=8, skv=8)
+        bias = jnp.asarray(rand(1, 1, 8, 8, rng=rng))  # shared across b, h
+        g = jax.grad(lambda b: jnp.sum(
+            ops.flash_attention(q, k, v, bias=b) ** 2))(bias)
+        assert g.shape == bias.shape
+
+        def oracle(b):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(8.0)
+            p = jax.nn.softmax(s + b, axis=-1)
+            return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
+
+        assert_allclose(g, jax.grad(oracle)(bias), rtol=1e-4, atol=1e-4)
