@@ -72,28 +72,36 @@ def _apply_masks(s, mask, causal):
 # ---------------------------------------------------------------------------
 
 
-def flash_attention(q, k, v, mask=None, bias=None, *, causal=False,
-                    scale=None, block_q=1024, block_kv=1024):
+def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
+                    causal=False, scale=None, block_q=1024, block_kv=1024):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
     convention, attentions.py:106-107). ``bias``: optional additive score
     bias (ALiBi / T5-relative style), broadcastable to [b, h, sq, skv];
-    differentiable. Masks/biases run on the manual jnp path; ``causal=True``
-    and unmasked run as Pallas flash kernels on TPU.
+    differentiable. ``segment_ids``: optional (q_seg [b, sq], kv_seg
+    [b, skv]) int arrays for packed-sequence masking — handled INSIDE the
+    Pallas kernels (lane/sublane-broadcast tiles), composable with causal.
+    Arbitrary masks/biases run on the manual jnp path.
     """
     d = q.shape[-1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
     assert q.shape[1] % k.shape[1] == 0, "q heads must be a multiple of kv heads"
     assert k.shape[:2] == v.shape[:2] and k.shape[2] == v.shape[2]
     assert bias is None or bias.ndim == 4, "bias must be [b|1, h|1, sq, skv]"
-    return _attn(q, k, v, mask, bias, causal, scale, block_q, block_kv)
+    q_seg, kv_seg = segment_ids if segment_ids is not None else (None, None)
+    if q_seg is not None:
+        assert q_seg.shape == (q.shape[0], q.shape[2])
+        assert kv_seg.shape == (k.shape[0], k.shape[2])
+    return _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, scale, block_q,
+                 block_kv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _attn(q, k, v, mask, bias, causal, scale, block_q, block_kv):
-    o, _ = _attn_fwd_impl(q, k, v, mask, bias, causal, scale, block_q,
-                          block_kv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, scale, block_q,
+          block_kv):
+    o, _ = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, scale,
+                          block_q, block_kv)
     return o
 
 
@@ -111,28 +119,44 @@ def _use_flash_kernel(q, k, mask, bias) -> bool:
     return dispatch.on_tpu() and (skv >= 2048 or (skv >= 1024 and d >= 128))
 
 
-def _attn_fwd_impl(q, k, v, mask, bias, causal, scale, block_q, block_kv):
+def _segment_mask(q_seg, kv_seg):
+    return (q_seg[:, None, :, None] == kv_seg[:, None, None, :])
+
+
+def _merge_seg_into_mask(mask, q_seg, kv_seg):
+    if q_seg is None:
+        return mask
+    smask = _segment_mask(q_seg, kv_seg)
+    return smask if mask is None else (mask & smask)
+
+
+def _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, scale,
+                   block_q, block_kv):
     if _use_flash_kernel(q, k, mask, bias):
-        return _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv)
+        return _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, scale,
+                                 block_q, block_kv)
+    mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
     return _attn_fwd_jnp(q, k, v, mask, bias, causal, scale)
 
 
-def _attn_fwd(q, k, v, mask, bias, causal, scale, block_q, block_kv):
-    o, lse = _attn_fwd_impl(q, k, v, mask, bias, causal, scale, block_q,
-                            block_kv)
-    return o, (q, k, v, o, lse, mask, bias)
+def _attn_fwd(q, k, v, mask, bias, q_seg, kv_seg, causal, scale, block_q,
+              block_kv):
+    o, lse = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal,
+                            scale, block_q, block_kv)
+    return o, (q, k, v, o, lse, mask, bias, q_seg, kv_seg)
 
 
 def _attn_bwd(causal, scale, block_q, block_kv, res, do):
-    q, k, v, o, lse, mask, bias = res
+    q, k, v, o, lse, mask, bias, q_seg, kv_seg = res
     if _use_flash_kernel(q, k, mask, bias):
-        dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale,
-                                       block_q, block_kv)
+        dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg,
+                                       causal, scale, block_q, block_kv)
         dbias = None
     else:
+        mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
         dq, dk, dv, dbias = _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias,
                                           causal, scale)
-    return dq, dk, dv, None, dbias
+    return dq, dk, dv, None, dbias, None, None
 
 
 _attn.defvjp(_attn_fwd, _attn_bwd)
@@ -209,9 +233,49 @@ def _group_sum(x_full, g):
 # ---------------------------------------------------------------------------
 
 
+def _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv, n_kv,
+               seg):
+    """Apply causal / kv-padding / segment masks to a [bq, bkv] score tile.
+
+    ``seg``: None or (qseg_ref, kvseg_ref) with tiles [1, bq, 128] and
+    [1, 8, bkv] (lane/sublane-broadcast segment ids)."""
+    kv_padded = n_kv * block_kv != kv_len
+    mask = None
+    if causal or kv_padded:
+        shape = (block_q, block_kv)
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
+        if kv_padded:
+            mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
+            cmask = col <= row
+            mask = cmask if mask is None else (mask & cmask)
+    if seg is not None:
+        qseg_ref, kvseg_ref = seg
+        qseg = qseg_ref[0][:, 0:1]      # [bq, 1]
+        kvseg = kvseg_ref[0][0:1, :]    # [1, bkv]
+        smask = qseg == kvseg
+        mask = smask if mask is None else (mask & smask)
+    if mask is not None:
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    return s
+
+
+def _fwd_kernel_seg(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr, **kw):
+    _fwd_tile(q_ref, k_ref, v_ref, (qseg_ref, kvseg_ref), o_ref, lse_ref,
+              m_scr, l_scr, acc_scr, **kw)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *,
-                causal, scale, kv_len, block_q, block_kv, n_kv):
+                m_scr, l_scr, acc_scr, **kw):
+    _fwd_tile(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+              m_scr, l_scr, acc_scr, **kw)
+
+
+def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
+              m_scr, l_scr, acc_scr, *,
+              causal, scale, kv_len, block_q, block_kv, n_kv):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -220,7 +284,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    kv_padded = n_kv * block_kv != kv_len
     if causal:
         # Skip KV tiles entirely above the diagonal.
         should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
@@ -233,16 +296,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-
-        if causal or kv_padded:
-            shape = (block_q, block_kv)
-            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
-            mask = col < kv_len if kv_padded else None
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
-                cmask = col <= row
-                mask = cmask if mask is None else (mask & cmask)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        s = _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv,
+                       n_kv, seg)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]                 # [bq, 1]
@@ -273,7 +328,42 @@ def _pad4(x, s_to, d_to):
     return x
 
 
-def _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv):
+NUM_SUBLANES = 8
+
+
+def _seg_arrays(q_seg, kv_seg, sq_p, skv_p):
+    """Broadcast segment ids to kernel-tileable layouts.
+
+    q: [b, sq_p, NUM_LANES] (ids down sublanes); kv: [b, NUM_SUBLANES, skv_p]
+    (ids along lanes). Padded q rows get -1 and kv cols -2 so padding never
+    matches anything.
+    """
+    b, sq = q_seg.shape
+    skv = kv_seg.shape[1]
+    qb = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
+                 constant_values=-1)
+    kvb = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, skv_p - skv)),
+                  constant_values=-2)
+    qb = jnp.broadcast_to(qb[:, :, None], (b, sq_p, NUM_LANES))
+    kvb = jnp.broadcast_to(kvb[:, None, :], (b, NUM_SUBLANES, skv_p))
+    return qb, kvb
+
+
+def _seg_specs(bq, bkv, order):
+    """BlockSpecs for (q_seg, kv_seg); ``order``: 'qkv' = grid (b,h,iq,ikv),
+    'kvq' = grid (b,h,ikv,iq)."""
+    if order == "qkv":
+        qmap = lambda ib, ih, iq, ik: (ib, iq, 0)
+        kvmap = lambda ib, ih, iq, ik: (ib, 0, ik)
+    else:
+        qmap = lambda ib, ih, ik, iq: (ib, iq, 0)
+        kvmap = lambda ib, ih, ik, iq: (ib, 0, ik)
+    return (pl.BlockSpec((1, bq, NUM_LANES), qmap),
+            pl.BlockSpec((1, NUM_SUBLANES, bkv), kvmap))
+
+
+def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, scale, block_q,
+                      block_kv):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -286,18 +376,26 @@ def _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv):
     n_kv = skv_p // bkv
 
     grid = (b, hq, sq_p // bq, n_kv)
-    kernel = functools.partial(_fwd_kernel, causal=causal, scale=scale,
-                               kv_len=skv, block_q=bq, block_kv=bkv, n_kv=n_kv)
+    has_seg = q_seg is not None
+    kernel = functools.partial(
+        _fwd_kernel_seg if has_seg else _fwd_kernel, causal=causal,
+        scale=scale, kv_len=skv, block_q=bq, block_kv=bkv, n_kv=n_kv)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, bkv, d_p),
+                     lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+        pl.BlockSpec((1, 1, bkv, d_p),
+                     lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+    ]
+    inputs = [qp, kp, vp]
+    if has_seg:
+        qsb, kvsb = _seg_arrays(q_seg, kv_seg, sq_p, skv_p)
+        in_specs.extend(_seg_specs(bq, bkv, "qkv"))
+        inputs.extend([qsb, kvsb])
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bkv, d_p),
-                         lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
-            pl.BlockSpec((1, 1, bkv, d_p),
-                         lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
             pl.BlockSpec((1, 1, bq, NUM_LANES),
@@ -320,7 +418,7 @@ def _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv):
             bytes_accessed=(qp.size + kp.size + vp.size + qp.size) * qp.dtype.itemsize,
             transcendentals=b * hq * sq * skv),
         interpret=dispatch.interpret_mode(),
-    )(qp, kp, vp)
+    )(*inputs)
     return o[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 
@@ -329,15 +427,26 @@ def _flash_fwd_pallas(q, k, v, causal, scale, block_q, block_kv):
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
-               causal, scale, kv_len, block_q, block_kv, n_kv):
+def _dq_kernel_seg(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
+                   kvseg_ref, dq_ref, dq_scr, **kw):
+    _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+             (qseg_ref, kvseg_ref), dq_ref, dq_scr, **kw)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
+               **kw):
+    _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, None, dq_ref,
+             dq_scr, **kw)
+
+
+def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, dq_ref,
+             dq_scr, *, causal, scale, kv_len, block_q, block_kv, n_kv):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    kv_padded = n_kv * block_kv != kv_len
     should_run = (True if not causal
                   else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
 
@@ -347,15 +456,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        if causal or kv_padded:
-            shape = (block_q, block_kv)
-            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
-            mask = col < kv_len if kv_padded else None
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
-                cmask = col <= row
-                mask = cmask if mask is None else (mask & cmask)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        s = _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv,
+                       n_kv, seg)
         p = jnp.exp(s - lse[:, 0:1])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -369,9 +471,21 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
+def _dkv_kernel_seg(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
+                    kvseg_ref, dk_ref, dv_ref, dk_scr, dv_scr, **kw):
+    _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+              (qseg_ref, kvseg_ref), dk_ref, dv_ref, dk_scr, dv_scr, **kw)
+
+
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *,
-                causal, scale, kv_len, block_q, block_kv, n_q, n_kv):
+                dk_ref, dv_ref, dk_scr, dv_scr, **kw):
+    _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, None,
+              dk_ref, dv_ref, dk_scr, dv_scr, **kw)
+
+
+def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
+              dk_ref, dv_ref, dk_scr, dv_scr, *,
+              causal, scale, kv_len, block_q, block_kv, n_q, n_kv):
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(q_idx == 0)
@@ -379,7 +493,6 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    kv_padded = n_kv * block_kv != kv_len
     should_run = (True if not causal
                   else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
 
@@ -389,15 +502,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        if causal or kv_padded:
-            shape = (block_q, block_kv)
-            col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
-            mask = col < kv_len if kv_padded else None
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
-                cmask = col <= row
-                mask = cmask if mask is None else (mask & cmask)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        s = _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv,
+                       n_kv, seg)
         p = jnp.exp(s - lse[:, 0:1])                          # [bq, bkv]
         # dv += pᵀ @ do ; transpose folded into dot_general contraction dims.
         dv_scr[...] += jax.lax.dot_general(
@@ -416,7 +522,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_kv):
+def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, scale,
+                      block_q, block_kv):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -442,13 +549,22 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_kv):
     lm_spec = pl.BlockSpec((1, 1, bq, NUM_LANES),
                            lambda ib, ih, iq, ik: (ib, ih, iq, 0))
 
-    dq_kernel = functools.partial(_dq_kernel, causal=causal, scale=scale,
-                                  kv_len=skv, block_q=bq, block_kv=bkv,
-                                  n_kv=n_kv)
+    has_seg = q_seg is not None
+    if has_seg:
+        qsb, kvsb = _seg_arrays(q_seg, kv_seg, sq_p, skv_p)
+
+    dq_kernel = functools.partial(
+        _dq_kernel_seg if has_seg else _dq_kernel, causal=causal, scale=scale,
+        kv_len=skv, block_q=bq, block_kv=bkv, n_kv=n_kv)
+    dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
+    dq_inputs = [qp, kp, vp, dop, lse4, di4]
+    if has_seg:
+        dq_specs.extend(_seg_specs(bq, bkv, "qkv"))
+        dq_inputs.extend([qsb, kvsb])
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, hq, n_q, n_kv),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec],
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, 1, bq, d_p),
                                lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
@@ -457,7 +573,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_kv):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=dispatch.interpret_mode(),
-    )(qp, kp, vp, dop, lse4, di4)
+    )(*dq_inputs)
 
     # dk/dv: grid loops kv tiles in the 3rd dim, q tiles sequentially in the
     # 4th. Computed per q-head ([b, hq, skv, d]) then group-summed for GQA.
@@ -469,14 +585,19 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_kv):
                              lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
     dkv_out_spec = pl.BlockSpec((1, 1, bkv, d_p),
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
-    dkv_kernel = functools.partial(_dkv_kernel, causal=causal, scale=scale,
-                                   kv_len=skv, block_q=bq, block_kv=bkv,
-                                   n_q=n_q, n_kv=n_kv)
+    dkv_kernel = functools.partial(
+        _dkv_kernel_seg if has_seg else _dkv_kernel, causal=causal,
+        scale=scale, kv_len=skv, block_q=bq, block_kv=bkv, n_q=n_q, n_kv=n_kv)
+    dkv_specs = [q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,
+                 lm_spec_t]
+    dkv_inputs = [qp, kp, vp, dop, lse4, di4]
+    if has_seg:
+        dkv_specs.extend(_seg_specs(bq, bkv, "kvq"))
+        dkv_inputs.extend([qsb, kvsb])
     dk_full, dv_full = pl.pallas_call(
         dkv_kernel,
         grid=(b, hq, n_kv, n_q),
-        in_specs=[q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,
-                  lm_spec_t],
+        in_specs=dkv_specs,
         out_specs=[dkv_out_spec, dkv_out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
                    jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype)],
@@ -486,7 +607,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, causal, scale, block_q, block_kv):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=dispatch.interpret_mode(),
-    )(qp, kp, vp, dop, lse4, di4)
+    )(*dkv_inputs)
 
     dq = dq[:, :, :sq, :d]
     dk = _group_sum(dk_full[:, :, :skv, :d], g)

@@ -242,3 +242,63 @@ class TestAdditiveBias:
             return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
 
         assert_allclose(g, jax.grad(oracle)(bias), rtol=1e-4, atol=1e-4)
+
+
+class TestSegmentIds:
+    """Packed-sequence masking, jnp path AND inside the Pallas kernels."""
+
+    def _seg_oracle(self, q, k, v, q_seg, kv_seg, causal):
+        mask = q_seg[:, None, :, None] == kv_seg[:, None, None, :]
+        return ops.attention_reference(q, k, v, mask=mask, causal=causal)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_jnp_path(self, causal):
+        q, k, v = _qkv(sq=16, skv=16)
+        segs = jnp.asarray(rng.integers(0, 3, (2, 16)))
+        out = ops.flash_attention(q, k, v, segment_ids=(segs, segs),
+                                  causal=causal)
+        ref = self._seg_oracle(q, k, v, segs, segs, causal)
+        assert_allclose(out, ref, rtol=1e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_pallas_forward(self, causal):
+        q, k, v = _qkv(b=1, hq=2, hkv=2, sq=256, skv=256, d=64)
+        # 4 packed documents of length 64.
+        segs = jnp.asarray(np.repeat(np.arange(4), 64))[None, :]
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.flash_attention(q, k, v, segment_ids=(segs, segs),
+                                      causal=causal, block_q=128,
+                                      block_kv=128)
+        ref = self._seg_oracle(q, k, v, segs, segs, causal)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_pallas_backward(self):
+        q, k, v = _qkv(b=1, hq=2, hkv=2, sq=256, skv=256, d=64)
+        segs = jnp.asarray(np.repeat(np.arange(2), 128))[None, :]
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        with dispatch.force_pallas(True, interpret=True):
+            g_ours = jax.grad(
+                loss(lambda q, k, v: ops.flash_attention(
+                    q, k, v, segment_ids=(segs, segs), causal=True,
+                    block_q=128, block_kv=128)),
+                argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(
+            loss(lambda q, k, v: self._seg_oracle(q, k, v, segs, segs, True)),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b, rtol=2e-5, atol=5e-5)
+
+    def test_cross_document_isolation(self):
+        # Changing doc 2's tokens must not affect doc 1's outputs.
+        q, k, v = _qkv(b=1, hq=2, hkv=2, sq=32, skv=32, d=8)
+        segs = jnp.asarray(np.repeat([0, 1], 16))[None, :]
+        out1 = ops.flash_attention(q, k, v, segment_ids=(segs, segs))
+        k2 = k.at[:, :, 16:].add(1.0)
+        v2 = v.at[:, :, 16:].add(1.0)
+        out2 = ops.flash_attention(q, k2, v2, segment_ids=(segs, segs))
+        assert_allclose(out1[:, :, :16], out2[:, :, :16], rtol=0, atol=0)
+        assert not np.allclose(np.asarray(out1[:, :, 16:]),
+                               np.asarray(out2[:, :, 16:]))
