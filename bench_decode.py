@@ -3,6 +3,12 @@
 Measures tokens/sec for batched single-token decode attention over a long
 context — the serving hot loop — comparing the paged kernel (fp32 and int8
 pages) against dense-cache attention. One JSON line per config.
+
+Measured (tunneled v5e, b8 ctx8k hkv2 d128, 64-token pages): paged 2.24ms
+(~3.6k tok/s), 1.04x dense; int8 pages 0.94x (the kernel is grid-overhead
+bound at one-page tiles — each step is an (8x64x128) mini-matmul — so the
+bandwidth halving doesn't pay here; multi-page blocks / megacore split are
+the known next steps, guide §9-12).
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ import numpy as np
 from np_modeling_tpu import ops
 
 B, HQ, HKV, D, CTX, PSIZE = 8, 8, 2, 128, 8192, 64
-K = 50
+K = 20
 
 
 def _time(run, *args):
