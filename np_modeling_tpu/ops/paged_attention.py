@@ -3,11 +3,20 @@
 During decoding the KV cache lives in non-contiguous fixed-size pages in HBM;
 each sequence owns a list of page indices. The kernel walks a sequence's
 pages with the page table scalar-prefetched (pltpu.PrefetchScalarGridSpec),
-so the BlockSpec index_map itself chases ``page_indices`` — Pallas's pipeline
-then streams exactly the right pages HBM->VMEM. Online softmax accumulates
-across pages; GQA folds the q-head group for a kv head into the tile's
-sublanes (the "commute sum and matmul" trick — one MXU matmul per page for
-all grouped heads).
+so the BlockSpec index_maps themselves chase ``page_indices`` and Pallas's
+pipeline streams exactly the right pages HBM->VMEM.
+
+Each grid step processes ``pages_per_block`` pages at once: the same page
+array is passed N times with per-page index maps (one pipelined DMA per
+page — the BlockSpec-native form of the multi-page async-copy pattern),
+concatenated in VMEM into one [N*page_size, d] block for the MXU. This
+matters because one-page steps are grid-overhead bound (measured 2.2ms for
+b8/ctx8k/64-token pages; multi-page blocks amortize the per-step cost).
+
+Online softmax accumulates across blocks; GQA folds the q-head group for a
+kv head into the tile's sublanes (one MXU matmul per block for the whole
+group). Int8 caches pass per-token scales, dequantized after the VMEM load
+(halves page-load HBM bandwidth).
 
 Shapes:
   q            [batch, num_q_heads, head_dim]        (one decode token)
@@ -15,6 +24,7 @@ Shapes:
   v_pages      [num_kv_heads, total_pages, page_size, head_dim]
   lengths      [batch] int32   (tokens already in cache, per sequence)
   page_indices [batch, pages_per_seq] int32
+  k/v_scales   [num_kv_heads, total_pages, page_size, 1] fp32 (int8 mode)
 Returns: [batch, num_q_heads, head_dim].
 
 No backward: decode is inference-only (training uses ops.flash_attention).
@@ -61,10 +71,30 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     return o.reshape(b, hq, d).astype(q.dtype)
 
 
-def _paged_body(lengths_ref, q_ref, k, v, o_ref, m_scr, l_scr, acc_scr,
-                scale, page_size, n_blocks):
-    """Shared online-softmax page step. k/v are dequantized fp tiles."""
+def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
+                  n_blocks, npb, quantized):
+    """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], o_ref, m, l, acc."""
+    del page_idx_ref
+    if quantized:
+        k_refs, rest = rest[:npb], rest[npb:]
+        ks_refs, rest = rest[:npb], rest[npb:]
+        v_refs, rest = rest[:npb], rest[npb:]
+        vs_refs, rest = rest[:npb], rest[npb:]
+        k = jnp.concatenate(
+            [r[0, 0].astype(jnp.float32) * s[0, 0]
+             for r, s in zip(k_refs, ks_refs)], axis=0)
+        v = jnp.concatenate(
+            [r[0, 0].astype(jnp.float32) * s[0, 0]
+             for r, s in zip(v_refs, vs_refs)], axis=0)
+    else:
+        k_refs, rest = rest[:npb], rest[npb:]
+        v_refs, rest = rest[:npb], rest[npb:]
+        k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)
+        v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
+    o_ref, m_scr, l_scr, acc_scr = rest
+
     b_idx, blk = pl.program_id(0), pl.program_id(2)
+    block_tokens = npb * page_size
 
     @pl.when(blk == 0)
     def _init():
@@ -74,12 +104,12 @@ def _paged_body(lengths_ref, q_ref, k, v, o_ref, m_scr, l_scr, acc_scr,
 
     length = lengths_ref[b_idx]
 
-    @pl.when(blk * page_size < length)
+    @pl.when(blk * block_tokens < length)
     def _run():
         q = q_ref[0, 0]                        # [g_pad, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        pos = blk * page_size + jax.lax.broadcasted_iota(
+        pos = blk * block_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
 
@@ -102,35 +132,9 @@ def _paged_body(lengths_ref, q_ref, k, v, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
 
 
-def _paged_kernel(lengths_ref, page_idx_ref,   # scalar prefetch
-                  q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *,
-                  scale, page_size, n_blocks, g_pad):
-    del page_idx_ref, g_pad
-    _paged_body(lengths_ref, q_ref, k_ref[0, 0], v_ref[0, 0], o_ref,
-                m_scr, l_scr, acc_scr, scale, page_size, n_blocks)
-
-
-def _paged_kernel_q(lengths_ref, page_idx_ref,  # scalar prefetch
-                    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
-                    m_scr, l_scr, acc_scr, *,
-                    scale, page_size, n_blocks, g_pad):
-    """Int8-quantized KV pages: dequantize per-token after the VMEM load
-    (halves page-load HBM bandwidth vs fp32/bf16 caches)."""
-    del page_idx_ref, g_pad
-    k = k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]   # [psize,d]*[psize,1]
-    v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
-    _paged_body(lengths_ref, q_ref, k, v, o_ref, m_scr, l_scr, acc_scr,
-                scale, page_size, n_blocks)
-
-
 def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
-                    k_scales=None, v_scales=None):
-    """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere).
-
-    Int8 cache: pass int8 ``k_pages/v_pages`` plus fp32 per-token
-    ``k_scales/v_scales`` of shape [hkv, total_pages, page_size, 1].
-    """
+                    k_scales=None, v_scales=None, pages_per_block=8):
+    """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere)."""
     quantized = k_scales is not None
     if dispatch.forced() is False or not (dispatch.forced() or
                                           dispatch.on_tpu()):
@@ -146,6 +150,13 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
     pages_per_seq = page_indices.shape[1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
 
+    npb = max(1, min(pages_per_block, pages_per_seq))
+    pps_pad = round_up(pages_per_seq, npb)
+    if pps_pad != pages_per_seq:
+        # Dummy page 0 for padding; masked out by the length check.
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pps_pad - pages_per_seq)))
+    n_blocks = pps_pad // npb
+
     g_pad = max(round_up(g, 8), 8)
     d_pad = round_up(d, 128)
     qg = q.reshape(b, hkv, g, d)
@@ -155,31 +166,35 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
         k_pages = jnp.pad(k_pages, ((0, 0),) * 3 + ((0, d_pad - d),))
         v_pages = jnp.pad(v_pages, ((0, 0),) * 3 + ((0, d_pad - d),))
 
-    grid = (b, hkv, pages_per_seq)
+    grid = (b, hkv, n_blocks)
 
     def q_map(b_i, h_i, blk, lengths_ref, page_idx_ref):
         del blk, lengths_ref, page_idx_ref
         return (b_i, h_i, 0, 0)
 
-    def kv_map(b_i, h_i, blk, lengths_ref, page_idx_ref):
-        del lengths_ref
-        return (h_i, page_idx_ref[b_i, blk], 0, 0)
+    def kv_map_at(j):
+        def kv_map(b_i, h_i, blk, lengths_ref, page_idx_ref):
+            del lengths_ref
+            return (h_i, page_idx_ref[b_i, blk * npb + j], 0, 0)
+        return kv_map
 
-    kv_spec = pl.BlockSpec((1, 1, psize, d_pad), kv_map)
-    scale_spec = pl.BlockSpec((1, 1, psize, 1), kv_map)
+    kv_specs = [pl.BlockSpec((1, 1, psize, d_pad), kv_map_at(j))
+                for j in range(npb)]
+    scale_specs = [pl.BlockSpec((1, 1, psize, 1), kv_map_at(j))
+                   for j in range(npb)]
+    in_specs = [pl.BlockSpec((1, 1, g_pad, d_pad), q_map)]
+    inputs = [qg]
     if quantized:
-        kernel_fn = _paged_kernel_q
-        in_specs = [pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                    kv_spec, scale_spec, kv_spec, scale_spec]
-        inputs = (qg, k_pages, k_scales, v_pages, v_scales)
+        in_specs += kv_specs + scale_specs + kv_specs + scale_specs
+        inputs += ([k_pages] * npb + [k_scales] * npb
+                   + [v_pages] * npb + [v_scales] * npb)
     else:
-        kernel_fn = _paged_kernel
-        in_specs = [pl.BlockSpec((1, 1, g_pad, d_pad), q_map),
-                    kv_spec, kv_spec]
-        inputs = (qg, k_pages, v_pages)
+        in_specs += kv_specs + kv_specs
+        inputs += [k_pages] * npb + [v_pages] * npb
 
-    kernel = functools.partial(kernel_fn, scale=scale, page_size=psize,
-                               n_blocks=pages_per_seq, g_pad=g_pad)
+    kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
+                               n_blocks=n_blocks, npb=npb,
+                               quantized=quantized)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
