@@ -80,7 +80,11 @@ class GPT(Module):
 
     def apply(self, params, tokens, training=False, rngs=None,
               caches=None, decode=False, positions=None, collect_kv=False,
-              collect_aux=False):
+              collect_aux=False, segment_ids=None):
+        """``segment_ids`` [b, s]: packed-sequence training — documents in
+        the batch cannot attend across segment boundaries (masked inside
+        the flash kernels). Pass per-document ``positions`` as well if
+        position embeddings should restart at each document."""
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
         if positions is None:
@@ -108,8 +112,9 @@ class GPT(Module):
             block_apply = self.block.apply
             if c.remat and not decode:
                 block_apply = jax.checkpoint(
-                    lambda p, x, r: self.block.apply(p, x, training=training,
-                                                     rngs=r))
+                    lambda p, x, r: self.block.apply(
+                        p, x, training=training, rngs=r,
+                        segment_ids=segment_ids))
             for i in range(c.num_layers):
                 r = split_rngs(rngs, i)
                 if decode:
@@ -131,7 +136,7 @@ class GPT(Module):
                     aux_total = aux_total + aux
                 else:
                     x = block_apply(params[f"layer_{i}"], x, training=training,
-                                    rngs=r)
+                                    rngs=r, segment_ids=segment_ids)
 
         x = self.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:
@@ -180,21 +185,32 @@ class GPT(Module):
 
     # ---- losses / decoding ---------------------------------------------
 
-    def loss(self, params, tokens, training=False, rngs=None):
+    def loss(self, params, tokens, training=False, rngs=None,
+             segment_ids=None, positions=None):
         """Next-token CE (mean over positions) via the fused softmax-xent op.
 
         With MoE layers, adds the load-balancing aux loss
         (moe_aux_weight * Σ per-layer GShard aux)."""
         c = self.config
+        seg = segment_ids[..., :-1] if segment_ids is not None else None
+        pos = positions[..., :-1] if positions is not None else None
         if c.moe_experts and not c.scan_layers:
             logits, aux = self.apply(params, tokens[..., :-1],
                                      training=training, rngs=rngs,
-                                     collect_aux=True)
+                                     collect_aux=True, segment_ids=seg,
+                                     positions=pos)
         else:
             logits, aux = self.apply(params, tokens[..., :-1],
-                                     training=training, rngs=rngs), 0.0
+                                     training=training, rngs=rngs,
+                                     segment_ids=seg, positions=pos), 0.0
         targets = tokens[..., 1:]
         ce = ops.softmax_cross_entropy_with_integer_labels(logits, targets)
+        if segment_ids is not None:
+            # Don't learn to predict across document boundaries.
+            valid = (segment_ids[..., 1:] == segment_ids[..., :-1]).astype(
+                ce.dtype)
+            return (jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+                    + c.moe_aux_weight * aux)
         return jnp.mean(ce) + c.moe_aux_weight * aux
 
     def init_cache(self, batch, max_len=None, dtype=jnp.float32):

@@ -77,7 +77,7 @@ class MultiHeadAttention(Module):
 
     def apply(self, params, query, key=None, value=None, mask=None,
               training=False, rngs=None, cache=None, decode=False,
-              collect_kv=False):
+              collect_kv=False, segment_ids=None):
         """``collect_kv=True`` additionally returns the projected (k, v)
         ([b, hkv, s, dk]) — used by serving prefill to seed paged caches."""
         del training, rngs
@@ -98,7 +98,9 @@ class MultiHeadAttention(Module):
             k, v, mask, new_cache = self._update_cache(cache, k, v)
             o = ops.flash_attention(q, k, v, mask=mask, causal=False)
         else:
-            o = ops.flash_attention(q, k, v, mask=mask, causal=self.causal)
+            o = ops.flash_attention(q, k, v, mask=mask,
+                                    segment_ids=segment_ids,
+                                    causal=self.causal)
 
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)

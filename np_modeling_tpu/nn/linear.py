@@ -14,7 +14,7 @@ import jax
 
 from np_modeling_tpu import ops
 from np_modeling_tpu.nn import initializers
-from np_modeling_tpu.nn.module import Module, maybe_cast, split_rngs
+from np_modeling_tpu.nn.module import Module, maybe_cast
 
 
 @dataclasses.dataclass

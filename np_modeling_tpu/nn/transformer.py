@@ -66,7 +66,8 @@ class TransformerEncoderBlock(Module):
         return params
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
-              cache=None, decode=False, collect_kv=False, collect_aux=False):
+              cache=None, decode=False, collect_kv=False,
+              collect_aux=False, segment_ids=None):
         if not self.moe_experts:
             dense2 = Linear(x.shape[-1], dtype=self.dtype)
         new_cache = None
@@ -84,7 +85,8 @@ class TransformerEncoderBlock(Module):
             y, kv = self.attn.apply(params["self_attention"], x, mask=mask,
                                     collect_kv=True)
         else:
-            y = self.attn.apply(params["self_attention"], x, mask=mask)
+            y = self.attn.apply(params["self_attention"], x, mask=mask,
+                                segment_ids=segment_ids)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=1)

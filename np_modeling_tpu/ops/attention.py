@@ -89,6 +89,8 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
     assert q.shape[1] % k.shape[1] == 0, "q heads must be a multiple of kv heads"
     assert k.shape[:2] == v.shape[:2] and k.shape[2] == v.shape[2]
     assert bias is None or bias.ndim == 4, "bias must be [b|1, h|1, sq, skv]"
+    if segment_ids is not None and not isinstance(segment_ids, (tuple, list)):
+        segment_ids = (segment_ids, segment_ids)   # self-attention shorthand
     q_seg, kv_seg = segment_ids if segment_ids is not None else (None, None)
     if q_seg is not None:
         assert q_seg.shape == (q.shape[0], q.shape[2])

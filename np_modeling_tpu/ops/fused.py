@@ -45,7 +45,7 @@ def _interp():
 # ---------------------------------------------------------------------------
 
 
-def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps, d):
+def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps):
     x = x_ref[...].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
@@ -55,7 +55,7 @@ def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, eps, d):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _ln_bwd_kernel(x_ref, g_ref, dz_ref, dx_ref, dg_ref, db_ref, *, eps, d):
+def _ln_bwd_kernel(x_ref, g_ref, dz_ref, dx_ref, dg_ref, db_ref, *, eps):
     x = x_ref[...].astype(jnp.float32)
     dz = dz_ref[...].astype(jnp.float32)
     gamma = g_ref[...].astype(jnp.float32)
@@ -72,7 +72,7 @@ def _ln_bwd_kernel(x_ref, g_ref, dz_ref, dx_ref, dg_ref, db_ref, *, eps, d):
     db_ref[...] = jnp.sum(dz, axis=0, keepdims=True)
 
 
-def _ln_block(n, d):
+def _ln_block(n):
     # One row-tile per grid step; all of D in-tile (fits VMEM for d <= ~16k).
     bn = min(round_up(n, 8), 1024)
     return bn
@@ -83,12 +83,12 @@ def layer_norm_fwd_pallas(x, gamma, beta, eps):
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     n = x2.shape[0]
-    bn = _ln_block(n, d)
+    bn = _ln_block(n)
     n_p = round_up(n, bn)
     if n_p != n:
         x2 = jnp.pad(x2, ((0, n_p - n), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_ln_fwd_kernel, eps=eps, d=d),
+        functools.partial(_ln_fwd_kernel, eps=eps),
         grid=(n_p // bn,),
         in_specs=[
             pl.BlockSpec((bn, d), lambda i: (i, 0)),
@@ -110,7 +110,7 @@ def layer_norm_bwd_pallas(x, gamma, dz, eps):
     x2 = x.reshape(-1, d)
     dz2 = dz.reshape(-1, d)
     n = x2.shape[0]
-    bn = _ln_block(n, d)
+    bn = _ln_block(n)
     n_p = round_up(n, bn)
     if n_p != n:
         # Zero-padded rows give zero dz -> zero partials.
@@ -118,7 +118,7 @@ def layer_norm_bwd_pallas(x, gamma, dz, eps):
         dz2 = jnp.pad(dz2, ((0, n_p - n), (0, 0)))
     nt = n_p // bn
     dx, dg_part, db_part = pl.pallas_call(
-        functools.partial(_ln_bwd_kernel, eps=eps, d=d),
+        functools.partial(_ln_bwd_kernel, eps=eps),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((bn, d), lambda i: (i, 0)),
@@ -307,7 +307,7 @@ softmax_cross_entropy_fused.defvjp(_sxe_fused_fwd, _sxe_fused_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate, grad_mode):
+def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i)   # per-tile independent stream
     bits = pltpu.prng_random_bits(x_ref.shape)
@@ -315,7 +315,6 @@ def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate, grad_mode):
     keep = pltpu.bitcast(bits, jnp.uint32) < threshold
     scale = 1.0 / (1.0 - rate)
     o_ref[...] = jnp.where(keep, x_ref[...] * scale, 0.0).astype(o_ref.dtype)
-    del grad_mode
 
 
 def _dropout_call(x, seed, rate):
@@ -328,7 +327,7 @@ def _dropout_call(x, seed, rate):
     if n_p != n:
         x2 = jnp.pad(x2, ((0, n_p - n), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_dropout_kernel, rate=rate, grad_mode=False),
+        functools.partial(_dropout_kernel, rate=rate),
         grid=(n_p // bn,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

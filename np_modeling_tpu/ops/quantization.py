@@ -9,7 +9,6 @@ scale = absmax/127 over the last axis.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:

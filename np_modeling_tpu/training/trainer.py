@@ -17,8 +17,7 @@ Improvements over the reference (documented gaps we close):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
