@@ -39,6 +39,7 @@ class GPTConfig:
                                   # activations in backward: memory for FLOPs)
     moe_experts: int = 0          # >0: FFN becomes a top-2 routed MoE
     moe_aux_weight: float = 0.01  # load-balancing aux loss coefficient
+    positional: str = "learned"   # "learned" | "rope" 
 
 
 @dataclasses.dataclass
@@ -52,7 +53,7 @@ class GPT(Module):
         self.block = TransformerEncoderBlock(
             c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
             causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
-            moe_experts=c.moe_experts)
+            moe_experts=c.moe_experts, rope=(c.positional == "rope"))
         self.final_norm = LayerNorm()
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
@@ -64,9 +65,10 @@ class GPT(Module):
         x = jnp.zeros((*tokens.shape, c.d_model), jnp.float32)
         params = {
             "embedding": self.embed.init(ks[0]),
-            "pos_embedding": self.pos_embed.init(ks[1]),
             "final_norm": self.final_norm.init(ks[2], x),
         }
+        if c.positional == "learned":
+            params["pos_embedding"] = self.pos_embed.init(ks[1])
         if c.scan_layers:
             layer_keys = jax.random.split(ks[3], c.num_layers)
             params["layers"] = jax.vmap(
@@ -87,14 +89,15 @@ class GPT(Module):
         position embeddings should restart at each document."""
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
-        if positions is None:
-            if decode:
-                start = (caches["index"][0] if c.scan_layers
-                         else caches[0]["index"])
-            else:
-                start = 0
-            positions = start + jnp.arange(tokens.shape[-1])
-        x = x + self.pos_embed.apply(params["pos_embedding"], positions)
+        if c.positional == "learned":
+            if positions is None:
+                if decode:
+                    start = (caches["index"][0] if c.scan_layers
+                             else caches[0]["index"])
+                else:
+                    start = 0
+                positions = start + jnp.arange(tokens.shape[-1])
+            x = x + self.pos_embed.apply(params["pos_embedding"], positions)
         if c.dtype is not None:
             x = x.astype(c.dtype)
         x = self.drop.apply({}, x, training, rngs, salt=1000)
@@ -136,7 +139,9 @@ class GPT(Module):
                     aux_total = aux_total + aux
                 else:
                     x = block_apply(params[f"layer_{i}"], x, training=training,
-                                    rngs=r, segment_ids=segment_ids)
+                                    rngs=r, segment_ids=segment_ids,
+                                    positions=positions
+                                    if c.positional == "rope" else None)
 
         x = self.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:

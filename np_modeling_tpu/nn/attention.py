@@ -36,6 +36,8 @@ class MultiHeadAttention(Module):
     num_kv_heads: Optional[int] = None   # GQA; defaults to num_heads
     head_dim: Optional[int] = None       # defaults to features // num_heads
     causal: bool = False
+    rope: bool = False                   # rotary position embeddings on q/k
+    rope_base: float = 10000.0
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
@@ -77,7 +79,7 @@ class MultiHeadAttention(Module):
 
     def apply(self, params, query, key=None, value=None, mask=None,
               training=False, rngs=None, cache=None, decode=False,
-              collect_kv=False, segment_ids=None):
+              collect_kv=False, segment_ids=None, positions=None):
         """``collect_kv=True`` additionally returns the projected (k, v)
         ([b, hkv, s, dk]) — used by serving prefill to seed paged caches."""
         del training, rngs
@@ -89,6 +91,15 @@ class MultiHeadAttention(Module):
         q = self._project(query, params["wq"], params["bq"])
         k = self._project(key, params["wk"], params["bk"])
         v = self._project(value, params["wv"], params["bv"])
+
+        if self.rope:
+            from np_modeling_tpu.ops.rope import apply_rope
+            if decode:
+                positions = cache["index"] + jnp.arange(q.shape[2])
+            elif positions is None:
+                positions = jnp.arange(q.shape[2])
+            q = apply_rope(q, positions, self.rope_base)
+            k = apply_rope(k, positions, self.rope_base)
 
         new_cache = None
         if decode:

@@ -34,10 +34,12 @@ class TransformerEncoderBlock(Module):
     num_kv_heads: Optional[int] = None
     dtype: Optional[object] = None  # compute dtype (mixed precision)
     moe_experts: int = 0            # >0: FFN becomes a top-2 routed MoE
+    rope: bool = False              # rotary position embeddings
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
-                                       causal=self.causal, dtype=self.dtype)
+                                       causal=self.causal, dtype=self.dtype,
+                                       rope=self.rope)
         self.norm1 = LayerNorm()
         self.norm2 = LayerNorm()
         if self.moe_experts:
@@ -67,7 +69,7 @@ class TransformerEncoderBlock(Module):
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
               cache=None, decode=False, collect_kv=False,
-              collect_aux=False, segment_ids=None):
+              collect_aux=False, segment_ids=None, positions=None):
         if not self.moe_experts:
             dense2 = Linear(x.shape[-1], dtype=self.dtype)
         new_cache = None
@@ -86,7 +88,8 @@ class TransformerEncoderBlock(Module):
                                     collect_kv=True)
         else:
             y = self.attn.apply(params["self_attention"], x, mask=mask,
-                                segment_ids=segment_ids)
+                                segment_ids=segment_ids,
+                                positions=positions)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=1)

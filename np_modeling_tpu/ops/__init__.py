@@ -33,6 +33,7 @@ from np_modeling_tpu.ops.paged_attention import (paged_attention,
 from np_modeling_tpu.ops.quantization import (QuantizedTensor,
                                               dequantize_int8, quantize_int8,
                                               quantize_int8_stochastic)
+from np_modeling_tpu.ops.rope import apply_rope
 
 __all__ = [
     "ACTIVATIONS", "BinaryClassificationMetrics", "DEFAULT_MASK_VALUE",
@@ -42,7 +43,8 @@ __all__ = [
     "embedding_lookup", "flash_attention", "gelu", "seed_from_key",
     "softmax_cross_entropy_fused",
     "get_activation", "layer_norm", "linear", "make_dropout_mask", "matmul",
-    "QuantizedTensor", "dequantize_int8", "mse", "paged_attention",
+    "QuantizedTensor", "apply_rope", "dequantize_int8", "mse",
+    "paged_attention",
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
     "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",

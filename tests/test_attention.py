@@ -302,3 +302,61 @@ class TestSegmentIds:
         assert_allclose(out1[:, :, :16], out2[:, :, :16], rtol=0, atol=0)
         assert not np.allclose(np.asarray(out1[:, :, 16:]),
                                np.asarray(out2[:, :, 16:]))
+
+
+class TestRoPE:
+    def test_relative_property(self):
+        # <rope(q, m), rope(k, n)> depends only on m - n.
+        from np_modeling_tpu.ops.rope import apply_rope
+        q = jnp.asarray(rand(1, 1, 1, 16, rng=rng))
+        k = jnp.asarray(rand(1, 1, 1, 16, rng=rng))
+        def dot_at(m, n):
+            qm = apply_rope(q, jnp.asarray([m]))
+            kn = apply_rope(k, jnp.asarray([n]))
+            return float(jnp.sum(qm * kn))
+        np.testing.assert_allclose(dot_at(3, 1), dot_at(10, 8), rtol=1e-5)
+        np.testing.assert_allclose(dot_at(7, 7), float(jnp.sum(q * k)),
+                                   rtol=1e-5)
+
+    def test_grad_is_inverse_rotation(self):
+        from np_modeling_tpu.ops.rope import apply_rope, _rotate
+        x = jnp.asarray(rand(2, 2, 6, 8, rng=rng))
+        pos = jnp.arange(6)
+        g_ours = jax.grad(lambda x: jnp.sum(apply_rope(x, pos) ** 2))(x)
+        g_ref = jax.grad(lambda x: jnp.sum(_rotate(x, pos, 10000.0, 1.0) ** 2))(x)
+        assert_allclose(g_ours, g_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_rope_gpt_trains_and_decodes():
+    from np_modeling_tpu import models, training
+    cfg = models.GPTConfig(vocab_size=50, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=16,
+                           positional="rope")
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    assert "pos_embedding" not in params
+    opt = training.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(p)
+        u, s = opt.update(g, s, p)
+        return training.apply_updates(p, u), s, loss
+
+    losses = []
+    for _ in range(10):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    # KV-cache decode must match full forward (rotation applied at insert).
+    full = gpt.apply(params, tokens)
+    caches = gpt.init_cache(batch=2, max_len=14)
+    outs = []
+    for i in range(12):
+        lg, caches = gpt.apply(params, tokens[:, i:i + 1], caches=caches,
+                               decode=True)
+        outs.append(lg)
+    assert_allclose(jnp.concatenate(outs, axis=1), full, rtol=1e-4, atol=1e-4)
