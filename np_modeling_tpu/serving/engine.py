@@ -77,7 +77,9 @@ class GenerationEngine:
         positions = jnp.asarray([self.caches[0].length(s) for s in seq_ids])
 
         x = ops.embedding_lookup(p["embedding"]["table"], tokens)
-        x = x + ops.embedding_lookup(p["pos_embedding"]["table"], positions)
+        if c.positional == "learned":
+            x = x + ops.embedding_lookup(p["pos_embedding"]["table"],
+                                         positions)
         if c.dtype is not None:
             x = x.astype(c.dtype)
         x = x[:, None, :]                                   # [B, 1, d]
@@ -114,6 +116,13 @@ class GenerationEngine:
         q = attn._project(y, ap["wq"], ap["bq"])            # [B, hq, 1, dk]
         k = attn._project(y, ap["wk"], ap["bk"])
         v = attn._project(y, ap["wv"], ap["bv"])
+        if attn.rope:
+            from np_modeling_tpu.ops.rope import apply_rope
+            # Per-sequence decode positions [B, 1] (cache stores rotated k).
+            pos = jnp.asarray([[self.caches[layer_idx].length(s)]
+                               for s in seq_ids])
+            q = apply_rope(q, pos, attn.rope_base)
+            k = apply_rope(k, pos, attn.rope_base)
         for i, s in enumerate(seq_ids):
             cache.append(s, k[i], v[i])                     # token joins cache
         lengths, tables = cache.batch_views(seq_ids)

@@ -66,3 +66,22 @@ def test_pages_reclaimed():
     eng.finish(0)
     assert eng.caches[0].free_pages == free0
     assert eng.live == []
+
+
+def test_engine_matches_dense_generate_rope():
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=64,
+                           positional="rope")
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 6)))
+    steps = 5
+    dense = np.asarray(gpt.generate(params, prompt, steps=steps))[0]
+
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           max_seqs=4)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(steps - 1):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), dense)
