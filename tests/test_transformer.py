@@ -205,3 +205,144 @@ class TestStacksAndModels:
                 bert.apply(p, tokens), jnp.zeros(4, jnp.int32))))(params)
         flat = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+class _FlaxDecoderTwin(fnn.Module):
+    """Flax twin of the reference decoder block (drop_rate=0, pre-norm)."""
+    num_heads: int
+    hidden: int
+    norm_first: bool
+
+    @fnn.compact
+    def __call__(self, q, kv):
+        d = q.shape[-1]
+        self_attn = fnn.MultiHeadDotProductAttention(
+            self.num_heads, qkv_features=d, out_features=d)
+        cross_attn = fnn.MultiHeadDotProductAttention(
+            self.num_heads, qkv_features=d, out_features=d)
+        n1 = fnn.LayerNorm(epsilon=1e-3, use_fast_variance=False)
+        n2 = fnn.LayerNorm(epsilon=1e-3, use_fast_variance=False)
+        n3 = fnn.LayerNorm(epsilon=1e-3, use_fast_variance=False)
+
+        skip = q
+        y = n1(q) if self.norm_first else q
+        y = self_attn(y, y) + skip
+        if not self.norm_first:
+            y = n1(y)
+        skip = y
+        z = n2(y) if self.norm_first else y
+        z = cross_attn(z, kv) + skip
+        if not self.norm_first:
+            z = n2(z)
+        skip = z
+        w = n3(z) if self.norm_first else z
+        w = fnn.relu(fnn.Dense(self.hidden)(w))
+        w = fnn.Dense(d)(w) + skip
+        if not self.norm_first:
+            w = n3(w)
+        return w
+
+
+def _bind_mha(fp):
+    return {"wq": fp["query"]["kernel"], "bq": fp["query"]["bias"],
+            "wk": fp["key"]["kernel"], "bk": fp["key"]["bias"],
+            "wv": fp["value"]["kernel"], "bv": fp["value"]["bias"],
+            "wo": fp["out"]["kernel"], "bo": fp["out"]["bias"]}
+
+
+@pytest.mark.parametrize("norm_first", [True, False])
+class TestDecoderBlockVsFlax:
+    """Reference oracle strategy for the decoder (transformer_test.py:160-219)."""
+
+    def _setup(self, norm_first):
+        q = jnp.asarray(rand(2, 8, 32, rng=rng))
+        kv = jnp.asarray(rand(2, 11, 32, rng=rng))
+        twin = _FlaxDecoderTwin(num_heads=4, hidden=64, norm_first=norm_first)
+        fp = twin.init(jax.random.PRNGKey(0), q, kv)["params"]
+        block = nn.TransformerDecoderBlock(num_heads=4, hidden_units=64,
+                                           norm_first=norm_first)
+        block.init(jax.random.PRNGKey(1), q, kv)
+        params = {
+            "self_attention": _bind_mha(fp["MultiHeadDotProductAttention_0"]),
+            "cross_attention": _bind_mha(fp["MultiHeadDotProductAttention_1"]),
+            "norm1": {"gamma": fp["LayerNorm_0"]["scale"],
+                      "beta": fp["LayerNorm_0"]["bias"]},
+            "norm2": {"gamma": fp["LayerNorm_1"]["scale"],
+                      "beta": fp["LayerNorm_1"]["bias"]},
+            "norm3": {"gamma": fp["LayerNorm_2"]["scale"],
+                      "beta": fp["LayerNorm_2"]["bias"]},
+            "dense1": {"linear": {"w": fp["Dense_0"]["kernel"],
+                                  "b": fp["Dense_0"]["bias"]}},
+            "dense2": {"w": fp["Dense_1"]["kernel"],
+                       "b": fp["Dense_1"]["bias"]},
+        }
+        return q, kv, twin, fp, block, params
+
+    def test_forward_parity(self, norm_first):
+        q, kv, twin, fp, block, params = self._setup(norm_first)
+        assert_allclose(block.apply(params, q, kv),
+                        twin.apply({"params": fp}, q, kv),
+                        rtol=1e-4, atol=1e-4)
+
+    def test_grad_parity_dq_and_dkv(self, norm_first):
+        # Reference decoder backward returns (dq, dkv) where dkv sums the
+        # cross-attention dkey+dvalue (transformer.py:183-203); jax.grad of
+        # both models gives exactly those totals.
+        q, kv, twin, fp, block, params = self._setup(norm_first)
+        t = jnp.asarray(rand(*q.shape, rng=rng))
+        gq_ref, gkv_ref = jax.grad(
+            lambda q, kv: ops.mse(twin.apply({"params": fp}, q, kv), t),
+            argnums=(0, 1))(q, kv)
+        gq, gkv = jax.grad(
+            lambda q, kv: ops.mse(block.apply(params, q, kv), t),
+            argnums=(0, 1))(q, kv)
+        assert_allclose(gq, gq_ref, rtol=1e-4, atol=1e-4)
+        assert_allclose(gkv, gkv_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mha_layernorm_dropout_block_gradcheck():
+    """BASELINE.json config #3: MHA + LayerNorm + Dropout block, fwd/bwd
+    gradcheck vs jax.grad of an independent plain-jnp composition (dropout
+    fixed via an explicit mask so both sides share it)."""
+    x = jnp.asarray(rand(2, 10, 32, rng=rng))
+    t = jnp.asarray(rand(2, 10, 32, rng=rng))
+    mha = nn.MultiHeadAttention(num_heads=4)
+    ln = nn.LayerNorm()
+    p = {"mha": mha.init(jax.random.PRNGKey(0), x),
+         "ln": ln.init(jax.random.PRNGKey(1), x)}
+    keep = ops.make_dropout_mask(jax.random.PRNGKey(2), x.shape, 0.25)
+
+    def ours(p, x):
+        y = mha.apply(p["mha"], x)
+        y = ops.dropout_with_mask(y, keep, 0.25)
+        y = ln.apply(p["ln"], y)
+        return ops.mse(y, t)
+
+    def ref(p, x):
+        # Same composition from autodiff-able primitives (no custom VJPs).
+        d, h, dk = p["mha"]["wq"].shape
+
+        def proj(w, b):
+            y = x.reshape(-1, d) @ w.reshape(d, h * dk) + b.reshape(-1)
+            return y.reshape(2, 10, h, dk).transpose(0, 2, 1, 3)
+
+        qh = proj(p["mha"]["wq"], p["mha"]["bq"])
+        kh = proj(p["mha"]["wk"], p["mha"]["bk"])
+        vh = proj(p["mha"]["wv"], p["mha"]["bv"])
+        o = ops.attention_reference(qh, kh, vh)
+        o = o.transpose(0, 2, 1, 3).reshape(2, 10, h * dk)
+        o = o @ p["mha"]["wo"].reshape(h * dk, d) + p["mha"]["bo"]
+        o = jnp.where(keep, o / 0.75, 0.0)
+        mean = jnp.mean(o, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(o - mean), axis=-1, keepdims=True)
+        yhat = (o - mean) / jnp.sqrt(var + 1e-3)
+        y = p["ln"]["gamma"] * yhat + p["ln"]["beta"]
+        return jnp.mean((y - t) ** 2)
+
+    np.testing.assert_allclose(float(ours(p, x)), float(ref(p, x)),
+                               rtol=1e-5, atol=1e-5)
+    g_ours = jax.grad(lambda p: ours(p, x))(p)
+    g_ref = jax.grad(lambda p: ref(p, x))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ours),
+                    jax.tree_util.tree_leaves(g_ref)):
+        assert_allclose(a, b, rtol=1e-4, atol=1e-4)
