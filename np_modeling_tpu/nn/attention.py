@@ -36,6 +36,7 @@ class MultiHeadAttention(Module):
     num_kv_heads: Optional[int] = None   # GQA; defaults to num_heads
     head_dim: Optional[int] = None       # defaults to features // num_heads
     causal: bool = False
+    window: Optional[int] = None         # sliding-window width (causal only)
     rope: bool = False                   # rotary position embeddings on q/k
     rope_base: float = 10000.0
     kernel_init: Callable = initializers.lecun_normal
@@ -111,7 +112,7 @@ class MultiHeadAttention(Module):
         else:
             o = ops.flash_attention(q, k, v, mask=mask,
                                     segment_ids=segment_ids,
-                                    causal=self.causal)
+                                    causal=self.causal, window=self.window)
 
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)
@@ -148,6 +149,9 @@ class MultiHeadAttention(Module):
         # Query position i (of this step) may attend to cache slots <= idx+i.
         q_pos = idx + jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 0)
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 1)
-        mask = (kv_pos <= q_pos)[None, None]
+        keep = kv_pos <= q_pos
+        if self.window is not None:
+            keep = keep & (kv_pos > q_pos - self.window)
+        mask = keep[None, None]
         new_cache = {"k": k, "v": v, "index": idx + s_new}
         return k, v, mask, new_cache

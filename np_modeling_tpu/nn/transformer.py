@@ -35,11 +35,12 @@ class TransformerEncoderBlock(Module):
     dtype: Optional[object] = None  # compute dtype (mixed precision)
     moe_experts: int = 0            # >0: FFN becomes a top-2 routed MoE
     rope: bool = False              # rotary position embeddings
+    window: Optional[int] = None    # sliding-window attention (causal only)
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
                                        causal=self.causal, dtype=self.dtype,
-                                       rope=self.rope)
+                                       rope=self.rope, window=self.window)
         self.norm1 = LayerNorm()
         self.norm2 = LayerNorm()
         if self.moe_experts:

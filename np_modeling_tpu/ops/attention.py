@@ -56,12 +56,15 @@ def attention_reference(q, k, v, mask=None, causal=False, scale=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _apply_masks(s, mask, causal):
+def _apply_masks(s, mask, causal, window=None):
     if causal:
         sq, skv = s.shape[-2], s.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
-        s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+        keep = col <= row
+        if window is not None:
+            keep = keep & (col > row - window)
+        s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     if mask is not None:
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     return s
@@ -73,7 +76,8 @@ def _apply_masks(s, mask, causal):
 
 
 def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
-                    causal=False, scale=None, block_q=1024, block_kv=1024):
+                    causal=False, window=None, scale=None, block_q=1024,
+                    block_kv=1024):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
@@ -82,28 +86,33 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
     differentiable. ``segment_ids``: optional (q_seg [b, sq], kv_seg
     [b, skv]) int arrays for packed-sequence masking — handled INSIDE the
     Pallas kernels (lane/sublane-broadcast tiles), composable with causal.
-    Arbitrary masks/biases run on the manual jnp path.
+    ``window``: sliding-window (local) attention width W — position i
+    attends to [i-W+1, i]; requires causal=True; whole KV tiles outside the
+    band are skipped in the kernels. Arbitrary masks/biases run on the
+    manual jnp path.
     """
     d = q.shape[-1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
     assert q.shape[1] % k.shape[1] == 0, "q heads must be a multiple of kv heads"
     assert k.shape[:2] == v.shape[:2] and k.shape[2] == v.shape[2]
     assert bias is None or bias.ndim == 4, "bias must be [b|1, h|1, sq, skv]"
+    assert window is None or (causal and window >= 1), (
+        "window requires causal=True and a positive width")
     if segment_ids is not None and not isinstance(segment_ids, (tuple, list)):
         segment_ids = (segment_ids, segment_ids)   # self-attention shorthand
     q_seg, kv_seg = segment_ids if segment_ids is not None else (None, None)
     if q_seg is not None:
         assert q_seg.shape == (q.shape[0], q.shape[2])
         assert kv_seg.shape == (k.shape[0], k.shape[2])
-    return _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, scale, block_q,
-                 block_kv)
+    return _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale,
+                 block_q, block_kv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, scale, block_q,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale, block_q,
           block_kv):
-    o, _ = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, scale,
-                          block_q, block_kv)
+    o, _ = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
+                          scale, block_q, block_kv)
     return o
 
 
@@ -132,32 +141,33 @@ def _merge_seg_into_mask(mask, q_seg, kv_seg):
     return smask if mask is None else (mask & smask)
 
 
-def _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, scale,
-                   block_q, block_kv):
+def _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
+                   scale, block_q, block_kv):
     if _use_flash_kernel(q, k, mask, bias):
-        return _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, scale,
-                                 block_q, block_kv)
+        return _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window,
+                                 scale, block_q, block_kv)
     mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
-    return _attn_fwd_jnp(q, k, v, mask, bias, causal, scale)
+    return _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale)
 
 
-def _attn_fwd(q, k, v, mask, bias, q_seg, kv_seg, causal, scale, block_q,
-              block_kv):
+def _attn_fwd(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale,
+              block_q, block_kv):
     o, lse = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal,
-                            scale, block_q, block_kv)
+                            window, scale, block_q, block_kv)
     return o, (q, k, v, o, lse, mask, bias, q_seg, kv_seg)
 
 
-def _attn_bwd(causal, scale, block_q, block_kv, res, do):
+def _attn_bwd(causal, window, scale, block_q, block_kv, res, do):
     q, k, v, o, lse, mask, bias, q_seg, kv_seg = res
     if _use_flash_kernel(q, k, mask, bias):
         dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg,
-                                       causal, scale, block_q, block_kv)
+                                       causal, window, scale, block_q,
+                                       block_kv)
         dbias = None
     else:
         mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
         dq, dk, dv, dbias = _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias,
-                                          causal, scale)
+                                          causal, window, scale)
     return dq, dk, dv, None, dbias, None, None
 
 
@@ -169,7 +179,7 @@ _attn.defvjp(_attn_fwd, _attn_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _attn_fwd_jnp(q, k, v, mask, bias, causal, scale):
+def _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale):
     g = q.shape[1] // k.shape[1]
     kk = jnp.repeat(k, g, axis=1) if g > 1 else k
     vv = jnp.repeat(v, g, axis=1) if g > 1 else v
@@ -177,7 +187,7 @@ def _attn_fwd_jnp(q, k, v, mask, bias, causal, scale):
                    preferred_element_type=jnp.float32) * scale
     if bias is not None:
         s = s + bias
-    s = _apply_masks(s, mask, causal)
+    s = _apply_masks(s, mask, causal, window)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -187,7 +197,7 @@ def _attn_fwd_jnp(q, k, v, mask, bias, causal, scale):
     return o.astype(q.dtype), lse
 
 
-def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, scale):
+def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, window, scale):
     """FlashAttention-2-style manual gradients (recompute p from saved LSE)."""
     g = q.shape[1] // k.shape[1]
     kk = jnp.repeat(k, g, axis=1) if g > 1 else k
@@ -196,7 +206,7 @@ def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, scale):
                    preferred_element_type=jnp.float32) * scale
     if bias is not None:
         s = s + bias
-    s = _apply_masks(s, mask, causal)
+    s = _apply_masks(s, mask, causal, window)
     p = jnp.exp(s - lse[..., None])
     do32 = do.astype(jnp.float32)
     dv_full = jnp.einsum("bhqk,bhqd->bhkd", p, do32,
@@ -235,15 +245,15 @@ def _group_sum(x_full, g):
 # ---------------------------------------------------------------------------
 
 
-def _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv, n_kv,
-               seg):
+def _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q, block_kv,
+               n_kv, seg):
     """Apply causal / kv-padding / segment masks to a [bq, bkv] score tile.
 
     ``seg``: None or (qseg_ref, kvseg_ref) with tiles [1, bq, 128] and
     [1, 8, bkv] (lane/sublane-broadcast segment ids)."""
     kv_padded = n_kv * block_kv != kv_len
     mask = None
-    if causal or kv_padded:
+    if causal or kv_padded or window is not None:
         shape = (block_q, block_kv)
         col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
         if kv_padded:
@@ -251,6 +261,8 @@ def _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv, n_kv,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
             cmask = col <= row
+            if window is not None:
+                cmask = cmask & (col > row - window)
             mask = cmask if mask is None else (mask & cmask)
     if seg is not None:
         qseg_ref, kvseg_ref = seg
@@ -277,7 +289,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
               m_scr, l_scr, acc_scr, *,
-              causal, scale, kv_len, block_q, block_kv, n_kv):
+              causal, window, scale, kv_len, block_q, block_kv, n_kv):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -287,8 +299,13 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if causal:
-        # Skip KV tiles entirely above the diagonal.
+        # Skip KV tiles entirely above the diagonal — and, with a sliding
+        # window, tiles entirely below the band.
         should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+        if window is not None:
+            in_band = ((kv_idx + 1) * block_kv - 1
+                       > q_idx * block_q - window)
+            should_run = jnp.logical_and(should_run, in_band)
     else:
         should_run = True
 
@@ -298,8 +315,8 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv,
-                       n_kv, seg)
+        s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
+                       block_kv, n_kv, seg)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]                 # [bq, 1]
@@ -351,6 +368,18 @@ def _seg_arrays(q_seg, kv_seg, sq_p, skv_p):
     return qb, kvb
 
 
+def _band_ok(iq, ik, causal, window, bq, bkv):
+    """Traced predicate: does (q tile iq, kv tile ik) intersect the causal
+    (and window) band? Used both for pl.when skips and for index-map
+    remapping (skipped tiles map to block 0 so their HBM fetch is avoided)."""
+    if not causal:
+        return None
+    ok = (iq + 1) * bq - 1 >= ik * bkv
+    if window is not None:
+        ok = jnp.logical_and(ok, (ik + 1) * bkv - 1 > iq * bq - window)
+    return ok
+
+
 def _seg_specs(bq, bkv, order):
     """BlockSpecs for (q_seg, kv_seg); ``order``: 'qkv' = grid (b,h,iq,ikv),
     'kvq' = grid (b,h,ikv,iq)."""
@@ -364,8 +393,8 @@ def _seg_specs(bq, bkv, order):
             pl.BlockSpec((1, NUM_SUBLANES, bkv), kvmap))
 
 
-def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, scale, block_q,
-                      block_kv):
+def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window, scale,
+                      block_q, block_kv):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -381,13 +410,18 @@ def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, scale, block_q,
     has_seg = q_seg is not None
     kernel = functools.partial(
         _fwd_kernel_seg if has_seg else _fwd_kernel, causal=causal,
-        scale=scale, kv_len=skv, block_q=bq, block_kv=bkv, n_kv=n_kv)
+        window=window, scale=scale, kv_len=skv, block_q=bq, block_kv=bkv,
+        n_kv=n_kv)
+    def kv_map(ib, ih, iq, ik):
+        ok = _band_ok(iq, ik, causal, window, bq, bkv)
+        if ok is not None:
+            ik = jax.lax.select(ok, ik, 0)   # skipped tile: no new fetch
+        return (ib, ih // g, ik, 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        pl.BlockSpec((1, 1, bkv, d_p),
-                     lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
-        pl.BlockSpec((1, 1, bkv, d_p),
-                     lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+        pl.BlockSpec((1, 1, bkv, d_p), kv_map),
+        pl.BlockSpec((1, 1, bkv, d_p), kv_map),
     ]
     inputs = [qp, kp, vp]
     if has_seg:
@@ -442,7 +476,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
 
 
 def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, dq_ref,
-             dq_scr, *, causal, scale, kv_len, block_q, block_kv, n_kv):
+             dq_scr, *, causal, window, scale, kv_len, block_q, block_kv,
+             n_kv):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -451,6 +486,10 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, dq_ref,
 
     should_run = (True if not causal
                   else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
+    if causal and window is not None:
+        should_run = jnp.logical_and(
+            should_run,
+            (kv_idx + 1) * block_kv - 1 > q_idx * block_q - window)
 
     @pl.when(should_run)
     def _run():
@@ -458,8 +497,8 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, dq_ref,
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv,
-                       n_kv, seg)
+        s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
+                       block_kv, n_kv, seg)
         p = jnp.exp(s - lse[:, 0:1])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -487,7 +526,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
               dk_ref, dv_ref, dk_scr, dv_scr, *,
-              causal, scale, kv_len, block_q, block_kv, n_q, n_kv):
+              causal, window, scale, kv_len, block_q, block_kv, n_q, n_kv):
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(q_idx == 0)
@@ -497,6 +536,10 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
 
     should_run = (True if not causal
                   else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
+    if causal and window is not None:
+        should_run = jnp.logical_and(
+            should_run,
+            (kv_idx + 1) * block_kv - 1 > q_idx * block_q - window)
 
     @pl.when(should_run)
     def _run():
@@ -504,8 +547,8 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = _tile_mask(s, q_idx, kv_idx, causal, kv_len, block_q, block_kv,
-                       n_kv, seg)
+        s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
+                       block_kv, n_kv, seg)
         p = jnp.exp(s - lse[:, 0:1])                          # [bq, bkv]
         # dv += pᵀ @ do ; transpose folded into dot_general contraction dims.
         dv_scr[...] += jax.lax.dot_general(
@@ -524,8 +567,8 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, scale,
-                      block_q, block_kv):
+def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, window,
+                      scale, block_q, block_kv):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -545,9 +588,14 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, scale,
     lse4 = jnp.pad(lse4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     di4 = jnp.pad(di4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
 
+    def kv_map(ib, ih, iq, ik):
+        ok = _band_ok(iq, ik, causal, window, bq, bkv)
+        if ok is not None:
+            ik = jax.lax.select(ok, ik, 0)
+        return (ib, ih // g, ik, 0)
+
     q_spec = pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
-    kv_spec = pl.BlockSpec((1, 1, bkv, d_p),
-                           lambda ib, ih, iq, ik: (ib, ih // g, ik, 0))
+    kv_spec = pl.BlockSpec((1, 1, bkv, d_p), kv_map)
     lm_spec = pl.BlockSpec((1, 1, bq, NUM_LANES),
                            lambda ib, ih, iq, ik: (ib, ih, iq, 0))
 
@@ -556,8 +604,9 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, scale,
         qsb, kvsb = _seg_arrays(q_seg, kv_seg, sq_p, skv_p)
 
     dq_kernel = functools.partial(
-        _dq_kernel_seg if has_seg else _dq_kernel, causal=causal, scale=scale,
-        kv_len=skv, block_q=bq, block_kv=bkv, n_kv=n_kv)
+        _dq_kernel_seg if has_seg else _dq_kernel, causal=causal,
+        window=window, scale=scale, kv_len=skv, block_q=bq, block_kv=bkv,
+        n_kv=n_kv)
     dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
     dq_inputs = [qp, kp, vp, dop, lse4, di4]
     if has_seg:
@@ -579,8 +628,13 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, scale,
 
     # dk/dv: grid loops kv tiles in the 3rd dim, q tiles sequentially in the
     # 4th. Computed per q-head ([b, hq, skv, d]) then group-summed for GQA.
-    q_spec_t = pl.BlockSpec((1, 1, bq, d_p),
-                            lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
+    def q_map_t(ib, ih, ikv, iq):
+        ok = _band_ok(iq, ikv, causal, window, bq, bkv)
+        if ok is not None:
+            iq = jax.lax.select(ok, iq, pl.num_programs(3) - 1)
+        return (ib, ih, iq, 0)
+
+    q_spec_t = pl.BlockSpec((1, 1, bq, d_p), q_map_t)
     kv_spec_t = pl.BlockSpec((1, 1, bkv, d_p),
                              lambda ib, ih, ikv, iq: (ib, ih // g, ikv, 0))
     lm_spec_t = pl.BlockSpec((1, 1, bq, NUM_LANES),
@@ -589,7 +643,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, scale,
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
     dkv_kernel = functools.partial(
         _dkv_kernel_seg if has_seg else _dkv_kernel, causal=causal,
-        scale=scale, kv_len=skv, block_q=bq, block_kv=bkv, n_q=n_q, n_kv=n_kv)
+        window=window, scale=scale, kv_len=skv, block_q=bq, block_kv=bkv,
+        n_q=n_q, n_kv=n_kv)
     dkv_specs = [q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,
                  lm_spec_t]
     dkv_inputs = [qp, kp, vp, dop, lse4, di4]

@@ -360,3 +360,53 @@ def test_rope_gpt_trains_and_decodes():
                                decode=True)
         outs.append(lg)
     assert_allclose(jnp.concatenate(outs, axis=1), full, rtol=1e-4, atol=1e-4)
+
+
+class TestSlidingWindow:
+    def _oracle(self, q, k, v, w):
+        s = q.shape[2]
+        row = jnp.arange(s)[:, None]
+        col = jnp.arange(s)[None, :]
+        mask = ((col <= row) & (col > row - w))[None, None]
+        return ops.attention_reference(q, k, v, mask=mask)
+
+    def test_jnp_path(self):
+        q, k, v = _qkv(sq=32, skv=32)
+        out = ops.flash_attention(q, k, v, causal=True, window=8)
+        assert_allclose(out, self._oracle(q, k, v, 8), rtol=1e-5, atol=2e-5)
+
+    def test_pallas_forward_and_backward(self):
+        q, k, v = _qkv(b=1, hq=2, hkv=2, sq=512, skv=512, d=64)
+        w = 150  # band spans tile boundaries
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        kern = lambda q, k, v: ops.flash_attention(
+            q, k, v, causal=True, window=w, block_q=128, block_kv=128)
+        orac = lambda q, k, v: self._oracle(q, k, v, w)
+        with dispatch.force_pallas(True, interpret=True):
+            out = kern(q, k, v)
+            g_ours = jax.grad(loss(kern), argnums=(0, 1, 2))(q, k, v)
+        assert_allclose(out, orac(q, k, v), rtol=2e-5, atol=2e-5)
+        g_ref = jax.grad(loss(orac), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ours, g_ref):
+            assert_allclose(a, b, rtol=2e-5, atol=5e-5)
+
+    def test_gpt_windowed_cache_decode(self):
+        from np_modeling_tpu import models
+        cfg = models.GPTConfig(vocab_size=40, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=64, max_len=16,
+                               attention_window=4)
+        gpt = models.GPT(cfg)
+        tokens = jnp.asarray(rng.integers(0, 40, (2, 10)))
+        params = gpt.init(jax.random.PRNGKey(0), tokens)
+        full = gpt.apply(params, tokens)
+        caches = gpt.init_cache(batch=2, max_len=12)
+        outs = []
+        for i in range(10):
+            lg, caches = gpt.apply(params, tokens[:, i:i + 1], caches=caches,
+                                   decode=True)
+            outs.append(lg)
+        assert_allclose(jnp.concatenate(outs, axis=1), full,
+                        rtol=1e-4, atol=1e-4)
