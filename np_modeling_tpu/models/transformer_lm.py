@@ -107,19 +107,20 @@ class GPT(Module):
         new_caches = [] if decode else None
         collected = [] if collect_kv else None
         aux_total = jnp.zeros((), jnp.float32)
+        block_positions = positions if c.positional == "rope" else None
         if c.scan_layers:
-            assert not (collect_kv or collect_aux), (
-                "collect_kv/collect_aux require scan_layers=False")
-            x, new_caches = self._apply_scanned(params["layers"], x,
-                                                training, rngs, caches,
-                                                decode)
+            assert not collect_kv, "collect_kv requires scan_layers=False"
+            x, new_caches, aux_total = self._apply_scanned(
+                params["layers"], x, training, rngs, caches, decode,
+                segment_ids=segment_ids, positions=block_positions)
         else:
-            block_apply = self.block.apply
+            def run_block(p, x, r):
+                return self.block.apply(
+                    p, x, training=training, rngs=r,
+                    segment_ids=segment_ids, positions=block_positions,
+                    collect_aux=collect_aux)
             if c.remat and not decode:
-                block_apply = jax.checkpoint(
-                    lambda p, x, r: self.block.apply(
-                        p, x, training=training, rngs=r,
-                        segment_ids=segment_ids))
+                run_block = jax.checkpoint(run_block)
             for i in range(c.num_layers):
                 r = split_rngs(rngs, i)
                 if decode:
@@ -127,23 +128,16 @@ class GPT(Module):
                                                 training=training, rngs=r,
                                                 cache=caches[i], decode=True)
                     new_caches.append(cache)
-                elif c.remat:
-                    x = block_apply(params[f"layer_{i}"], x, r)
                 elif collect_kv:
                     x, kv = self.block.apply(params[f"layer_{i}"], x,
                                              training=training, rngs=r,
                                              collect_kv=True)
                     collected.append(kv)
                 elif collect_aux:
-                    x, aux = self.block.apply(params[f"layer_{i}"], x,
-                                              training=training, rngs=r,
-                                              collect_aux=True)
+                    x, aux = run_block(params[f"layer_{i}"], x, r)
                     aux_total = aux_total + aux
                 else:
-                    x = block_apply(params[f"layer_{i}"], x, training=training,
-                                    rngs=r, segment_ids=segment_ids,
-                                    positions=positions
-                                    if c.positional == "rope" else None)
+                    x = run_block(params[f"layer_{i}"], x, r)
 
         x = self.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:
@@ -163,10 +157,16 @@ class GPT(Module):
             return logits, aux_total
         return logits
 
-    def _apply_scanned(self, stacked, x, training, rngs, caches, decode):
-        """lax.scan over stacked per-layer params (and stacked caches)."""
+    def _apply_scanned(self, stacked, x, training, rngs, caches, decode,
+                       segment_ids=None, positions=None):
+        """lax.scan over stacked per-layer params (and stacked caches).
+
+        Threads segment_ids / rope positions / MoE aux loss through the scan
+        body — packed-sequence masking and load balancing behave identically
+        with and without scan_layers. Returns (x, new_caches, aux_total)."""
         c = self.config
         idxs = jnp.arange(c.num_layers)
+        zero_aux = jnp.zeros((), jnp.float32)
 
         if decode:
             def body(x, inp):
@@ -178,17 +178,28 @@ class GPT(Module):
                 return x, new_cache
 
             x, new_caches = jax.lax.scan(body, x, (stacked, caches, idxs))
-            return x, new_caches
+            return x, new_caches, zero_aux
 
-        def body(x, inp):
+        def body(carry, inp):
+            x, aux = carry
             lp, i = inp
             r = split_rngs(rngs, i)
-            return self.block.apply(lp, x, training=training, rngs=r), None
+            if c.moe_experts:
+                x, layer_aux = self.block.apply(
+                    lp, x, training=training, rngs=r, collect_aux=True,
+                    segment_ids=segment_ids, positions=positions)
+                aux = aux + layer_aux
+            else:
+                x = self.block.apply(lp, x, training=training, rngs=r,
+                                     segment_ids=segment_ids,
+                                     positions=positions)
+            return (x, aux), None
 
         if c.remat:
             body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, (stacked, idxs))
-        return x, None
+        (x, aux_total), _ = jax.lax.scan(body, (x, zero_aux),
+                                         (stacked, idxs))
+        return x, None, aux_total
 
     # ---- losses / decoding ---------------------------------------------
 
@@ -201,7 +212,7 @@ class GPT(Module):
         c = self.config
         seg = segment_ids[..., :-1] if segment_ids is not None else None
         pos = positions[..., :-1] if positions is not None else None
-        if c.moe_experts and not c.scan_layers:
+        if c.moe_experts:
             logits, aux = self.apply(params, tokens[..., :-1],
                                      training=training, rngs=rngs,
                                      collect_aux=True, segment_ids=seg,

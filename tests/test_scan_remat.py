@@ -92,6 +92,66 @@ def test_scan_trains():
     assert losses[-1] < losses[0]
 
 
+def test_scan_threads_segment_ids_and_positions():
+    """scan_layers=True must apply the same packed-segment masking and rope
+    positions as the loop path (regression: scan body used to drop them)."""
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    segs = jnp.asarray(np.broadcast_to(np.repeat([0, 1], 6), (2, 12)))
+    positions = jnp.asarray(np.tile(np.arange(6), 2))[None, :].repeat(2, 0)
+    for kw in [dict(), dict(positional="rope")]:
+        gpt_loop = models.GPT(_cfg(**kw))
+        gpt_scan = models.GPT(_cfg(scan_layers=True, **kw))
+        p_loop = gpt_loop.init(jax.random.PRNGKey(0), tokens)
+        p_scan = _stack_loop_params(p_loop, 3)
+        assert_allclose(
+            gpt_scan.apply(p_scan, tokens, segment_ids=segs,
+                           positions=positions),
+            gpt_loop.apply(p_loop, tokens, segment_ids=segs,
+                           positions=positions),
+            rtol=1e-5, atol=1e-5)
+        # Segment isolation must hold under scan too.
+        l1 = gpt_scan.apply(p_scan, tokens, segment_ids=segs,
+                            positions=positions)
+        tokens2 = tokens.at[:, 6:].set((tokens[:, 6:] + 1) % 50)
+        l2 = gpt_scan.apply(p_scan, tokens2, segment_ids=segs,
+                            positions=positions)
+        assert_allclose(l1[:, :6], l2[:, :6], rtol=0, atol=0)
+
+
+def test_scan_moe_aux_loss_matches_loop():
+    """MoE + scan_layers must include the load-balancing aux loss
+    (regression: aux was silently dropped under scan)."""
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    gpt_loop = models.GPT(_cfg(moe_experts=4))
+    gpt_scan = models.GPT(_cfg(moe_experts=4, scan_layers=True))
+    p_loop = gpt_loop.init(jax.random.PRNGKey(0), tokens)
+    p_scan = _stack_loop_params(p_loop, 3)
+    l_loop = gpt_loop.loss(p_loop, tokens)
+    l_scan = gpt_scan.loss(p_scan, tokens)
+    assert_allclose(l_scan, l_loop, rtol=1e-5, atol=1e-6)
+    # And the aux is nonzero (so the equality above is not vacuous).
+    _, aux = gpt_scan.apply(p_scan, tokens, collect_aux=True)
+    assert float(aux) > 0.0
+
+
+def test_remat_rope_explicit_positions():
+    """remat=True with rope + explicit per-document positions must match the
+    non-remat path (regression: the checkpoint wrapper dropped positions)."""
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    positions = jnp.asarray(np.tile(np.arange(6), 2))[None, :].repeat(2, 0)
+    gpt = models.GPT(_cfg(positional="rope"))
+    gpt_r = models.GPT(_cfg(positional="rope", remat=True))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    l1, g1 = jax.value_and_grad(
+        lambda p: gpt.loss(p, tokens, positions=positions))(params)
+    l2, g2 = jax.value_and_grad(
+        lambda p: gpt_r.loss(p, tokens, positions=positions))(params)
+    assert_allclose(l2, l1, rtol=1e-6, atol=1e-6)
+    assert_trees_allclose(g2, g1, rtol=1e-5, atol=1e-5)
+    # Sanity: explicit restarting positions actually change the result.
+    assert abs(float(gpt.loss(params, tokens)) - float(l1)) > 1e-6
+
+
 def test_packed_segment_training():
     """Packed-sequence GPT training: loss masks cross-document targets and
     attention is segment-isolated end to end."""
