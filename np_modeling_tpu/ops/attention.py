@@ -11,7 +11,12 @@ MXU/VMEM-tiled Pallas kernel, and adds what the reference lacks:
   attentions.py:152-153 — both closed here),
 - causal masking with whole-tile skipping,
 - GQA (grouped-query attention; reference test-only at
-  attentions_test.py:267-358) via head-index folding in the BlockSpecs.
+  attentions_test.py:267-358) via head-index folding in the BlockSpecs,
+- IN-KERNEL boolean masks (reference attentions.py:106-107 semantics,
+  True = attend) and additive score bias (ALiBi / T5-relative), both
+  streamed as [bq, bkv] tiles — padded BERT batches and biased attention
+  run the flash kernels, not an O(sq*skv)-materializing fallback. Bias is
+  differentiable: the dq kernel also emits the per-tile dbias.
 
 Layouts: q [b, hq, sq, d]; k/v [b, hkv, skv, d]; hq % hkv == 0.
 Softmax statistics are fp32; LSE residuals are stored lane-broadcast as
@@ -34,6 +39,7 @@ from np_modeling_tpu.ops.matmul import round_up
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 NUM_LANES = 128
+NUM_SUBLANES = 8
 
 
 # ---------------------------------------------------------------------------
@@ -81,21 +87,28 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
-    convention, attentions.py:106-107). ``bias``: optional additive score
-    bias (ALiBi / T5-relative style), broadcastable to [b, h, sq, skv];
-    differentiable. ``segment_ids``: optional (q_seg [b, sq], kv_seg
-    [b, skv]) int arrays for packed-sequence masking — handled INSIDE the
-    Pallas kernels (lane/sublane-broadcast tiles), composable with causal.
+    convention, attentions.py:106-107); streamed through the Pallas kernels
+    as int8 tiles. ``bias``: optional additive score bias (ALiBi /
+    T5-relative style) [b|1, h|1, sq, skv]; differentiable — the backward
+    kernel emits dbias (cost: one [b, hq, sq, skv] fp32 store; prefer
+    segment_ids/window/causal for structural masking, which is free).
+    ``segment_ids``: optional (q_seg [b, sq], kv_seg [b, skv]) int arrays
+    for packed-sequence masking — handled INSIDE the Pallas kernels
+    (lane/sublane-broadcast tiles), composable with causal.
     ``window``: sliding-window (local) attention width W — position i
     attends to [i-W+1, i]; requires causal=True; whole KV tiles outside the
-    band are skipped in the kernels. Arbitrary masks/biases run on the
-    manual jnp path.
+    band are skipped in the kernels. Masks/biases with collapsed sq/skv
+    dims (not materialized to [.., sq, skv]) run on the manual jnp path.
     """
     d = q.shape[-1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
     assert q.shape[1] % k.shape[1] == 0, "q heads must be a multiple of kv heads"
     assert k.shape[:2] == v.shape[:2] and k.shape[2] == v.shape[2]
-    assert bias is None or bias.ndim == 4, "bias must be [b|1, h|1, sq, skv]"
+    for name, x in (("mask", mask), ("bias", bias)):
+        if x is not None:
+            assert x.ndim == 4, f"{name} must be [b|1, h|1, sq, skv]"
+            assert x.shape[0] in (1, q.shape[0]), name
+            assert x.shape[1] in (1, q.shape[1]), name
     assert window is None or (causal and window >= 1), (
         "window requires causal=True and a positive width")
     if segment_ids is not None and not isinstance(segment_ids, (tuple, list)):
@@ -116,18 +129,31 @@ def _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale, block_q,
     return o
 
 
+def _tileable(x, q, k):
+    """mask/bias is kernel-tileable iff its sq/skv dims are materialized."""
+    return x.shape[2:] == (q.shape[2], k.shape[2])
+
+
 def _use_flash_kernel(q, k, mask, bias) -> bool:
     """Measured dispatch policy (TPU v5e, fwd+bwd): the Pallas kernel beats
     XLA's fused attention from ~2k kv sequence (1.3-1.7x), or ~1k when
     head_dim is already lane-aligned (128); below that XLA wins because the
-    kernel pads head_dim 64->128. force_pallas() overrides (tests)."""
-    if mask is not None or bias is not None:
+    kernel pads head_dim 64->128. In-kernel int8-streamed masks keep the
+    advantage (b2 h8 d128: 1.24x/1.14x fwd / fwd+bwd at s=2048, 2.21x/1.56x
+    at s=4096 vs the score-materializing jnp path) and cost ~nothing over
+    the unmasked kernel. Short-query shapes (sq < 128, e.g. dense KV-cache
+    decode) stay on XLA: the kernel would pad q 128x.
+    force_pallas() overrides (tests)."""
+    if mask is not None and not _tileable(mask, q, k):
+        return False
+    if bias is not None and not _tileable(bias, q, k):
         return False
     f = dispatch.forced()
     if f is not None:
         return f
-    skv, d = k.shape[2], q.shape[3]
-    return dispatch.on_tpu() and (skv >= 2048 or (skv >= 1024 and d >= 128))
+    sq, skv, d = q.shape[2], k.shape[2], q.shape[3]
+    return (dispatch.on_tpu() and sq >= 128
+            and (skv >= 2048 or (skv >= 1024 and d >= 128)))
 
 
 def _segment_mask(q_seg, kv_seg):
@@ -144,8 +170,8 @@ def _merge_seg_into_mask(mask, q_seg, kv_seg):
 def _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
                    scale, block_q, block_kv):
     if _use_flash_kernel(q, k, mask, bias):
-        return _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window,
-                                 scale, block_q, block_kv)
+        return _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal,
+                                 window, scale, block_q, block_kv)
     mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
     return _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale)
 
@@ -160,10 +186,10 @@ def _attn_fwd(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale,
 def _attn_bwd(causal, window, scale, block_q, block_kv, res, do):
     q, k, v, o, lse, mask, bias, q_seg, kv_seg = res
     if _use_flash_kernel(q, k, mask, bias):
-        dq, dk, dv = _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg,
-                                       causal, window, scale, block_q,
-                                       block_kv)
-        dbias = None
+        dq, dk, dv, dbias = _flash_bwd_pallas(q, k, v, o, lse, do, mask,
+                                              bias, q_seg, kv_seg, causal,
+                                              window, scale, block_q,
+                                              block_kv)
     else:
         mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
         dq, dk, dv, dbias = _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias,
@@ -174,8 +200,16 @@ def _attn_bwd(causal, window, scale, block_q, block_kv, res, do):
 _attn.defvjp(_attn_fwd, _attn_bwd)
 
 
+def _unbroadcast_bias(dbias, bias):
+    """Sum dbias over the dims where bias was broadcast ([b|1, h|1, ..])."""
+    for ax in range(4):
+        if bias.shape[ax] == 1 and dbias.shape[ax] != 1:
+            dbias = jnp.sum(dbias, axis=ax, keepdims=True)
+    return dbias.astype(bias.dtype)
+
+
 # ---------------------------------------------------------------------------
-# Manual jnp path (CPU fallback; also handles arbitrary boolean masks)
+# Manual jnp path (CPU fallback; also handles non-tileable masks/biases)
 # ---------------------------------------------------------------------------
 
 
@@ -221,13 +255,7 @@ def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, window, scale):
     dk_full = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
     dk, dv = _group_sum(dk_full, g), _group_sum(dv_full, g)
-    dbias = None
-    if bias is not None:
-        dbias = ds_raw.astype(bias.dtype)
-        # Un-broadcast to the bias's original shape.
-        for ax in range(4):
-            if bias.shape[ax] == 1 and dbias.shape[ax] != 1:
-                dbias = jnp.sum(dbias, axis=ax, keepdims=True)
+    dbias = _unbroadcast_bias(ds_raw, bias) if bias is not None else None
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dbias)
 
@@ -241,16 +269,18 @@ def _group_sum(x_full, g):
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward kernel
+# Pallas kernels — shared tile helpers
 # ---------------------------------------------------------------------------
 
 
 def _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q, block_kv,
-               n_kv, seg):
-    """Apply causal / kv-padding / segment masks to a [bq, bkv] score tile.
+               n_kv, seg, mask_ref):
+    """Apply causal / kv-padding / segment / user masks to a [bq, bkv] score
+    tile.
 
     ``seg``: None or (qseg_ref, kvseg_ref) with tiles [1, bq, 128] and
-    [1, 8, bkv] (lane/sublane-broadcast segment ids)."""
+    [1, 8, bkv] (lane/sublane-broadcast segment ids). ``mask_ref``: None or
+    an int8 [1, 1, bq, bkv] tile (nonzero = attend)."""
     kv_padded = n_kv * block_kv != kv_len
     mask = None
     if causal or kv_padded or window is not None:
@@ -270,24 +300,146 @@ def _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q, block_kv,
         kvseg = kvseg_ref[0][0:1, :]    # [1, bkv]
         smask = qseg == kvseg
         mask = smask if mask is None else (mask & smask)
+    if mask_ref is not None:
+        user = mask_ref[0, 0] != 0
+        mask = user if mask is None else (mask & user)
     if mask is not None:
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     return s
 
 
-def _fwd_kernel_seg(q_ref, k_ref, v_ref, qseg_ref, kvseg_ref, o_ref, lse_ref,
-                    m_scr, l_scr, acc_scr, **kw):
-    _fwd_tile(q_ref, k_ref, v_ref, (qseg_ref, kvseg_ref), o_ref, lse_ref,
-              m_scr, l_scr, acc_scr, **kw)
+def _make_wrapper(tile, n_in, has_seg, has_mask, has_bias):
+    """Adapter from pallas's positional refs to a tile fn taking optional
+    (seg, mask_ref, bias_ref) slots. Ref order: n_in main inputs, then
+    [qseg, kvseg], [mask], [bias] as enabled, then outputs + scratch."""
+    def kernel(*refs):
+        i = n_in
+        seg = mask_ref = bias_ref = None
+        if has_seg:
+            seg = (refs[i], refs[i + 1])
+            i += 2
+        if has_mask:
+            mask_ref = refs[i]
+            i += 1
+        if has_bias:
+            bias_ref = refs[i]
+            i += 1
+        tile(*refs[:n_in], seg, mask_ref, bias_ref, *refs[i:])
+    return kernel
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, **kw):
-    _fwd_tile(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
-              m_scr, l_scr, acc_scr, **kw)
+def _should_run(q_idx, kv_idx, causal, window, block_q, block_kv):
+    if not causal:
+        return True
+    ok = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    if window is not None:
+        ok = jnp.logical_and(
+            ok, (kv_idx + 1) * block_kv - 1 > q_idx * block_q - window)
+    return ok
 
 
-def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
+def _band_ok(iq, ik, causal, window, bq, bkv):
+    """Traced predicate: does (q tile iq, kv tile ik) intersect the causal
+    (and window) band? Used both for pl.when skips and for index-map
+    remapping (skipped tiles map to block 0 so their HBM fetch is avoided)."""
+    if not causal:
+        return None
+    ok = (iq + 1) * bq - 1 >= ik * bkv
+    if window is not None:
+        ok = jnp.logical_and(ok, (ik + 1) * bkv - 1 > iq * bq - window)
+    return ok
+
+
+def _pad4(x, s_to, d_to, fill=0):
+    ps, pd = s_to - x.shape[2], d_to - x.shape[3]
+    if ps or pd:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)),
+                    constant_values=fill)
+    return x
+
+
+def _seg_arrays(q_seg, kv_seg, sq_p, skv_p):
+    """Broadcast segment ids to kernel-tileable layouts.
+
+    q: [b, sq_p, NUM_LANES] (ids down sublanes); kv: [b, NUM_SUBLANES, skv_p]
+    (ids along lanes). Padded q rows get -1 and kv cols -2 so padding never
+    matches anything.
+    """
+    b, sq = q_seg.shape
+    skv = kv_seg.shape[1]
+    qb = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
+                 constant_values=-1)
+    kvb = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, skv_p - skv)),
+                  constant_values=-2)
+    qb = jnp.broadcast_to(qb[:, :, None], (b, sq_p, NUM_LANES))
+    kvb = jnp.broadcast_to(kvb[:, None, :], (b, NUM_SUBLANES, skv_p))
+    return qb, kvb
+
+
+def _seg_specs(bq, bkv, order):
+    """BlockSpecs for (q_seg, kv_seg); ``order``: 'qkv' = grid (b,h,iq,ikv),
+    'kvq' = grid (b,h,ikv,iq)."""
+    if order == "qkv":
+        qmap = lambda ib, ih, iq, ik: (ib, iq, 0)
+        kvmap = lambda ib, ih, iq, ik: (ib, 0, ik)
+    else:
+        qmap = lambda ib, ih, ik, iq: (ib, iq, 0)
+        kvmap = lambda ib, ih, ik, iq: (ib, 0, ik)
+    return (pl.BlockSpec((1, bq, NUM_LANES), qmap),
+            pl.BlockSpec((1, NUM_SUBLANES, bkv), kvmap))
+
+
+def _mb_spec(mb, mh, bq, bkv, order, causal, window):
+    """BlockSpec for a [mb, mh, sq_p, skv_p] mask/bias array (mb/mh may be
+    1 = broadcast). Skipped band tiles remap the fetch so no new DMA
+    is issued for them."""
+    if order == "qkv":
+        def imap(ib, ih, iq, ik):
+            ok = _band_ok(iq, ik, causal, window, bq, bkv)
+            if ok is not None:
+                ik = jax.lax.select(ok, ik, 0)
+            return (ib if mb > 1 else 0, ih if mh > 1 else 0, iq, ik)
+    else:
+        def imap(ib, ih, ik, iq):
+            ok = _band_ok(iq, ik, causal, window, bq, bkv)
+            if ok is not None:
+                iq = jax.lax.select(ok, iq, pl.num_programs(3) - 1)
+            return (ib if mb > 1 else 0, ih if mh > 1 else 0, iq, ik)
+    return pl.BlockSpec((1, 1, bq, bkv), imap)
+
+
+def _mb_inputs(mask, bias, sq_p, skv_p, bq, bkv, order, causal, window):
+    """(inputs, specs) for the optional mask (int8) and bias (fp32) operands."""
+    inputs, specs = [], []
+    if mask is not None:
+        m8 = _pad4(mask.astype(jnp.int8), sq_p, skv_p, fill=0)
+        inputs.append(m8)
+        specs.append(_mb_spec(mask.shape[0], mask.shape[1], bq, bkv, order,
+                              causal, window))
+    if bias is not None:
+        b32 = _pad4(bias.astype(jnp.float32), sq_p, skv_p, fill=0)
+        inputs.append(b32)
+        specs.append(_mb_spec(bias.shape[0], bias.shape[1], bq, bkv, order,
+                              causal, window))
+    return inputs, specs
+
+
+def _clamp_blocks(block_q, block_kv, mask, bias):
+    """fp32 bias adds a double-buffered [bq, bkv] streaming operand (and a
+    dbias output in the dq kernel): cap blocks at 512 to stay inside the
+    16MB scoped-VMEM budget. int8 masks are 4x smaller — measured faster
+    at the full 1024 blocks (no clamp)."""
+    if bias is not None:
+        return min(block_q, 512), min(block_kv, 512)
+    return block_q, block_kv
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
               m_scr, l_scr, acc_scr, *,
               causal, window, scale, kv_len, block_q, block_kv, n_kv):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
@@ -298,16 +450,7 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Skip KV tiles entirely above the diagonal — and, with a sliding
-        # window, tiles entirely below the band.
-        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
-        if window is not None:
-            in_band = ((kv_idx + 1) * block_kv - 1
-                       > q_idx * block_q - window)
-            should_run = jnp.logical_and(should_run, in_band)
-    else:
-        should_run = True
+    should_run = _should_run(q_idx, kv_idx, causal, window, block_q, block_kv)
 
     @pl.when(should_run)
     def _run():
@@ -315,8 +458,10 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
-                       block_kv, n_kv, seg)
+                       block_kv, n_kv, seg, mask_ref)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]                 # [bq, 1]
@@ -340,64 +485,12 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, o_ref, lse_ref,
         lse_ref[0, 0] = lse
 
 
-def _pad4(x, s_to, d_to):
-    ps, pd = s_to - x.shape[2], d_to - x.shape[3]
-    if ps or pd:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, ps), (0, pd)))
-    return x
-
-
-NUM_SUBLANES = 8
-
-
-def _seg_arrays(q_seg, kv_seg, sq_p, skv_p):
-    """Broadcast segment ids to kernel-tileable layouts.
-
-    q: [b, sq_p, NUM_LANES] (ids down sublanes); kv: [b, NUM_SUBLANES, skv_p]
-    (ids along lanes). Padded q rows get -1 and kv cols -2 so padding never
-    matches anything.
-    """
-    b, sq = q_seg.shape
-    skv = kv_seg.shape[1]
-    qb = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, sq_p - sq)),
-                 constant_values=-1)
-    kvb = jnp.pad(kv_seg.astype(jnp.int32), ((0, 0), (0, skv_p - skv)),
-                  constant_values=-2)
-    qb = jnp.broadcast_to(qb[:, :, None], (b, sq_p, NUM_LANES))
-    kvb = jnp.broadcast_to(kvb[:, None, :], (b, NUM_SUBLANES, skv_p))
-    return qb, kvb
-
-
-def _band_ok(iq, ik, causal, window, bq, bkv):
-    """Traced predicate: does (q tile iq, kv tile ik) intersect the causal
-    (and window) band? Used both for pl.when skips and for index-map
-    remapping (skipped tiles map to block 0 so their HBM fetch is avoided)."""
-    if not causal:
-        return None
-    ok = (iq + 1) * bq - 1 >= ik * bkv
-    if window is not None:
-        ok = jnp.logical_and(ok, (ik + 1) * bkv - 1 > iq * bq - window)
-    return ok
-
-
-def _seg_specs(bq, bkv, order):
-    """BlockSpecs for (q_seg, kv_seg); ``order``: 'qkv' = grid (b,h,iq,ikv),
-    'kvq' = grid (b,h,ikv,iq)."""
-    if order == "qkv":
-        qmap = lambda ib, ih, iq, ik: (ib, iq, 0)
-        kvmap = lambda ib, ih, iq, ik: (ib, 0, ik)
-    else:
-        qmap = lambda ib, ih, ik, iq: (ib, iq, 0)
-        kvmap = lambda ib, ih, ik, iq: (ib, 0, ik)
-    return (pl.BlockSpec((1, bq, NUM_LANES), qmap),
-            pl.BlockSpec((1, NUM_SUBLANES, bkv), kvmap))
-
-
-def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window, scale,
-                      block_q, block_kv):
+def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
+                      scale, block_q, block_kv):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
+    block_q, block_kv = _clamp_blocks(block_q, block_kv, mask, bias)
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
@@ -408,10 +501,12 @@ def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window, scale,
 
     grid = (b, hq, sq_p // bq, n_kv)
     has_seg = q_seg is not None
-    kernel = functools.partial(
-        _fwd_kernel_seg if has_seg else _fwd_kernel, causal=causal,
-        window=window, scale=scale, kv_len=skv, block_q=bq, block_kv=bkv,
-        n_kv=n_kv)
+    tile = functools.partial(_fwd_tile, causal=causal, window=window,
+                             scale=scale, kv_len=skv, block_q=bq,
+                             block_kv=bkv, n_kv=n_kv)
+    kernel = _make_wrapper(tile, 3, has_seg, mask is not None,
+                           bias is not None)
+
     def kv_map(ib, ih, iq, ik):
         ok = _band_ok(iq, ik, causal, window, bq, bkv)
         if ok is not None:
@@ -428,6 +523,10 @@ def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window, scale,
         qsb, kvsb = _seg_arrays(q_seg, kv_seg, sq_p, skv_p)
         in_specs.extend(_seg_specs(bq, bkv, "qkv"))
         inputs.extend([qsb, kvsb])
+    mb_in, mb_specs = _mb_inputs(mask, bias, sq_p, skv_p, bq, bkv, "qkv",
+                                 causal, window)
+    inputs.extend(mb_in)
+    in_specs.extend(mb_specs)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -463,33 +562,20 @@ def _flash_fwd_pallas(q, k, v, q_seg, kv_seg, causal, window, scale,
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel_seg(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
-                   kvseg_ref, dq_ref, dq_scr, **kw):
-    _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-             (qseg_ref, kvseg_ref), dq_ref, dq_scr, **kw)
-
-
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
-               **kw):
-    _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, None, dq_ref,
-             dq_scr, **kw)
-
-
-def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, dq_ref,
-             dq_scr, *, causal, window, scale, kv_len, block_q, block_kv,
-             n_kv):
+def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
+             bias_ref, *rest, causal, window, scale, kv_len, block_q,
+             block_kv, n_kv):
+    if bias_ref is not None:
+        dq_ref, dbias_ref, dq_scr = rest
+    else:
+        (dq_ref, dq_scr), dbias_ref = rest, None
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    should_run = (True if not causal
-                  else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
-    if causal and window is not None:
-        should_run = jnp.logical_and(
-            should_run,
-            (kv_idx + 1) * block_kv - 1 > q_idx * block_q - window)
+    should_run = _should_run(q_idx, kv_idx, causal, window, block_q, block_kv)
 
     @pl.when(should_run)
     def _run():
@@ -497,35 +583,34 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, dq_ref,
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
-                       block_kv, n_kv, seg)
+                       block_kv, n_kv, seg, mask_ref)
         p = jnp.exp(s - lse[:, 0:1])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - di[:, 0:1]) * scale
+        ds_raw = p * (dp - di[:, 0:1])      # grad wrt post-bias scores
+        if dbias_ref is not None:
+            dbias_ref[0, 0] = ds_raw
+        ds = ds_raw * scale
         dq_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    if dbias_ref is not None and causal:
+        # Skipped band tiles still own a distinct dbias output block.
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dbias():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _dkv_kernel_seg(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, qseg_ref,
-                    kvseg_ref, dk_ref, dv_ref, dk_scr, dv_scr, **kw):
-    _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-              (qseg_ref, kvseg_ref), dk_ref, dv_ref, dk_scr, dv_scr, **kw)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, **kw):
-    _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, None,
-              dk_ref, dv_ref, dk_scr, dv_scr, **kw)
-
-
-def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
-              dk_ref, dv_ref, dk_scr, dv_scr, *,
+def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
+              bias_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
               causal, window, scale, kv_len, block_q, block_kv, n_q, n_kv):
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
 
@@ -534,12 +619,7 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    should_run = (True if not causal
-                  else (q_idx + 1) * block_q - 1 >= kv_idx * block_kv)
-    if causal and window is not None:
-        should_run = jnp.logical_and(
-            should_run,
-            (kv_idx + 1) * block_kv - 1 > q_idx * block_q - window)
+    should_run = _should_run(q_idx, kv_idx, causal, window, block_q, block_kv)
 
     @pl.when(should_run)
     def _run():
@@ -547,8 +627,10 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
-                       block_kv, n_kv, seg)
+                       block_kv, n_kv, seg, mask_ref)
         p = jnp.exp(s - lse[:, 0:1])                          # [bq, bkv]
         # dv += pᵀ @ do ; transpose folded into dot_general contraction dims.
         dv_scr[...] += jax.lax.dot_general(
@@ -567,11 +649,12 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, window,
-                      scale, block_q, block_kv):
+def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
+                      window, scale, block_q, block_kv):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
+    block_q, block_kv = _clamp_blocks(block_q, block_kv, mask, bias)
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
@@ -600,31 +683,52 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, window,
                            lambda ib, ih, iq, ik: (ib, ih, iq, 0))
 
     has_seg = q_seg is not None
+    has_bias = bias is not None
     if has_seg:
         qsb, kvsb = _seg_arrays(q_seg, kv_seg, sq_p, skv_p)
 
-    dq_kernel = functools.partial(
-        _dq_kernel_seg if has_seg else _dq_kernel, causal=causal,
-        window=window, scale=scale, kv_len=skv, block_q=bq, block_kv=bkv,
-        n_kv=n_kv)
+    dq_tile = functools.partial(_dq_tile, causal=causal, window=window,
+                                scale=scale, kv_len=skv, block_q=bq,
+                                block_kv=bkv, n_kv=n_kv)
+    dq_kernel = _make_wrapper(dq_tile, 6, has_seg, mask is not None, has_bias)
     dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
     dq_inputs = [qp, kp, vp, dop, lse4, di4]
     if has_seg:
         dq_specs.extend(_seg_specs(bq, bkv, "qkv"))
         dq_inputs.extend([qsb, kvsb])
-    dq = pl.pallas_call(
+    mb_in, mb_specs = _mb_inputs(mask, bias, sq_p, skv_p, bq, bkv, "qkv",
+                                 causal, window)
+    dq_inputs.extend(mb_in)
+    dq_specs.extend(mb_specs)
+    dq_out_spec = pl.BlockSpec((1, 1, bq, d_p),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+    dq_out_shape = jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype)
+    if has_bias:
+        # dbias streams out one [bq, bkv] fp32 tile per grid step.
+        dbias_spec = pl.BlockSpec((1, 1, bq, bkv),
+                                  lambda ib, ih, iq, ik: (ib, ih, iq, ik))
+        out_specs = [dq_out_spec, dbias_spec]
+        out_shape = [dq_out_shape,
+                     jax.ShapeDtypeStruct((b, hq, sq_p, skv_p), jnp.float32)]
+    else:
+        out_specs, out_shape = dq_out_spec, dq_out_shape
+    dq_out = pl.pallas_call(
         dq_kernel,
         grid=(b, hq, n_q, n_kv),
         in_specs=dq_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, d_p),
-                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bq, d_p), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=dispatch.interpret_mode(),
     )(*dq_inputs)
+    if has_bias:
+        dq, dbias_full = dq_out
+        dbias = _unbroadcast_bias(dbias_full[:, :, :sq, :skv], bias)
+    else:
+        dq, dbias = dq_out, None
 
     # dk/dv: grid loops kv tiles in the 3rd dim, q tiles sequentially in the
     # 4th. Computed per q-head ([b, hq, skv, d]) then group-summed for GQA.
@@ -641,16 +745,21 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, window,
                              lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
     dkv_out_spec = pl.BlockSpec((1, 1, bkv, d_p),
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
-    dkv_kernel = functools.partial(
-        _dkv_kernel_seg if has_seg else _dkv_kernel, causal=causal,
-        window=window, scale=scale, kv_len=skv, block_q=bq, block_kv=bkv,
-        n_q=n_q, n_kv=n_kv)
+    dkv_tile = functools.partial(_dkv_tile, causal=causal, window=window,
+                                 scale=scale, kv_len=skv, block_q=bq,
+                                 block_kv=bkv, n_q=n_q, n_kv=n_kv)
+    dkv_kernel = _make_wrapper(dkv_tile, 6, has_seg, mask is not None,
+                               has_bias)
     dkv_specs = [q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,
                  lm_spec_t]
     dkv_inputs = [qp, kp, vp, dop, lse4, di4]
     if has_seg:
         dkv_specs.extend(_seg_specs(bq, bkv, "kvq"))
         dkv_inputs.extend([qsb, kvsb])
+    mb_in_t, mb_specs_t = _mb_inputs(mask, bias, sq_p, skv_p, bq, bkv, "kvq",
+                                     causal, window)
+    dkv_inputs.extend(mb_in_t)
+    dkv_specs.extend(mb_specs_t)
     dk_full, dv_full = pl.pallas_call(
         dkv_kernel,
         grid=(b, hq, n_kv, n_q),
@@ -669,4 +778,4 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, q_seg, kv_seg, causal, window,
     dq = dq[:, :, :sq, :d]
     dk = _group_sum(dk_full[:, :, :skv, :d], g)
     dv = _group_sum(dv_full[:, :, :skv, :d], g)
-    return dq, dk, dv
+    return dq, dk, dv, dbias
