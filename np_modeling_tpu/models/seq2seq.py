@@ -88,19 +88,23 @@ class Seq2SeqTransformer(Module):
         return jnp.mean(ce)
 
     def greedy_decode(self, params, src, bos_token: int, steps: int):
-        """KV-cached greedy decode conditioned on encoded src."""
+        """KV-cached greedy decode conditioned on encoded src (jittable
+        lax.scan, like GPT.generate — one compile regardless of steps)."""
         b = src.shape[0]
         c = self.config
         memory = self.encode(params, src)
         caches = self.decoder.init_cache(b, steps + 1, c.d_model)
-        tok = jnp.full((b, 1), bos_token, jnp.int32)
-        outs = []
-        for i in range(steps):
+        tok0 = jnp.full((b, 1), bos_token, jnp.int32)
+
+        def body(carry, i):
+            tok, caches = carry
             y = self._embed(params, tok, offset=i)
             y, caches = self.decoder.apply(params["decoder"], y, memory,
                                            caches=caches, decode=True)
             y = self.final_norm.apply(params["final_norm"], y)
             logits = self.embed.attend(params["embedding"], y)
-            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-            outs.append(tok)
-        return jnp.concatenate(outs, axis=1)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (nxt, caches), nxt
+
+        _, toks = jax.lax.scan(body, (tok0, caches), jnp.arange(steps))
+        return jnp.swapaxes(toks[:, :, 0], 0, 1)        # [steps,b,1]->[b,steps]

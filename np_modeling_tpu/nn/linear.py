@@ -68,6 +68,40 @@ class Dense(Module):
 
 
 @dataclasses.dataclass
+class Activation(Module):
+    """Parameter-free activation as a standalone composable layer.
+
+    The reference composes ``Softmax`` / ``ReLU`` as layers in sequential
+    stacks (/root/reference/layers/activations.py:12-45, used in
+    train_test.py's CNN); this is the Sequential-compatible equivalent.
+    ``fn`` is an activation name (ops.get_activation) or a callable.
+    """
+
+    fn: Any = "relu"
+
+    def __post_init__(self):
+        self._act = ops.get_activation(self.fn)
+
+    def init(self, key, x=None):
+        return {}
+
+    def apply(self, params, x, training=False, rngs=None):
+        del params, training, rngs
+        return self._act(x)
+
+
+def Softmax() -> Activation:
+    """Softmax-over-last-axis layer (reference activations.py:22-45; the
+    fused y*(dy - sum(dy*y)) VJP, not the reference's O(S^3) Jacobian)."""
+    return Activation("softmax")
+
+
+def ReLU() -> Activation:
+    """ReLU layer (reference activations.py:12-19 ``>=0`` convention)."""
+    return Activation("relu")
+
+
+@dataclasses.dataclass
 class Dropout(Module):
     """Config wrapper over ops.dropout (reference normalizations.py:9-30)."""
 

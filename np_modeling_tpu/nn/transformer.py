@@ -51,21 +51,21 @@ class TransformerEncoderBlock(Module):
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, x):
-        ks = jax.random.split(key, 4)
+        ks = jax.random.split(key, 5)
         params = {
             "self_attention": self.attn.init(ks[0], x),
-            "norm1": self.norm1.init(ks[0], x),
-            "norm2": self.norm2.init(ks[1], x),
+            "norm1": self.norm1.init(ks[1], x),
+            "norm2": self.norm2.init(ks[2], x),
         }
         if self.moe_experts:
-            params["moe"] = self.moe.init(ks[2], x)
+            params["moe"] = self.moe.init(ks[3], x)
         else:
-            h1 = self.dense1.init(ks[2], x)
+            h1 = self.dense1.init(ks[3], x)
             features = x.shape[-1]
             dense2 = Linear(features, dtype=self.dtype)  # lazily sized
             hidden = self.dense1.apply(h1, x)
             params["dense1"] = h1
-            params["dense2"] = dense2.init(ks[3], hidden)
+            params["dense2"] = dense2.init(ks[4], hidden)
         return params
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
@@ -142,18 +142,18 @@ class TransformerDecoderBlock(Module):
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, q, kv):
-        ks = jax.random.split(key, 6)
-        h1 = self.dense1.init(ks[4], q)
+        ks = jax.random.split(key, 7)
+        h1 = self.dense1.init(ks[5], q)
         features = q.shape[-1]
         hidden = self.dense1.apply(h1, q)
         return {
             "self_attention": self.self_attn.init(ks[0], q),
             "cross_attention": self.cross_attn.init(ks[1], q, kv),
-            "norm1": self.norm1.init(ks[0], q),
-            "norm2": self.norm2.init(ks[2], q),
-            "norm3": self.norm3.init(ks[3], q),
+            "norm1": self.norm1.init(ks[2], q),
+            "norm2": self.norm2.init(ks[3], q),
+            "norm3": self.norm3.init(ks[4], q),
             "dense1": h1,
-            "dense2": Linear(features).init(ks[5], hidden),
+            "dense2": Linear(features).init(ks[6], hidden),
         }
 
     def apply(self, params, q, kv, self_mask=None, cross_mask=None,

@@ -47,8 +47,6 @@ def auto_mesh(n_devices: int | None = None,
     n = len(devices)
     if n % 8 == 0:
         return make_mesh({"dp": n // 4, "sp": 2, "tp": 2}, devices)
-    if n % 4 == 0:
-        return make_mesh({"dp": n // 2, "sp": 1, "tp": 2}, devices)
     if n % 2 == 0:
         return make_mesh({"dp": n // 2, "sp": 1, "tp": 2}, devices)
     return make_mesh({"dp": n, "sp": 1, "tp": 1}, devices)

@@ -1,3 +1,3 @@
-from np_modeling_tpu.utils import debugging, profiling, testing
+from np_modeling_tpu.utils import debugging, flax_compat, profiling, testing
 
-__all__ = ["debugging", "profiling", "testing"]
+__all__ = ["debugging", "flax_compat", "profiling", "testing"]

@@ -49,6 +49,27 @@ def test_cnn_classification():
     assert float(losses[-1]) < loss0
 
 
+def test_sequential_softmax_layer_trains():
+    """The reference composes Softmax as a LAYER in sequential stacks
+    feeding CrossEntropyLoss-on-probabilities (train_test.py CNN workload);
+    nn.Softmax/nn.Activation is our Sequential-compatible equivalent."""
+    from np_modeling_tpu import ops
+    x = jnp.asarray(rand(16, 10, rng=rng))
+    labels = jnp.asarray(rng.integers(0, 3, 16))
+    onehot = jax.nn.one_hot(labels, 3)
+    model = nn.Sequential([nn.Dense(16), nn.Linear(3), nn.Softmax()])
+    tr = training.Trainer(model,
+                          loss=lambda probs, t: ops.cross_entropy_probs(
+                              probs, t) / probs.shape[0],
+                          optimizer=training.adam(5e-2))
+    params = tr.init(x)
+    probs = model.apply(params, x)
+    assert_allclose(jnp.sum(probs, axis=-1), jnp.ones(16), rtol=1e-5,
+                    atol=1e-5)
+    params, _, losses = tr.fit(params, x, onehot, steps=20)
+    assert losses[-1] < losses[0]
+
+
 def test_dropout_model_trains_with_rngs():
     x = jnp.asarray(rand(16, 8, rng=rng))
     t = jnp.asarray(rand(16, 2, rng=rng))

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from np_modeling_tpu import models, nn, ops, training
+from np_modeling_tpu.utils import flax_compat
 from np_modeling_tpu.utils.testing import assert_allclose, rand
 
 rng = np.random.default_rng(0)
@@ -44,24 +45,8 @@ class _FlaxEncoderTwin(fnn.Module):
         return z
 
 
-def _bind_encoder(fp):
-    """Map Flax twin params -> our encoder block param layout."""
-    mha = fp["MultiHeadDotProductAttention_0"]
-    return {
-        "self_attention": {
-            "wq": mha["query"]["kernel"], "bq": mha["query"]["bias"],
-            "wk": mha["key"]["kernel"], "bk": mha["key"]["bias"],
-            "wv": mha["value"]["kernel"], "bv": mha["value"]["bias"],
-            "wo": mha["out"]["kernel"], "bo": mha["out"]["bias"],
-        },
-        "norm1": {"gamma": fp["LayerNorm_0"]["scale"],
-                  "beta": fp["LayerNorm_0"]["bias"]},
-        "norm2": {"gamma": fp["LayerNorm_1"]["scale"],
-                  "beta": fp["LayerNorm_1"]["bias"]},
-        "dense1": {"linear": {"w": fp["Dense_0"]["kernel"],
-                              "b": fp["Dense_0"]["bias"]}},
-        "dense2": {"w": fp["Dense_1"]["kernel"], "b": fp["Dense_1"]["bias"]},
-    }
+# Library converters (reference utils.py:71-101 capability as a surface).
+_bind_encoder = flax_compat.encoder_block_params_from_flax
 
 
 @pytest.mark.parametrize("norm_first", [True, False])
@@ -243,11 +228,7 @@ class _FlaxDecoderTwin(fnn.Module):
         return w
 
 
-def _bind_mha(fp):
-    return {"wq": fp["query"]["kernel"], "bq": fp["query"]["bias"],
-            "wk": fp["key"]["kernel"], "bk": fp["key"]["bias"],
-            "wv": fp["value"]["kernel"], "bv": fp["value"]["bias"],
-            "wo": fp["out"]["kernel"], "bo": fp["out"]["bias"]}
+_bind_mha = flax_compat.mha_params_from_flax
 
 
 @pytest.mark.parametrize("norm_first", [True, False])
@@ -262,20 +243,7 @@ class TestDecoderBlockVsFlax:
         block = nn.TransformerDecoderBlock(num_heads=4, hidden_units=64,
                                            norm_first=norm_first)
         block.init(jax.random.PRNGKey(1), q, kv)
-        params = {
-            "self_attention": _bind_mha(fp["MultiHeadDotProductAttention_0"]),
-            "cross_attention": _bind_mha(fp["MultiHeadDotProductAttention_1"]),
-            "norm1": {"gamma": fp["LayerNorm_0"]["scale"],
-                      "beta": fp["LayerNorm_0"]["bias"]},
-            "norm2": {"gamma": fp["LayerNorm_1"]["scale"],
-                      "beta": fp["LayerNorm_1"]["bias"]},
-            "norm3": {"gamma": fp["LayerNorm_2"]["scale"],
-                      "beta": fp["LayerNorm_2"]["bias"]},
-            "dense1": {"linear": {"w": fp["Dense_0"]["kernel"],
-                                  "b": fp["Dense_0"]["bias"]}},
-            "dense2": {"w": fp["Dense_1"]["kernel"],
-                       "b": fp["Dense_1"]["bias"]},
-        }
+        params = flax_compat.decoder_block_params_from_flax(fp)
         return q, kv, twin, fp, block, params
 
     def test_forward_parity(self, norm_first):
