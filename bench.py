@@ -1,8 +1,12 @@
 """Headline benchmark: full GPT training step, ours vs equivalent Flax/optax.
 
-Config: 4-layer GPT, d_model=1024, 8 heads (head_dim=128), seq=2048, batch=2
+Config: 4-layer GPT, d_model=1024, 8 heads (head_dim=128), seq=2048, batch=8
 — the causal-decoder workload of BASELINE.json config #5 at a production
-sequence length where the attention kernel dominates.
+sequence length and a batch that feeds the MXU (64k tokens/step).
+
+Also reports step MFU: analytic matmul FLOPs (QKVO projections, causal
+attention at 0.5 occupancy, FFN, logits head; backward = 2x forward)
+against the v5e nominal 197 bf16 TFLOP/s.
 
 Timing: K train steps chained inside ONE jit via lax.scan with a single
 scalar readback (the device tunnel does not block on block_until_ready, so
@@ -21,8 +25,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH, SEQ, D_MODEL, HEADS, LAYERS, FFN, VOCAB = 2, 2048, 1024, 8, 4, 4096, 8192
+BATCH, SEQ, D_MODEL, HEADS, LAYERS, FFN, VOCAB = 8, 2048, 1024, 8, 4, 4096, 8192
 K = 8  # steps per timed jit call
+V5E_BF16_PEAK = 197e12  # nominal single-chip bf16 TFLOP/s
+
+
+def step_flops() -> float:
+    """Analytic matmul FLOPs of one train step (fwd + 2x for backward)."""
+    s, d = SEQ, D_MODEL
+    per_layer = (8 * s * d * d          # q/k/v/o projections
+                 + 4 * s * d * FFN      # 2 FFN matmuls
+                 + 4 * s * s * d * 0.5) # qk^T + pv, causal half
+    fwd = BATCH * (LAYERS * per_layer + 2 * s * d * VOCAB)
+    return 3.0 * fwd
 DTYPE = jnp.bfloat16  # compute dtype both sides; params/grads/loss fp32
 
 
@@ -122,11 +137,14 @@ def main():
         np.random.default_rng(0).integers(0, VOCAB, (BATCH, SEQ)))
     ours = bench_ours(tokens)
     flax_t = bench_flax(tokens)
+    tflops = step_flops() / ours / 1e12
     print(json.dumps({
-        "metric": "gpt_4L_d1024_h8_s2048_train_step",
+        "metric": "gpt_4L_d1024_h8_s2048_b8_train_step",
         "value": round(ours * 1e6, 1),
         "unit": "us/step",
         "vs_baseline": round(flax_t / ours, 4),
+        "tflops": round(tflops, 1),
+        "mfu_vs_197tf_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
     }))
 
 

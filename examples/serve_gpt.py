@@ -53,7 +53,7 @@ def main():
 
     for sid, toks in outputs.items():
         print(f"request {sid}: generated {toks}")
-    print("free pages after completion:", engine.caches[0].free_pages)
+    print("free pages after completion:", engine.free_pages)
 
 
 if __name__ == "__main__":

@@ -46,8 +46,12 @@ from np_modeling_tpu.ops.matmul import round_up
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
-                              scale=None):
-    """Pure-jnp oracle: gather each sequence's pages, masked attention."""
+                              scale=None, window=None):
+    """Pure-jnp oracle: gather each sequence's pages, masked attention.
+
+    ``window``: sliding-window width W — the decode token (position
+    length-1) attends to cache positions [length-W, length-1], matching
+    training-time ops.flash_attention(causal=True, window=W)."""
     b, hq, d = q.shape
     hkv, _, psize, _ = k_pages.shape
     g = hq // hkv
@@ -64,7 +68,10 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     s = jnp.einsum("bhgd,bhkd->bhgk", qg, k_seq,
                    preferred_element_type=jnp.float32) * scale
     pos = jnp.arange(max_len)[None, None, None, :]
-    s = jnp.where(pos < lengths[:, None, None, None], s, DEFAULT_MASK_VALUE)
+    keep = pos < lengths[:, None, None, None]
+    if window is not None:
+        keep = keep & (pos >= lengths[:, None, None, None] - window)
+    s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq,
                    preferred_element_type=jnp.float32)
@@ -72,7 +79,7 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
 
 
 def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
-                  n_blocks, npb, quantized):
+                  n_blocks, npb, quantized, window):
     """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], o_ref, m, l, acc."""
     del page_idx_ref
     if quantized:
@@ -104,14 +111,23 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
 
     length = lengths_ref[b_idx]
 
-    @pl.when(blk * block_tokens < length)
+    should_run = blk * block_tokens < length
+    if window is not None:
+        # Whole blocks below the sliding-window band are skipped.
+        should_run = jnp.logical_and(
+            should_run, (blk + 1) * block_tokens > length - window)
+
+    @pl.when(should_run)
     def _run():
         q = q_ref[0, 0]                        # [g_pad, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         pos = blk * block_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
-        s = jnp.where(pos < length, s, DEFAULT_MASK_VALUE)
+        keep = pos < length
+        if window is not None:
+            keep = jnp.logical_and(keep, pos >= length - window)
+        s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]
@@ -133,7 +149,8 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
 
 
 def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
-                    k_scales=None, v_scales=None, pages_per_block=8):
+                    k_scales=None, v_scales=None, pages_per_block=8,
+                    window=None):
     """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere)."""
     quantized = k_scales is not None
     if dispatch.forced() is False or not (dispatch.forced() or
@@ -142,7 +159,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
             k_pages = k_pages.astype(jnp.float32) * k_scales
             v_pages = v_pages.astype(jnp.float32) * v_scales
         return paged_attention_reference(q, k_pages, v_pages, lengths,
-                                         page_indices, scale)
+                                         page_indices, scale, window)
 
     b, hq, d = q.shape
     hkv, n_pages, psize, _ = k_pages.shape
@@ -194,7 +211,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
 
     kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
                                n_blocks=n_blocks, npb=npb,
-                               quantized=quantized)
+                               quantized=quantized, window=window)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -4,7 +4,8 @@ from np_modeling_tpu.parallel.context import (gather_attention,
                                               make_context_parallel_attention,
                                               ring_attention)
 from np_modeling_tpu.parallel.mesh import auto_mesh, make_mesh
-from np_modeling_tpu.parallel.pipeline import make_pipeline, pipeline_apply
+from np_modeling_tpu.parallel.pipeline import (make_pipeline, pipeline_apply,
+                                               pipeline_gpt, stack_gpt_layers)
 from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES, constrain,
                                                partition_specs, shard_batch,
                                                shard_params)
@@ -12,6 +13,7 @@ from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES, constrain,
 __all__ = [
     "TRANSFORMER_RULES", "auto_mesh", "constrain", "gather_attention",
     "make_context_parallel_attention", "make_mesh", "make_pipeline",
-    "partition_specs", "pipeline_apply", "ring_attention", "shard_batch",
+    "partition_specs", "pipeline_apply", "pipeline_gpt", "ring_attention",
+    "shard_batch", "stack_gpt_layers",
     "shard_params",
 ]

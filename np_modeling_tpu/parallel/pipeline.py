@@ -71,6 +71,74 @@ def pipeline_apply(stage_fn, stage_params, x, axis_name: str,
     return outputs.reshape(b, *x.shape[1:])
 
 
+def pipeline_gpt(mesh: Mesh, gpt, axis: str = "pp",
+                 num_microbatches: int = 4):
+    """Pipeline a real GPT over ``axis``: blocks are split into
+    mesh.shape[axis] stages (embedding and the LM head run outside the
+    pipeline, replicated); returns ``(apply_fn, loss_fn)``.
+
+    Params must be in the scan layout (``params['layers']`` leaves stacked
+    [num_layers, ...] — GPTConfig(scan_layers=True).init or
+    stack_gpt_layers); num_layers % num_stages == 0. Blocks run in eval
+    mode inside the pipeline (use dp for dropout-regularized training).
+    """
+    c = gpt.config
+    n_stages = mesh.shape[axis]
+    assert c.num_layers % n_stages == 0, (c.num_layers, n_stages)
+    per_stage = c.num_layers // n_stages
+
+    def stage_fn(stage_params, x):
+        for i in range(per_stage):
+            lp = jax.tree_util.tree_map(lambda a: a[i], stage_params)
+            x = gpt.block.apply(lp, x)
+        return x
+
+    pipe = make_pipeline(mesh, stage_fn, axis, num_microbatches)
+
+    def apply_fn(params, tokens):
+        x = gpt.embed.apply(params["embedding"], tokens)
+        if c.positional == "learned":
+            pos = jnp.arange(tokens.shape[-1])
+            x = x + gpt.pos_embed.apply(params["pos_embedding"], pos)
+        if c.dtype is not None:
+            x = x.astype(c.dtype)
+        staged = jax.tree_util.tree_map(
+            lambda a: a.reshape(n_stages, per_stage, *a.shape[1:]),
+            params["layers"])
+        x = pipe(staged, x)
+        x = gpt.final_norm.apply(params["final_norm"], x)
+        if c.tie_embeddings:
+            table = params["embedding"]["table"]
+            if c.dtype is not None:
+                table = table.astype(c.dtype)
+            logits = jnp.einsum("...d,vd->...v", x, table,
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = gpt.lm_head.apply(params["lm_head"], x)
+        return logits.astype(jnp.float32)
+
+    def loss_fn(params, tokens):
+        from np_modeling_tpu import ops
+        logits = apply_fn(params, tokens[..., :-1])
+        ce = ops.softmax_cross_entropy_with_integer_labels(
+            logits, tokens[..., 1:])
+        return jnp.mean(ce)
+
+    return apply_fn, loss_fn
+
+
+def stack_gpt_layers(gpt, loop_params: dict) -> dict:
+    """Convert loop-layout GPT params (layer_i keys) to the stacked scan
+    layout pipeline_gpt expects."""
+    n = gpt.config.num_layers
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[loop_params[f"layer_{i}"] for i in range(n)])
+    out = {k: v for k, v in loop_params.items() if not k.startswith("layer_")}
+    out["layers"] = stacked
+    return out
+
+
 def make_pipeline(mesh: Mesh, stage_fn, axis: str = "pp",
                   num_microbatches: int = 4):
     """Build fn(stage_params, x) -> y running the pipeline over ``axis``.

@@ -1,10 +1,18 @@
 """Generation engine: continuous-batching GPT serving on a paged KV cache.
 
-Requests are prefilled with one full forward pass (collect_kv=True hands back
-each layer's projected K/V to seed the pages), then decoded one token per
-step for all live sequences together, with attention over the paged cache
-(ops.paged_attention). Sequences join/leave between steps (continuous
-batching); pages are reclaimed on completion.
+The decode data plane is ONE jitted, state-donating device step for all
+slots: embedding, per-layer batched page append (scatter by (page, slot)
+indices), paged attention over the shared page table, FFN/MoE, and
+temperature/top-k sampling — a single dispatch per generated token
+regardless of how many sequences are live. The host keeps only the control
+plane: the page free list, seq-id -> slot mapping, and page-table growth
+(one device scatter every ``page_size`` steps per sequence).
+
+Requests are prefilled with one full forward pass (collect_kv=True hands
+back each layer's projected K/V to seed the pages). Sequences join/leave
+between steps (continuous batching); pages are reclaimed on completion.
+Sliding-window models (GPTConfig.attention_window) decode with the same
+window mask as training. MoE GPTs are served (router runs per decode slot).
 
 This is the decode path the reference explicitly lacks
 (``TODO: support cache``, /root/reference/layers/transformer.py:120).
@@ -13,121 +21,308 @@ This is the decode path the reference explicitly lacks
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from np_modeling_tpu import ops
-from np_modeling_tpu.serving.kv_cache import PagedKVCache
+from np_modeling_tpu.serving.kv_cache import OutOfPagesError
 
 
 @dataclasses.dataclass
 class GenerationEngine:
+    """``temperature=0`` decodes greedily; otherwise temperature/top-k
+    sampling runs in-graph. ``quantize_kv`` stores int8 pages + per-token
+    scales (halves decode-kernel page bandwidth)."""
+
     gpt: object                  # models.GPT
     params: dict
     total_pages: int = 256
     page_size: int = 16
     max_seqs: int = 16
     quantize_kv: bool = False
+    temperature: float = 0.0
+    top_k: Optional[int] = None
+    seed: int = 0
 
     def __post_init__(self):
         c = self.gpt.config
         assert not c.scan_layers, "engine requires scan_layers=False"
         hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
         self._dims = (hq, hkv, dk)
-        self.caches = [
-            PagedKVCache(hkv, dk, self.total_pages, self.page_size,
-                         self.max_seqs, quantize=self.quantize_kv)
-            for _ in range(c.num_layers)
-        ]
-        self._last_token: dict[int, jax.Array] = {}
+        self.max_pages = -(-c.max_len // self.page_size)
+        store = jnp.int8 if self.quantize_kv else jnp.float32
+        shape = (c.num_layers, hkv, self.total_pages, self.page_size, dk)
+        state = {
+            "k_pages": jnp.zeros(shape, store),
+            "v_pages": jnp.zeros(shape, store),
+            "table": jnp.zeros((self.max_seqs, self.max_pages), jnp.int32),
+            "lengths": jnp.zeros((self.max_seqs,), jnp.int32),
+            "last_tok": jnp.zeros((self.max_seqs,), jnp.int32),
+            "active": jnp.zeros((self.max_seqs,), bool),
+        }
+        if self.quantize_kv:
+            sshape = shape[:-1] + (1,)
+            state["k_scales"] = jnp.zeros(sshape, jnp.float32)
+            state["v_scales"] = jnp.zeros(sshape, jnp.float32)
+        self._state = state
+        # The last page is the trash page: inactive slots' appends land
+        # there so the jitted step needs no scatter masking.
+        self._trash = self.total_pages - 1
+        self._free = list(range(self.total_pages - 2, -1, -1))
+        self._slots: dict[int, int] = {}        # seq_id -> slot
+        self._host_len: dict[int, int] = {}     # authoritative lengths
+        self._seq_pages: dict[int, list[int]] = {}
+        self._rng = jax.random.PRNGKey(self.seed)
+        self._jit_step = jax.jit(self._device_step, donate_argnums=(0,))
+        self._jit_multi: dict[int, object] = {}   # n -> jitted n-step scan
 
     # ---- request lifecycle ----------------------------------------------
 
+    @property
+    def live(self):
+        return sorted(self._slots)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def _alloc(self, n: int) -> list[int]:
+        if len(self._free) < n:
+            raise OutOfPagesError(
+                f"out of KV pages ({self.total_pages} total)")
+        return [self._free.pop() for _ in range(n)]
+
     def add_request(self, seq_id: int, prompt_tokens) -> int:
-        """Prefill a prompt; returns the first generated (greedy) token."""
-        prompt = jnp.asarray(prompt_tokens)[None, :]       # [1, s]
+        """Prefill a prompt; returns the first generated token."""
+        if seq_id in self._slots:
+            raise ValueError(f"sequence {seq_id} already live")
+        used = set(self._slots.values())
+        free_slots = [s for s in range(self.max_seqs) if s not in used]
+        if not free_slots:
+            raise RuntimeError(f"all {self.max_seqs} slots busy")
+        slot = free_slots[0]
+
+        prompt = jnp.asarray(prompt_tokens)[None, :]
+        plen = int(prompt.shape[1])
+        if plen >= self.max_pages * self.page_size:
+            raise OutOfPagesError("prompt exceeds per-sequence page table")
+        pages = self._alloc(-(-plen // self.page_size))
+
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True)
-        for cache, (k, v) in zip(self.caches, kvs):
-            cache.allocate(seq_id)
-            cache.append(seq_id, k[0], v[0])               # [hkv, s, dk]
-        tok = int(jnp.argmax(logits[0, -1]))
-        self._last_token[seq_id] = tok
+        st = dict(self._state)
+        st["table"] = st["table"].at[slot, :len(pages)].set(
+            jnp.asarray(pages, jnp.int32))
+        positions = jnp.arange(plen)
+        p_idx = jnp.asarray(pages, jnp.int32)[positions // self.page_size]
+        offs = positions % self.page_size
+        for li, (k, v) in enumerate(kvs):
+            st = self._append(st, li, p_idx, offs, k[0], v[0])
+
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(self._sample(logits[:, -1].astype(jnp.float32), sub)[0])
+        st["lengths"] = st["lengths"].at[slot].set(plen)
+        st["last_tok"] = st["last_tok"].at[slot].set(tok)
+        st["active"] = st["active"].at[slot].set(True)
+        self._state = st
+        self._slots[seq_id] = slot
+        self._host_len[seq_id] = plen
+        self._seq_pages[seq_id] = pages
         return tok
 
     def finish(self, seq_id: int) -> None:
-        for cache in self.caches:
-            cache.free(seq_id)
-        del self._last_token[seq_id]
+        slot = self._slots.pop(seq_id)
+        del self._host_len[seq_id]
+        self._free.extend(self._seq_pages.pop(seq_id))
+        st = dict(self._state)
+        st["active"] = st["active"].at[slot].set(False)
+        st["lengths"] = st["lengths"].at[slot].set(0)
+        self._state = st
 
-    @property
-    def live(self):
-        return sorted(self._last_token)
-
-    # ---- decode step -----------------------------------------------------
+    # ---- decode step (host wrapper: page growth + one jit dispatch) ------
 
     def step(self) -> dict:
         """Decode ONE token for every live sequence; returns {seq_id: token}."""
-        seq_ids = self.live
-        if not seq_ids:
+        if not self._slots:
             return {}
-        c = self.gpt.config
-        p = self.params
-        tokens = jnp.asarray([self._last_token[s] for s in seq_ids])
-        positions = jnp.asarray([self.caches[0].length(s) for s in seq_ids])
+        upd = []                              # (slot, page_pos, new_page)
+        for seq_id, slot in self._slots.items():
+            ln = self._host_len[seq_id]       # appending position ``ln``
+            if ln >= self.max_pages * self.page_size:
+                raise OutOfPagesError(
+                    f"sequence {seq_id} exceeds its page table")
+            need = ln // self.page_size + 1
+            if need > len(self._seq_pages[seq_id]):
+                (pg,) = self._alloc(1)
+                self._seq_pages[seq_id].append(pg)
+                upd.append((slot, need - 1, pg))
+        st = self._state
+        if upd:
+            slots, poss, pgs = (jnp.asarray(u, jnp.int32)
+                                for u in zip(*upd))
+            st = dict(st)
+            st["table"] = st["table"].at[slots, poss].set(pgs)
 
-        x = ops.embedding_lookup(p["embedding"]["table"], tokens)
+        self._rng, sub = jax.random.split(self._rng)
+        self._state, toks = self._jit_step(st, self.params, sub)
+        toks_np = np.asarray(toks)
+        out = {}
+        for seq_id, slot in sorted(self._slots.items()):
+            self._host_len[seq_id] += 1
+            out[seq_id] = int(toks_np[slot])
+        return out
+
+    def step_many(self, n: int) -> dict:
+        """Decode ``n`` tokens for every live sequence in ONE device
+        dispatch (lax.scan over the step); returns {seq_id: [tokens]}.
+
+        Join/leave still happens between calls — this is the batched inner
+        loop of continuous batching. Host pre-grows every page table to
+        cover ``n`` more tokens, so no host hop occurs mid-scan. On this
+        machine's tunneled TPU a per-token dispatch+readback costs ~45ms
+        of round-trip latency; step_many amortizes it n-fold."""
+        if not self._slots:
+            return {}
+        upd = []
+        for seq_id, slot in self._slots.items():
+            ln = self._host_len[seq_id]
+            if ln + n > self.max_pages * self.page_size:
+                raise OutOfPagesError(
+                    f"sequence {seq_id} exceeds its page table")
+            need = -(-(ln + n) // self.page_size)
+            while need > len(self._seq_pages[seq_id]):
+                (pg,) = self._alloc(1)
+                self._seq_pages[seq_id].append(pg)
+                upd.append((slot, len(self._seq_pages[seq_id]) - 1, pg))
+        st = self._state
+        if upd:
+            slots, poss, pgs = (jnp.asarray(u, jnp.int32)
+                                for u in zip(*upd))
+            st = dict(st)
+            st["table"] = st["table"].at[slots, poss].set(pgs)
+
+        if n not in self._jit_multi:
+            def multi(state, params, key, _n=n):
+                def body(state, i):
+                    return self._device_step(state, params,
+                                             jax.random.fold_in(key, i))
+                return jax.lax.scan(body, state, jnp.arange(_n))
+            self._jit_multi[n] = jax.jit(multi, donate_argnums=(0,))
+
+        self._rng, sub = jax.random.split(self._rng)
+        self._state, toks = self._jit_multi[n](st, self.params, sub)
+        toks_np = np.asarray(toks)                         # [n, max_seqs]
+        out = {}
+        for seq_id, slot in sorted(self._slots.items()):
+            self._host_len[seq_id] += n
+            out[seq_id] = [int(t) for t in toks_np[:, slot]]
+        return out
+
+    # ---- the jitted device step ------------------------------------------
+
+    def _device_step(self, state, params, key):
+        c = self.gpt.config
+        active = state["active"]
+        lengths = state["lengths"]
+        x = ops.embedding_lookup(params["embedding"]["table"],
+                                 state["last_tok"])
         if c.positional == "learned":
-            x = x + ops.embedding_lookup(p["pos_embedding"]["table"],
-                                         positions)
+            pos = jnp.clip(lengths, 0, c.max_len - 1)
+            x = x + ops.embedding_lookup(params["pos_embedding"]["table"],
+                                         pos)
         if c.dtype is not None:
             x = x.astype(c.dtype)
-        x = x[:, None, :]                                   # [B, 1, d]
+        x = x[:, None, :]                                   # [S, 1, d]
 
         for li in range(c.num_layers):
-            x = self._block_step(p[f"layer_{li}"], x, li, seq_ids)
+            x, state = self._block_step(params[f"layer_{li}"], x, li, state)
 
-        x = self.gpt.final_norm.apply(p["final_norm"], x)
+        x = self.gpt.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:
-            table = p["embedding"]["table"]
+            table = params["embedding"]["table"]
             logits = jnp.einsum("bsd,vd->bsv", x, table.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
         else:
-            logits = self.gpt.lm_head.apply(p["lm_head"], x)
-        out = {}
-        new_toks = jnp.argmax(logits[:, 0], axis=-1)
-        for i, s in enumerate(seq_ids):
-            tok = int(new_toks[i])
-            self._last_token[s] = tok
-            out[s] = tok
-        return out
+            logits = self.gpt.lm_head.apply(params["lm_head"], x)
+        new_tok = self._sample(logits[:, 0].astype(jnp.float32), key)
+        state["last_tok"] = jnp.where(active, new_tok, state["last_tok"])
+        state["lengths"] = lengths + active.astype(jnp.int32)
+        return state, jnp.where(active, new_tok, -1)
 
-    def _block_step(self, bp, x, layer_idx, seq_ids):
-        """One transformer block on a [B, 1, d] decode slice, with the
-        self-attention served from the layer's paged cache. Mirrors
+    def _sample(self, logits, key):
+        """Greedy (temperature=0) or in-graph temperature/top-k sampling."""
+        if self.temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lg = logits / self.temperature
+        if self.top_k is not None:
+            kth = jax.lax.top_k(lg, self.top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+    def _append(self, state, li, pages, offs, k_new, v_new):
+        """Scatter [hkv, N, dk] new K/V into layer li's pages at
+        (pages[n], offs[n]) — one batched scatter, device-side.
+
+        NB: with the integer layer index and the head slice between the
+        advanced (pages, offs) indices, numpy indexing moves the broadcast
+        dim FIRST — the scatter operand must be [N, hkv, ...]."""
+        if self.quantize_kv:
+            from np_modeling_tpu.ops.quantization import quantize_int8
+            kq, vq = quantize_int8(k_new), quantize_int8(v_new)
+            state["k_scales"] = state["k_scales"].at[
+                li, :, pages, offs].set(jnp.swapaxes(kq.scales, 0, 1))
+            state["v_scales"] = state["v_scales"].at[
+                li, :, pages, offs].set(jnp.swapaxes(vq.scales, 0, 1))
+            k_new, v_new = kq.values, vq.values
+        state["k_pages"] = state["k_pages"].at[li, :, pages, offs].set(
+            jnp.swapaxes(k_new, 0, 1).astype(state["k_pages"].dtype))
+        state["v_pages"] = state["v_pages"].at[li, :, pages, offs].set(
+            jnp.swapaxes(v_new, 0, 1).astype(state["v_pages"].dtype))
+        return state
+
+    def _block_step(self, bp, x, li, state):
+        """One transformer block on the [S, 1, d] decode slice: batched page
+        append + paged attention + FFN/MoE. Mirrors
         TransformerEncoderBlock.apply (eval mode, both norm orders)."""
+        c = self.gpt.config
         block = self.gpt.block
         attn = block.attn
-        cache = self.caches[layer_idx]
+        active, lengths = state["active"], state["lengths"]
 
         skip = x
         y = block.norm1.apply(bp["norm1"], x) if block.norm_first else x
         ap = bp["self_attention"]
-        q = attn._project(y, ap["wq"], ap["bq"])            # [B, hq, 1, dk]
+        q = attn._project(y, ap["wq"], ap["bq"])            # [S, hq, 1, dk]
         k = attn._project(y, ap["wk"], ap["bk"])
         v = attn._project(y, ap["wv"], ap["bv"])
         if attn.rope:
             from np_modeling_tpu.ops.rope import apply_rope
-            # Per-sequence decode positions [B, 1] (cache stores rotated k).
-            pos = jnp.asarray([[self.caches[layer_idx].length(s)]
-                               for s in seq_ids])
+            pos = lengths[:, None]                          # [S, 1]
             q = apply_rope(q, pos, attn.rope_base)
             k = apply_rope(k, pos, attn.rope_base)
-        for i, s in enumerate(seq_ids):
-            cache.append(s, k[i], v[i])                     # token joins cache
-        lengths, tables = cache.batch_views(seq_ids)
-        o = ops.paged_attention(q[:, :, 0, :], cache.k_pages, cache.v_pages,
-                                lengths, tables, **cache.attention_kwargs())
+
+        # Batched append: slot n writes (page_of(lengths[n]), lengths[n]%ps);
+        # inactive slots write the trash page.
+        page_pos = lengths // self.page_size
+        slot_off = lengths % self.page_size
+        pages = jnp.take_along_axis(state["table"], page_pos[:, None],
+                                    axis=1)[:, 0]
+        pages = jnp.where(active, pages, self._trash)
+        state = self._append(state, li, pages, slot_off,
+                             jnp.swapaxes(k[:, :, 0, :], 0, 1),
+                             jnp.swapaxes(v[:, :, 0, :], 0, 1))
+
+        att_len = jnp.where(active, lengths + 1, 0)
+        kwargs = {}
+        if self.quantize_kv:
+            kwargs = {"k_scales": state["k_scales"][li],
+                      "v_scales": state["v_scales"][li]}
+        o = ops.paged_attention(q[:, :, 0, :], state["k_pages"][li],
+                                state["v_pages"][li], att_len,
+                                state["table"],
+                                window=c.attention_window, **kwargs)
         hq, dk, d_out = ap["wo"].shape
         o = o.reshape(x.shape[0], 1, hq * dk).astype(x.dtype)
         y = ops.linear(o, ap["wo"].reshape(hq * dk, d_out).astype(x.dtype),
@@ -138,10 +333,13 @@ class GenerationEngine:
 
         skip = y
         z = block.norm2.apply(bp["norm2"], y) if block.norm_first else y
-        z = block.dense1.apply(bp["dense1"], z)
-        z = ops.linear(z, bp["dense2"]["w"].astype(x.dtype),
-                       bp["dense2"]["b"].astype(x.dtype))
+        if c.moe_experts:
+            z, _ = block.moe.apply_with_aux(bp["moe"], z)
+        else:
+            z = block.dense1.apply(bp["dense1"], z)
+            z = ops.linear(z, bp["dense2"]["w"].astype(x.dtype),
+                           bp["dense2"]["b"].astype(x.dtype))
         z = z + skip
         if not block.norm_first:
             z = block.norm2.apply(bp["norm2"], z)
-        return z
+        return z, state

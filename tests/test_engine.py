@@ -60,12 +60,96 @@ def test_continuous_batching_isolated_sequences():
 def test_pages_reclaimed():
     gpt, params = _gpt()
     eng = GenerationEngine(gpt, params, total_pages=8, page_size=4)
-    free0 = eng.caches[0].free_pages
+    free0 = eng.free_pages
     eng.add_request(0, jnp.asarray(rng.integers(0, 64, (6,))))
-    assert eng.caches[0].free_pages < free0
+    assert eng.free_pages < free0
     eng.finish(0)
-    assert eng.caches[0].free_pages == free0
+    assert eng.free_pages == free0
     assert eng.live == []
+
+
+def test_step_many_matches_stepwise():
+    """step_many(n) (one dispatch) must equal n individual step() calls."""
+    gpt, params = _gpt()
+    prompt = jnp.asarray(rng.integers(0, 64, (6,)))
+    e1 = GenerationEngine(gpt, params, total_pages=32, page_size=4)
+    t1 = [e1.add_request(0, prompt)]
+    for _ in range(6):
+        t1.append(e1.step()[0])
+    e2 = GenerationEngine(gpt, params, total_pages=32, page_size=4)
+    t2 = [e2.add_request(0, prompt)]
+    t2 += e2.step_many(6)[0]
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert e1._host_len[0] == e2._host_len[0]
+
+
+def test_engine_serves_moe_gpt():
+    """Round-1 gap: a MoE GPT crashed the engine's _block_step."""
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=64,
+                           moe_experts=4)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 6)))
+    steps = 4
+    dense = np.asarray(gpt.generate(params, prompt, steps=steps))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(steps - 1):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), dense)
+
+
+def test_engine_respects_attention_window():
+    """Serving a window-trained model must apply the same sliding-window
+    mask as training/dense decode (round-1 advisory: paged decode silently
+    attended over the full cache)."""
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=64,
+                           attention_window=4)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 10)))  # > window
+    steps = 6
+    dense = np.asarray(gpt.generate(params, prompt, steps=steps))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(steps - 1):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), dense)
+
+
+def test_engine_sampling_in_graph():
+    gpt, params = _gpt()
+    prompt = jnp.asarray(rng.integers(0, 64, (6,)))
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           temperature=0.8, top_k=8, seed=7)
+    toks = [eng.add_request(0, prompt)]
+    for _ in range(8):
+        toks.append(eng.step()[0])
+    assert all(0 <= t < 64 for t in toks)
+    # Different seed -> (almost surely) different trajectory.
+    eng2 = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                            temperature=0.8, top_k=8, seed=8)
+    toks2 = [eng2.add_request(0, prompt)]
+    for _ in range(8):
+        toks2.append(eng2.step()[0])
+    assert toks != toks2
+
+
+def test_engine_quantized_kv_close_to_dense():
+    gpt, params = _gpt()
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 6)))
+    dense = np.asarray(gpt.generate(params, prompt, steps=3))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           quantize_kv=True)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(2):
+        toks.append(eng.step()[0])
+    # int8 KV: same argmax decode expected at these scales.
+    np.testing.assert_array_equal(np.asarray(toks), dense)
 
 
 def test_engine_matches_dense_generate_rope():
