@@ -649,6 +649,78 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
+               bias_ref, *rest, causal, window, scale, kv_len, block_q,
+               block_kv, n_q, n_kv):
+    """FUSED backward tile: one (s, p, dp, ds) recompute feeds dk, dv AND a
+    dq partial — 5 matmuls per tile pair vs 7 for the split dq/dkv kernels.
+    dq partials [b, h, n_kv, sq, d] are reduced over n_kv outside."""
+    if bias_ref is not None:
+        dk_ref, dv_ref, dqp_ref, dbias_ref, dk_scr, dv_scr = rest
+    else:
+        (dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr), dbias_ref = rest, None
+    kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    should_run = _should_run(q_idx, kv_idx, causal, window, block_q, block_kv)
+
+    @pl.when(should_run)
+    def _run():
+        q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+        lse, di = lse_ref[0, 0], di_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0]
+        s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
+                       block_kv, n_kv, seg, mask_ref)
+        p = jnp.exp(s - lse[:, 0:1])
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds_raw = p * (dp - di[:, 0:1])
+        if dbias_ref is not None:
+            dbias_ref[0, 0] = ds_raw
+        ds = ds_raw * scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqp_ref[0, 0, 0] = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        # Skipped band tiles still own distinct dq-partial/dbias blocks.
+        @pl.when(jnp.logical_not(should_run))
+        def _zero():
+            dqp_ref[0, 0, 0] = jnp.zeros_like(dqp_ref[0, 0, 0])
+            if dbias_ref is not None:
+                dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# Backward strategy: 'fused' recomputes (s, p, dp, ds) ONCE per tile pair
+# and emits dk, dv, and dq partials (5 matmuls/tile, + an HBM pass for the
+# [b,h,n_kv,sq,d] fp32 partials reduced outside); 'split' runs separate
+# dq and dkv kernels (7 matmuls/tile, no partials traffic). MEASURED on
+# v5e (h8 d128 causal bf16, 1024x1024 blocks): fused is 0.875x at
+# b8/s2048 (7531 vs 6587us fwd+bwd) and 0.885x at b2/s4096 — the fp32
+# partials' HBM writes + reduction cost MORE than the two saved matmuls,
+# so SPLIT is the default. The fused path stays tested (interpret-mode
+# equality) for shapes where compute dominates bandwidth further.
+FUSED_BWD = False
+
+
 def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
                       window, scale, block_q, block_kv):
     b, hq, sq, d = q.shape
@@ -686,52 +758,57 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     has_bias = bias is not None
     if has_seg:
         qsb, kvsb = _seg_arrays(q_seg, kv_seg, sq_p, skv_p)
+    dbias = None
 
-    dq_tile = functools.partial(_dq_tile, causal=causal, window=window,
-                                scale=scale, kv_len=skv, block_q=bq,
-                                block_kv=bkv, n_kv=n_kv)
-    dq_kernel = _make_wrapper(dq_tile, 6, has_seg, mask is not None, has_bias)
-    dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
-    dq_inputs = [qp, kp, vp, dop, lse4, di4]
-    if has_seg:
-        dq_specs.extend(_seg_specs(bq, bkv, "qkv"))
-        dq_inputs.extend([qsb, kvsb])
-    mb_in, mb_specs = _mb_inputs(mask, bias, sq_p, skv_p, bq, bkv, "qkv",
-                                 causal, window)
-    dq_inputs.extend(mb_in)
-    dq_specs.extend(mb_specs)
-    dq_out_spec = pl.BlockSpec((1, 1, bq, d_p),
-                               lambda ib, ih, iq, ik: (ib, ih, iq, 0))
-    dq_out_shape = jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype)
-    if has_bias:
-        # dbias streams out one [bq, bkv] fp32 tile per grid step.
-        dbias_spec = pl.BlockSpec((1, 1, bq, bkv),
-                                  lambda ib, ih, iq, ik: (ib, ih, iq, ik))
-        out_specs = [dq_out_spec, dbias_spec]
-        out_shape = [dq_out_shape,
-                     jax.ShapeDtypeStruct((b, hq, sq_p, skv_p), jnp.float32)]
-    else:
-        out_specs, out_shape = dq_out_spec, dq_out_shape
-    dq_out = pl.pallas_call(
-        dq_kernel,
-        grid=(b, hq, n_q, n_kv),
-        in_specs=dq_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bq, d_p), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
-        interpret=dispatch.interpret_mode(),
-    )(*dq_inputs)
-    if has_bias:
-        dq, dbias_full = dq_out
-        dbias = _unbroadcast_bias(dbias_full[:, :, :sq, :skv], bias)
-    else:
-        dq, dbias = dq_out, None
+    if not FUSED_BWD:
+        dq_tile = functools.partial(_dq_tile, causal=causal, window=window,
+                                    scale=scale, kv_len=skv, block_q=bq,
+                                    block_kv=bkv, n_kv=n_kv)
+        dq_kernel = _make_wrapper(dq_tile, 6, has_seg, mask is not None,
+                                  has_bias)
+        dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
+        dq_inputs = [qp, kp, vp, dop, lse4, di4]
+        if has_seg:
+            dq_specs.extend(_seg_specs(bq, bkv, "qkv"))
+            dq_inputs.extend([qsb, kvsb])
+        mb_in, mb_specs = _mb_inputs(mask, bias, sq_p, skv_p, bq, bkv, "qkv",
+                                     causal, window)
+        dq_inputs.extend(mb_in)
+        dq_specs.extend(mb_specs)
+        dq_out_spec = pl.BlockSpec((1, 1, bq, d_p),
+                                   lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+        dq_out_shape = jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype)
+        if has_bias:
+            # dbias streams out one [bq, bkv] fp32 tile per grid step.
+            dbias_spec = pl.BlockSpec((1, 1, bq, bkv),
+                                      lambda ib, ih, iq, ik: (ib, ih, iq, ik))
+            out_specs = [dq_out_spec, dbias_spec]
+            out_shape = [dq_out_shape,
+                         jax.ShapeDtypeStruct((b, hq, sq_p, skv_p),
+                                              jnp.float32)]
+        else:
+            out_specs, out_shape = dq_out_spec, dq_out_shape
+        dq_out = pl.pallas_call(
+            dq_kernel,
+            grid=(b, hq, n_q, n_kv),
+            in_specs=dq_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((bq, d_p), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=dispatch.interpret_mode(),
+        )(*dq_inputs)
+        if has_bias:
+            dq, dbias_full = dq_out
+            dbias = _unbroadcast_bias(dbias_full[:, :, :sq, :skv], bias)
+        else:
+            dq = dq_out
 
-    # dk/dv: grid loops kv tiles in the 3rd dim, q tiles sequentially in the
-    # 4th. Computed per q-head ([b, hq, skv, d]) then group-summed for GQA.
+    # dk/dv (and, when fused, dq partials + dbias): grid loops kv tiles in
+    # the 3rd dim, q tiles sequentially in the 4th. Computed per q-head
+    # ([b, hq, skv, d]) then group-summed for GQA.
     def q_map_t(ib, ih, ikv, iq):
         ok = _band_ok(iq, ikv, causal, window, bq, bkv)
         if ok is not None:
@@ -745,7 +822,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
                              lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
     dkv_out_spec = pl.BlockSpec((1, 1, bkv, d_p),
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
-    dkv_tile = functools.partial(_dkv_tile, causal=causal, window=window,
+    tile_cls = _dkvq_tile if FUSED_BWD else _dkv_tile
+    dkv_tile = functools.partial(tile_cls, causal=causal, window=window,
                                  scale=scale, kv_len=skv, block_q=bq,
                                  block_kv=bkv, n_q=n_q, n_kv=n_kv)
     dkv_kernel = _make_wrapper(dkv_tile, 6, has_seg, mask is not None,
@@ -760,13 +838,25 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
                                      causal, window)
     dkv_inputs.extend(mb_in_t)
     dkv_specs.extend(mb_specs_t)
-    dk_full, dv_full = pl.pallas_call(
+    out_specs = [dkv_out_spec, dkv_out_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
+                 jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype)]
+    if FUSED_BWD:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, bq, d_p), lambda ib, ih, ikv, iq: (ib, ih, ikv, iq, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hq, n_kv, sq_p, d_p), jnp.float32))
+        if has_bias:
+            out_specs.append(pl.BlockSpec(
+                (1, 1, bq, bkv), lambda ib, ih, ikv, iq: (ib, ih, iq, ikv)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hq, sq_p, skv_p), jnp.float32))
+    outs = pl.pallas_call(
         dkv_kernel,
         grid=(b, hq, n_kv, n_q),
         in_specs=dkv_specs,
-        out_specs=[dkv_out_spec, dkv_out_spec],
-        out_shape=[jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
-                   jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bkv, d_p), jnp.float32),
                         pltpu.VMEM((bkv, d_p), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -774,6 +864,15 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
                                  "arbitrary")),
         interpret=dispatch.interpret_mode(),
     )(*dkv_inputs)
+    if FUSED_BWD:
+        if has_bias:
+            dk_full, dv_full, dq_p, dbias_full = outs
+            dbias = _unbroadcast_bias(dbias_full[:, :, :sq, :skv], bias)
+        else:
+            dk_full, dv_full, dq_p = outs
+        dq = jnp.sum(dq_p, axis=2).astype(q.dtype)
+    else:
+        dk_full, dv_full = outs
 
     dq = dq[:, :, :sq, :d]
     dk = _group_sum(dk_full[:, :, :skv, :d], g)

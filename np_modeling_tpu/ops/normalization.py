@@ -159,5 +159,13 @@ def dropout(x: jax.Array, key: jax.Array | None, rate: float,
         return x
     if key is None:
         raise ValueError("dropout(training=True, rate>0) requires a PRNG key")
+    from np_modeling_tpu.ops import dispatch
+    if (dispatch.on_tpu() and not dispatch.interpret_mode()
+            and dispatch.forced() is not False):
+        # In-kernel PRNG: the mask is regenerated in the backward kernel
+        # from the seed — zero HBM residual for the mask (ops/fused.py).
+        # TPU-only: interpret mode stubs the TPU PRNG to zeros.
+        from np_modeling_tpu.ops.fused import dropout_prng, seed_from_key
+        return dropout_prng(x, seed_from_key(key), rate)
     mask = make_dropout_mask(key, x.shape, rate)
     return dropout_with_mask(x, mask, rate)

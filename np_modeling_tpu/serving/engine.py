@@ -54,10 +54,15 @@ class GenerationEngine:
         self._dims = (hq, hkv, dk)
         self.max_pages = -(-c.max_len // self.page_size)
         store = jnp.int8 if self.quantize_kv else jnp.float32
-        shape = (c.num_layers, hkv, self.total_pages, self.page_size, dk)
+        # One page array PER LAYER (not one stacked [L, ...] array): the
+        # per-layer scatter then has adjacent advanced indices and XLA
+        # updates the donated buffer in place — a stacked layout's leading
+        # layer index forced multi-GB copies per appended token.
+        shape = (hkv, self.total_pages, self.page_size, dk)
+        L = c.num_layers
         state = {
-            "k_pages": jnp.zeros(shape, store),
-            "v_pages": jnp.zeros(shape, store),
+            "k_pages": [jnp.zeros(shape, store) for _ in range(L)],
+            "v_pages": [jnp.zeros(shape, store) for _ in range(L)],
             "table": jnp.zeros((self.max_seqs, self.max_pages), jnp.int32),
             "lengths": jnp.zeros((self.max_seqs,), jnp.int32),
             "last_tok": jnp.zeros((self.max_seqs,), jnp.int32),
@@ -65,8 +70,10 @@ class GenerationEngine:
         }
         if self.quantize_kv:
             sshape = shape[:-1] + (1,)
-            state["k_scales"] = jnp.zeros(sshape, jnp.float32)
-            state["v_scales"] = jnp.zeros(sshape, jnp.float32)
+            state["k_scales"] = [jnp.zeros(sshape, jnp.float32)
+                                 for _ in range(L)]
+            state["v_scales"] = [jnp.zeros(sshape, jnp.float32)
+                                 for _ in range(L)]
         self._state = state
         # The last page is the trash page: inactive slots' appends land
         # there so the jitted step needs no scatter masking.
@@ -112,7 +119,7 @@ class GenerationEngine:
         pages = self._alloc(-(-plen // self.page_size))
 
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True)
-        st = dict(self._state)
+        st = jax.tree_util.tree_map(lambda x: x, self._state)
         st["table"] = st["table"].at[slot, :len(pages)].set(
             jnp.asarray(pages, jnp.int32))
         positions = jnp.arange(plen)
@@ -136,7 +143,7 @@ class GenerationEngine:
         slot = self._slots.pop(seq_id)
         del self._host_len[seq_id]
         self._free.extend(self._seq_pages.pop(seq_id))
-        st = dict(self._state)
+        st = jax.tree_util.tree_map(lambda x: x, self._state)
         st["active"] = st["active"].at[slot].set(False)
         st["lengths"] = st["lengths"].at[slot].set(0)
         self._state = st
@@ -263,23 +270,20 @@ class GenerationEngine:
 
     def _append(self, state, li, pages, offs, k_new, v_new):
         """Scatter [hkv, N, dk] new K/V into layer li's pages at
-        (pages[n], offs[n]) — one batched scatter, device-side.
-
-        NB: with the integer layer index and the head slice between the
-        advanced (pages, offs) indices, numpy indexing moves the broadcast
-        dim FIRST — the scatter operand must be [N, hkv, ...]."""
+        (pages[n], offs[n]) — one batched scatter, device-side, in place
+        on the donated per-layer buffer."""
         if self.quantize_kv:
             from np_modeling_tpu.ops.quantization import quantize_int8
             kq, vq = quantize_int8(k_new), quantize_int8(v_new)
-            state["k_scales"] = state["k_scales"].at[
-                li, :, pages, offs].set(jnp.swapaxes(kq.scales, 0, 1))
-            state["v_scales"] = state["v_scales"].at[
-                li, :, pages, offs].set(jnp.swapaxes(vq.scales, 0, 1))
+            state["k_scales"][li] = state["k_scales"][li].at[
+                :, pages, offs].set(kq.scales)
+            state["v_scales"][li] = state["v_scales"][li].at[
+                :, pages, offs].set(vq.scales)
             k_new, v_new = kq.values, vq.values
-        state["k_pages"] = state["k_pages"].at[li, :, pages, offs].set(
-            jnp.swapaxes(k_new, 0, 1).astype(state["k_pages"].dtype))
-        state["v_pages"] = state["v_pages"].at[li, :, pages, offs].set(
-            jnp.swapaxes(v_new, 0, 1).astype(state["v_pages"].dtype))
+        state["k_pages"][li] = state["k_pages"][li].at[:, pages, offs].set(
+            k_new.astype(state["k_pages"][li].dtype))
+        state["v_pages"][li] = state["v_pages"][li].at[:, pages, offs].set(
+            v_new.astype(state["v_pages"][li].dtype))
         return state
 
     def _block_step(self, bp, x, li, state):

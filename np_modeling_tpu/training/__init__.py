@@ -2,8 +2,9 @@
 pipeline, checkpointing."""
 
 from np_modeling_tpu.training import data, schedules
-from np_modeling_tpu.training.checkpoint import (load_checkpoint,
-                                                 save_checkpoint)
+from np_modeling_tpu.training.checkpoint import (
+    load_checkpoint, load_checkpoint_sharded, save_checkpoint,
+    save_checkpoint_sharded)
 from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adam,
                                                  adamw, apply_updates, chain,
                                                  clip_by_global_norm, momentum,
@@ -14,6 +15,7 @@ from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
 __all__ = [
     "AdamState", "Optimizer", "Trainer", "adam", "adamw", "apply_updates",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
+    "load_checkpoint_sharded", "save_checkpoint_sharded",
     "make_eval_step", "make_train_step", "momentum", "resolve_loss",
     "save_checkpoint", "schedules", "sgd",
 ]

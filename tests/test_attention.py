@@ -343,6 +343,33 @@ class TestPallasMaskBias:
         assert_allclose(out, orac(), rtol=2e-5, atol=2e-5)
 
 
+class TestFusedBackward:
+    """The alternative fused dkv+dq-partials backward must match the split
+    kernels (it is measured slower on v5e and off by default — kept for
+    compute-dominated shapes; see FUSED_BWD in ops/attention.py)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_fused_equals_split(self, causal, monkeypatch):
+        import np_modeling_tpu.ops.attention as A
+        q, k, v = _qkv(1, 4, 2, 160, 160, 64)
+        bias = jnp.asarray(rand(1, 4, 160, 160, rng=rng)) * 0.1
+
+        def grads(q, k, v, b):
+            return jax.grad(
+                lambda q, k, v, b: jnp.sum(ops.flash_attention(
+                    q, k, v, bias=b, causal=causal, block_q=128,
+                    block_kv=128) ** 2),
+                argnums=(0, 1, 2, 3))(q, k, v, b)
+
+        with dispatch.force_pallas(True, interpret=True):
+            monkeypatch.setattr(A, "FUSED_BWD", True)
+            g_fused = grads(q, k, v, bias)
+            monkeypatch.setattr(A, "FUSED_BWD", False)
+            g_split = grads(q, k, v, bias)
+        for a, b in zip(g_fused, g_split):
+            assert_allclose(a, b, rtol=2e-5, atol=5e-5)
+
+
 class TestSegmentIds:
     """Packed-sequence masking, jnp path AND inside the Pallas kernels."""
 

@@ -93,3 +93,82 @@ def test_mesh_factorizations():
     assert parallel.auto_mesh(4).devices.shape == (2, 1, 2)
     assert dict(zip(parallel.auto_mesh(8).axis_names, (2, 2, 2))) == {
         "dp": 2, "sp": 2, "tp": 2}
+
+
+class TestShardedCheckpoint:
+    """Sharded save/restore: placement preserved, no host replication path,
+    resharding on restore, and exact train-resume equivalence."""
+
+    def _sharded_gpt(self):
+        from np_modeling_tpu import models, training
+        from np_modeling_tpu.parallel.sharding import TRANSFORMER_RULES
+        cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=32, max_len=16)
+        gpt = models.GPT(cfg)
+        tokens = jnp.asarray(np.random.default_rng(0).integers(0, 64, (4, 12)))
+        mesh = parallel.make_mesh({"dp": 4, "tp": 2})
+        params = gpt.init(jax.random.PRNGKey(0), tokens)
+        params = parallel.shard_params(params, mesh, TRANSFORMER_RULES)
+        return gpt, mesh, params, parallel.shard_batch(tokens, mesh)
+
+    def test_roundtrip_preserves_sharding(self, tmp_path):
+        from np_modeling_tpu import training
+        gpt, mesh, params, tokens = self._sharded_gpt()
+        training.save_checkpoint_sharded(str(tmp_path / "ckpt"), params)
+        restored = training.load_checkpoint_sharded(str(tmp_path / "ckpt"),
+                                                    params)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert a.sharding == b.sharding
+
+    def test_restore_onto_different_sharding(self, tmp_path):
+        from np_modeling_tpu import training
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        gpt, mesh, params, tokens = self._sharded_gpt()
+        training.save_checkpoint_sharded(str(tmp_path / "ckpt"), params)
+        # Template: everything replicated (a different placement).
+        repl = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.zeros_like(a),
+                                     NamedSharding(mesh, P())), params)
+        restored = training.load_checkpoint_sharded(str(tmp_path / "ckpt"),
+                                                    repl)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert b.sharding.is_fully_replicated
+
+    def test_train_save_restore_train_equivalence(self, tmp_path):
+        from np_modeling_tpu import training
+        gpt, mesh, params, tokens = self._sharded_gpt()
+        opt = training.adam(1e-3)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            loss, g = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(p)
+            u, s = opt.update(g, s, p)
+            return training.apply_updates(p, u), s, loss
+
+        for _ in range(3):
+            params, state, _ = step(params, state)
+        training.save_checkpoint_sharded(str(tmp_path / "ck"),
+                                         {"params": params, "opt": state})
+        # Continue WITHOUT restore -> reference trajectory.
+        p_ref, s_ref = params, state
+        ref_losses = []
+        for _ in range(3):
+            p_ref, s_ref, l = step(p_ref, s_ref)
+            ref_losses.append(float(l))
+        # Restore and continue -> must be IDENTICAL (bitwise).
+        ck = training.load_checkpoint_sharded(
+            str(tmp_path / "ck"), {"params": params, "opt": state})
+        p2, s2 = ck["params"], ck["opt"]
+        res_losses = []
+        for _ in range(3):
+            p2, s2, l = step(p2, s2)
+            res_losses.append(float(l))
+        assert res_losses == ref_losses
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
