@@ -69,6 +69,22 @@ class MultiHeadAttention(Module):
             "bo": self.bias_init(ks[7], (d_q,)),
         }
 
+    def _project_qkv(self, x, params):
+        """Fused self-attention projection: [b,s,d] @ [d, (hq+2*hkv)*dk]."""
+        d = params["wq"].shape[0]
+        hq, hkv, dk = (params["wq"].shape[1], params["wk"].shape[1],
+                       params["wq"].shape[2])
+        w = jnp.concatenate([params[n].reshape(d, -1)
+                             for n in ("wq", "wk", "wv")], axis=1)
+        b = jnp.concatenate([params[n].reshape(-1)
+                             for n in ("bq", "bk", "bv")])
+        x, w, b = (maybe_cast(a, self.dtype) for a in (x, w, b))
+        y = ops.linear(x, w, b)
+        qf, kf, vf = jnp.split(y, [hq * dk, (hq + hkv) * dk], axis=-1)
+        to_heads = lambda t, h: jnp.swapaxes(
+            t.reshape(*t.shape[:-1], h, dk), -3, -2)
+        return to_heads(qf, hq), to_heads(kf, hkv), to_heads(vf, hkv)
+
     def _project(self, x, w, b):
         # [b, s, d] @ [d, h, dk] -> [b, h, s, dk]; uses ops.linear (manual VJP)
         # on the flattened head dims, so the MXU matmul kernel is reused.
@@ -89,9 +105,14 @@ class MultiHeadAttention(Module):
         if value is None:
             value = key
 
-        q = self._project(query, params["wq"], params["bq"])
-        k = self._project(key, params["wk"], params["bk"])
-        v = self._project(value, params["wv"], params["bv"])
+        if key is query and value is query:
+            # Self-attention: ONE fused qkv matmul (x is read once; the
+            # weight concat folds into the gemm) instead of three.
+            q, k, v = self._project_qkv(query, params)
+        else:
+            q = self._project(query, params["wq"], params["bq"])
+            k = self._project(key, params["wk"], params["bk"])
+            v = self._project(value, params["wv"], params["bv"])
 
         if self.rope:
             from np_modeling_tpu.ops.rope import apply_rope

@@ -41,6 +41,11 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 NUM_LANES = 128
 NUM_SUBLANES = 8
 
+# Skip structural (causal/window/pad) masking on interior tiles via
+# lax.cond. Probe-normalized A/B (bench_probe.ab, same-process): see
+# _tile_mask docstring; toggled here after measurement.
+STRUCT_MASK_COND = False
+
 
 # ---------------------------------------------------------------------------
 # Pure-jnp oracle (no custom gradient) — the trusted baseline tests diff against.
@@ -278,28 +283,53 @@ def _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q, block_kv,
     """Apply causal / kv-padding / segment / user masks to a [bq, bkv] score
     tile.
 
+    With STRUCT_MASK_COND=True the structural component runs under a
+    lax.cond keyed on the tile indices, so INTERIOR tiles (fully inside the
+    causal band, away from the kv-pad edge) skip its ~5 VPU passes; with
+    False it applies unconditionally. A/B these in ONE process with
+    bench_probe.ab — the chip's throughput drifts across runs.
+
     ``seg``: None or (qseg_ref, kvseg_ref) with tiles [1, bq, 128] and
     [1, 8, bkv] (lane/sublane-broadcast segment ids). ``mask_ref``: None or
     an int8 [1, 1, bq, bkv] tile (nonzero = attend)."""
     kv_padded = n_kv * block_kv != kv_len
-    mask = None
     if causal or kv_padded or window is not None:
-        shape = (block_q, block_kv)
-        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kv_idx * block_kv
-        if kv_padded:
-            mask = col < kv_len
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + q_idx * block_q
-            cmask = col <= row
-            if window is not None:
-                cmask = cmask & (col > row - window)
-            mask = cmask if mask is None else (mask & cmask)
+        def apply_struct(s):
+            shape = (block_q, block_kv)
+            col = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                   + kv_idx * block_kv)
+            mask = None
+            if kv_padded:
+                mask = col < kv_len
+            if causal:
+                row = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                       + q_idx * block_q)
+                cmask = col <= row
+                if window is not None:
+                    cmask = cmask & (col > row - window)
+                mask = cmask if mask is None else (mask & cmask)
+            return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        if STRUCT_MASK_COND:
+            parts = []
+            if kv_padded:
+                parts.append(kv_idx == n_kv - 1)
+            if causal:
+                parts.append((kv_idx + 1) * block_kv - 1 > q_idx * block_q)
+                if window is not None:
+                    parts.append(kv_idx * block_kv
+                                 <= (q_idx + 1) * block_q - 1 - window)
+            needs = functools.reduce(jnp.logical_or, parts)
+            s = jax.lax.cond(needs, apply_struct, lambda s: s, s)
+        else:
+            s = apply_struct(s)
+    mask = None
     if seg is not None:
         qseg_ref, kvseg_ref = seg
         qseg = qseg_ref[0][:, 0:1]      # [bq, 1]
         kvseg = kvseg_ref[0][0:1, :]    # [1, bkv]
         smask = qseg == kvseg
-        mask = smask if mask is None else (mask & smask)
+        mask = smask
     if mask_ref is not None:
         user = mask_ref[0, 0] != 0
         mask = user if mask is None else (mask & user)
@@ -441,7 +471,7 @@ def _clamp_blocks(block_q, block_kv, mask, bias):
 
 def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
               m_scr, l_scr, acc_scr, *,
-              causal, window, scale, kv_len, block_q, block_kv, n_kv):
+              causal, window, kv_len, block_q, block_kv, n_kv):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -454,10 +484,10 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]
+        q = q_ref[0, 0]                 # pre-scaled by 1/sqrt(d) outside
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -494,7 +524,9 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
-    qp = _pad4(q, sq_p, d_p)
+    # Fold the softmax scale into q here: saves one full VPU pass over
+    # every s^2 score tile in the forward AND backward kernels.
+    qp = _pad4((q * scale).astype(q.dtype), sq_p, d_p)
     kp = _pad4(k, skv_p, d_p)
     vp = _pad4(v, skv_p, d_p)
     n_kv = skv_p // bkv
@@ -502,7 +534,7 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
     grid = (b, hq, sq_p // bq, n_kv)
     has_seg = q_seg is not None
     tile = functools.partial(_fwd_tile, causal=causal, window=window,
-                             scale=scale, kv_len=skv, block_q=bq,
+                             kv_len=skv, block_q=bq,
                              block_kv=bkv, n_kv=n_kv)
     kernel = _make_wrapper(tile, 3, has_seg, mask is not None,
                            bias is not None)
@@ -563,7 +595,7 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
 
 
 def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
-             bias_ref, *rest, causal, window, scale, kv_len, block_q,
+             bias_ref, *rest, causal, window, kv_len, block_q,
              block_kv, n_kv):
     if bias_ref is not None:
         dq_ref, dbias_ref, dq_scr = rest
@@ -582,7 +614,7 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -593,9 +625,9 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         ds_raw = p * (dp - di[:, 0:1])      # grad wrt post-bias scores
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
-        ds = ds_raw * scale
+        # dq accumulates ds_raw @ k; the sqrt(d) scale is folded in outside.
         dq_scr[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds_raw.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     if dbias_ref is not None and causal:
@@ -611,7 +643,7 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 
 def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
               bias_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
-              causal, window, scale, kv_len, block_q, block_kv, n_q, n_kv):
+              causal, window, kv_len, block_q, block_kv, n_q, n_kv):
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(q_idx == 0)
@@ -626,7 +658,7 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -638,9 +670,11 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - di[:, 0:1]) * scale
+        ds_raw = p * (dp - di[:, 0:1])
+        # dk_true = (ds_raw*scale)^T @ q = ds_raw^T @ q_hat — q pre-scaled,
+        # so no scale pass over the s^2 tile and no correction needed.
         dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds_raw.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(q_idx == n_q - 1)
@@ -650,7 +684,7 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 
 
 def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
-               bias_ref, *rest, causal, window, scale, kv_len, block_q,
+               bias_ref, *rest, causal, window, kv_len, block_q,
                block_kv, n_q, n_kv):
     """FUSED backward tile: one (s, p, dp, ds) recompute feeds dk, dv AND a
     dq partial — 5 matmuls per tile pair vs 7 for the split dq/dkv kernels.
@@ -673,7 +707,7 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
         lse, di = lse_ref[0, 0], di_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -687,12 +721,11 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         ds_raw = p * (dp - di[:, 0:1])
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
-        ds = ds_raw * scale
         dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds_raw.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dqp_ref[0, 0, 0] = jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds_raw.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     if causal:
@@ -732,7 +765,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
     n_q, n_kv = sq_p // bq, skv_p // bkv
 
-    qp, kp, vp = _pad4(q, sq_p, d_p), _pad4(k, skv_p, d_p), _pad4(v, skv_p, d_p)
+    qp = _pad4((q * scale).astype(q.dtype), sq_p, d_p)   # see fwd: folded scale
+    kp, vp = _pad4(k, skv_p, d_p), _pad4(v, skv_p, d_p)
     dop = _pad4(do, sq_p, d_p)
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     # Lane-broadcast [b,h,sq,128]; pad the seq axis. Padded q rows are
@@ -762,7 +796,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
 
     if not FUSED_BWD:
         dq_tile = functools.partial(_dq_tile, causal=causal, window=window,
-                                    scale=scale, kv_len=skv, block_q=bq,
+                                    kv_len=skv, block_q=bq,
                                     block_kv=bkv, n_kv=n_kv)
         dq_kernel = _make_wrapper(dq_tile, 6, has_seg, mask is not None,
                                   has_bias)
@@ -824,7 +858,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
     tile_cls = _dkvq_tile if FUSED_BWD else _dkv_tile
     dkv_tile = functools.partial(tile_cls, causal=causal, window=window,
-                                 scale=scale, kv_len=skv, block_q=bq,
+                                 kv_len=skv, block_q=bq,
                                  block_kv=bkv, n_q=n_q, n_kv=n_kv)
     dkv_kernel = _make_wrapper(dkv_tile, 6, has_seg, mask is not None,
                                has_bias)
@@ -874,7 +908,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     else:
         dk_full, dv_full = outs
 
-    dq = dq[:, :, :sq, :d]
+    dq = dq[:, :, :sq, :d] * scale      # fold the pre-scaled q back out
     dk = _group_sum(dk_full[:, :, :skv, :d], g)
     dv = _group_sum(dv_full[:, :, :skv, :d], g)
     return dq, dk, dv, dbias

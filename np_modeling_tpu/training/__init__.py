@@ -2,6 +2,7 @@
 pipeline, checkpointing."""
 
 from np_modeling_tpu.training import data, schedules
+from np_modeling_tpu.training.native_data import TokenFileLoader
 from np_modeling_tpu.training.checkpoint import (
     load_checkpoint, load_checkpoint_sharded, save_checkpoint,
     save_checkpoint_sharded)
@@ -13,7 +14,8 @@ from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
                                               make_train_step, resolve_loss)
 
 __all__ = [
-    "AdamState", "Optimizer", "Trainer", "adam", "adamw", "apply_updates",
+    "AdamState", "Optimizer", "TokenFileLoader", "Trainer", "adam",
+    "adamw", "apply_updates",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
     "make_eval_step", "make_train_step", "momentum", "resolve_loss",
