@@ -34,18 +34,20 @@ def _timed_scan(f, *args, n=8):
 
 
 _PROBE_A = None
+_PROBE_N = 8192     # 4k matmuls are HBM-bound on this chip (~33 TF/s is
+                    # NORMAL for them); 8k^3 is compute-bound (~122 healthy)
 
 
 def probe() -> float:
-    """Current chip throughput (TFLOP/s) on a plain 4k bf16 matmul chain."""
+    """Current chip throughput (TFLOP/s) on a plain 8k bf16 matmul chain."""
     global _PROBE_A
     if _PROBE_A is None:
-        _PROBE_A = jax.random.normal(jax.random.PRNGKey(0), (4096, 4096),
-                                     jnp.bfloat16)
+        _PROBE_A = jax.random.normal(jax.random.PRNGKey(0),
+                                     (_PROBE_N, _PROBE_N), jnp.bfloat16)
     a = _PROBE_A
 
-    t = _timed_scan(lambda x: jnp.tanh(x @ a), a)
-    return 2 * 4096 ** 3 / t / 1e12
+    t = _timed_scan(lambda x: x @ a, a, n=4)
+    return 2 * _PROBE_N ** 3 / t / 1e12
 
 
 def ab(variants: dict, rounds: int = 3) -> dict:

@@ -30,6 +30,14 @@ from np_modeling_tpu.nn import initializers
 from np_modeling_tpu.nn.module import Module, maybe_cast
 
 
+# Fuse the self-attention q/k/v projections into one matmul. Same-process
+# A/B on the headline GPT train step (bench_probe.ab, b8 s2048 d1024 bf16):
+# fused is 0.912x — the per-step weight concat + backward splits cost more
+# than the saved input reads, so it stays OFF (XLA already pipelines the
+# three separate gemms well).
+FUSED_QKV = False
+
+
 @dataclasses.dataclass
 class MultiHeadAttention(Module):
     num_heads: int
@@ -105,7 +113,7 @@ class MultiHeadAttention(Module):
         if value is None:
             value = key
 
-        if key is query and value is query:
+        if FUSED_QKV and key is query and value is query:
             # Self-attention: ONE fused qkv matmul (x is read once; the
             # weight concat folds into the gemm) instead of three.
             q, k, v = self._project_qkv(query, params)

@@ -42,8 +42,9 @@ NUM_LANES = 128
 NUM_SUBLANES = 8
 
 # Skip structural (causal/window/pad) masking on interior tiles via
-# lax.cond. Probe-normalized A/B (bench_probe.ab, same-process): see
-# _tile_mask docstring; toggled here after measurement.
+# lax.cond. Same-process A/B (bench_probe.ab, b8 h8 s2048 d128 causal):
+# cond is 0.85x fwd / 0.81x fwd+bwd — the Mosaic branch costs more than
+# the ~5 saved VPU passes at these tile counts, so it stays OFF.
 STRUCT_MASK_COND = False
 
 
