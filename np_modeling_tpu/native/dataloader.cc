@@ -84,8 +84,14 @@ struct Loader {
       b.index = next_to_produce.fetch_add(1);
       fill(&b);
       std::unique_lock<std::mutex> lock(mu);
+      // Gate on the batch's INDEX, not the ring size: a ring-size gate
+      // can deadlock (other workers fill the ring with later indices
+      // while the batch the consumer needs waits outside). An index gate
+      // always admits the next-to-consume batch (index < next + capacity
+      // holds whenever index == next_to_consume, since capacity >= 1).
       cv_full.wait(lock, [&] {
-        return stop.load() || ready.size() < capacity + workers.size();
+        return stop.load() ||
+               b.index < next_to_consume + (int64_t)capacity;
       });
       if (stop.load()) return;
       ready.push_back(std::move(b));

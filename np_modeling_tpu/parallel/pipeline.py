@@ -85,6 +85,10 @@ def pipeline_gpt(mesh: Mesh, gpt, axis: str = "pp",
     c = gpt.config
     n_stages = mesh.shape[axis]
     assert c.num_layers % n_stages == 0, (c.num_layers, n_stages)
+    assert not c.moe_experts, (
+        "pipeline_gpt cannot thread the MoE load-balancing aux loss "
+        "through the single-tensor pipeline stages; train MoE models "
+        "with dp/ep sharding instead")
     per_stage = c.num_layers // n_stages
 
     def stage_fn(stage_params, x):

@@ -21,6 +21,7 @@ This is the decode path the reference explicitly lacks
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -85,6 +86,7 @@ class GenerationEngine:
         self._rng = jax.random.PRNGKey(self.seed)
         self._jit_step = jax.jit(self._device_step, donate_argnums=(0,))
         self._jit_multi: dict[int, object] = {}   # n -> jitted n-step scan
+        self._jit_prefill: dict[int, object] = {}  # n_pages -> jitted prefill
 
     # ---- request lifecycle ----------------------------------------------
 
@@ -116,28 +118,54 @@ class GenerationEngine:
         plen = int(prompt.shape[1])
         if plen >= self.max_pages * self.page_size:
             raise OutOfPagesError("prompt exceeds per-sequence page table")
-        pages = self._alloc(-(-plen // self.page_size))
 
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True)
-        st = jax.tree_util.tree_map(lambda x: x, self._state)
-        st["table"] = st["table"].at[slot, :len(pages)].set(
-            jnp.asarray(pages, jnp.int32))
-        positions = jnp.arange(plen)
-        p_idx = jnp.asarray(pages, jnp.int32)[positions // self.page_size]
-        offs = positions % self.page_size
-        for li, (k, v) in enumerate(kvs):
-            st = self._append(st, li, p_idx, offs, k[0], v[0])
-
+        n_pages = -(-plen // self.page_size)
+        pages = self._alloc(n_pages)           # atomic: checks before popping
+        # Seed the pages through a jitted, state-donating append (eager
+        # scatters would copy the full KV buffers per layer per request).
+        # K/V are padded to whole pages so the compile is bucketed by page
+        # COUNT, not by token count; padding rows land on the trash page.
+        padded = n_pages * self.page_size
+        kvs_pad = [
+            (jnp.pad(k[0], ((0, 0), (0, padded - plen), (0, 0))),
+             jnp.pad(v[0], ((0, 0), (0, padded - plen), (0, 0))))
+            for (k, v) in kvs
+        ]
         self._rng, sub = jax.random.split(self._rng)
         tok = int(self._sample(logits[:, -1].astype(jnp.float32), sub)[0])
-        st["lengths"] = st["lengths"].at[slot].set(plen)
-        st["last_tok"] = st["last_tok"].at[slot].set(tok)
-        st["active"] = st["active"].at[slot].set(True)
-        self._state = st
+        if n_pages not in self._jit_prefill:
+            self._jit_prefill[n_pages] = self._make_prefill(n_pages)
+        self._state = self._jit_prefill[n_pages](
+            self._state, kvs_pad, jnp.asarray(pages, jnp.int32),
+            jnp.int32(slot), jnp.int32(tok), jnp.int32(plen))
         self._slots[seq_id] = slot
         self._host_len[seq_id] = plen
         self._seq_pages[seq_id] = pages
         return tok
+
+    def _make_prefill(self, n_pages: int):
+        """Jitted prefill: scatter padded per-layer K/V into the allocated
+        pages and activate the slot, donating the engine state."""
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def prefill(state, kvs, pages_arr, slot, tok, plen):
+            padded = n_pages * self.page_size
+            positions = jnp.arange(padded)
+            p_idx = jnp.where(positions < plen,
+                              pages_arr[positions // self.page_size],
+                              self._trash)
+            offs = positions % self.page_size
+            for li, (k, v) in enumerate(kvs):
+                state = self._append(state, li, p_idx, offs, k, v)
+            state["table"] = jax.lax.dynamic_update_slice(
+                state["table"], pages_arr[None], (slot, 0))
+            state["lengths"] = state["lengths"].at[slot].set(plen)
+            state["last_tok"] = state["last_tok"].at[slot].set(tok)
+            state["active"] = state["active"].at[slot].set(True)
+            return state
+
+        return prefill
 
     def finish(self, seq_id: int) -> None:
         slot = self._slots.pop(seq_id)
@@ -150,28 +178,51 @@ class GenerationEngine:
 
     # ---- decode step (host wrapper: page growth + one jit dispatch) ------
 
+    def _grow_tables(self, n: int):
+        """Ensure every live sequence's page table covers ``n`` more tokens.
+
+        ALL-OR-NOTHING: allocation needs are computed first and the free
+        list / host bookkeeping / device table are only mutated once the
+        whole growth is known to fit — an OutOfPagesError here leaves the
+        engine state untouched (a partial mutation used to leave a page
+        recorded host-side but absent from the device table, silently
+        corrupting another sequence's cache on the retry).
+        Returns the (possibly updated) device state."""
+        needs = []                            # (seq_id, slot, n_new_pages)
+        total = 0
+        for seq_id, slot in self._slots.items():
+            ln = self._host_len[seq_id]
+            if ln + n > self.max_pages * self.page_size:
+                raise OutOfPagesError(
+                    f"sequence {seq_id} exceeds its page table")
+            need = -(-(ln + n) // self.page_size)
+            extra = need - len(self._seq_pages[seq_id])
+            if extra > 0:
+                needs.append((seq_id, slot, extra))
+                total += extra
+        if not needs:
+            return self._state
+        if len(self._free) < total:
+            raise OutOfPagesError(
+                f"out of KV pages ({self.total_pages} total; "
+                f"need {total}, free {len(self._free)})")
+        upd = []                              # (slot, page_pos, new_page)
+        for seq_id, slot, extra in needs:
+            for _ in range(extra):
+                pg = self._free.pop()
+                self._seq_pages[seq_id].append(pg)
+                upd.append((slot, len(self._seq_pages[seq_id]) - 1, pg))
+        slots, poss, pgs = (jnp.asarray(u, jnp.int32) for u in zip(*upd))
+        st = dict(self._state)
+        st["table"] = st["table"].at[slots, poss].set(pgs)
+        self._state = st
+        return st
+
     def step(self) -> dict:
         """Decode ONE token for every live sequence; returns {seq_id: token}."""
         if not self._slots:
             return {}
-        upd = []                              # (slot, page_pos, new_page)
-        for seq_id, slot in self._slots.items():
-            ln = self._host_len[seq_id]       # appending position ``ln``
-            if ln >= self.max_pages * self.page_size:
-                raise OutOfPagesError(
-                    f"sequence {seq_id} exceeds its page table")
-            need = ln // self.page_size + 1
-            if need > len(self._seq_pages[seq_id]):
-                (pg,) = self._alloc(1)
-                self._seq_pages[seq_id].append(pg)
-                upd.append((slot, need - 1, pg))
-        st = self._state
-        if upd:
-            slots, poss, pgs = (jnp.asarray(u, jnp.int32)
-                                for u in zip(*upd))
-            st = dict(st)
-            st["table"] = st["table"].at[slots, poss].set(pgs)
-
+        st = self._grow_tables(1)
         self._rng, sub = jax.random.split(self._rng)
         self._state, toks = self._jit_step(st, self.params, sub)
         toks_np = np.asarray(toks)
@@ -192,24 +243,7 @@ class GenerationEngine:
         of round-trip latency; step_many amortizes it n-fold."""
         if not self._slots:
             return {}
-        upd = []
-        for seq_id, slot in self._slots.items():
-            ln = self._host_len[seq_id]
-            if ln + n > self.max_pages * self.page_size:
-                raise OutOfPagesError(
-                    f"sequence {seq_id} exceeds its page table")
-            need = -(-(ln + n) // self.page_size)
-            while need > len(self._seq_pages[seq_id]):
-                (pg,) = self._alloc(1)
-                self._seq_pages[seq_id].append(pg)
-                upd.append((slot, len(self._seq_pages[seq_id]) - 1, pg))
-        st = self._state
-        if upd:
-            slots, poss, pgs = (jnp.asarray(u, jnp.int32)
-                                for u in zip(*upd))
-            st = dict(st)
-            st["table"] = st["table"].at[slots, poss].set(pgs)
-
+        st = self._grow_tables(n)
         if n not in self._jit_multi:
             def multi(state, params, key, _n=n):
                 def body(state, i):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from np_modeling_tpu import models
 from np_modeling_tpu.serving import GenerationEngine
@@ -66,6 +67,37 @@ def test_pages_reclaimed():
     eng.finish(0)
     assert eng.free_pages == free0
     assert eng.live == []
+
+
+def test_out_of_pages_leaves_state_intact():
+    """Page growth is all-or-nothing: an OutOfPagesError mid-step must not
+    corrupt any sequence's cache (regression: a partial allocation left a
+    page host-side but not in the device table, and the retry scattered
+    into another sequence's page 0)."""
+    from np_modeling_tpu.serving.kv_cache import OutOfPagesError
+    gpt, params = _gpt()
+    p1 = jnp.asarray(rng.integers(0, 64, (6,)))
+    p2 = jnp.asarray(rng.integers(0, 64, (6,)))
+
+    # Solo reference trajectory for p1.
+    solo = GenerationEngine(gpt, params, total_pages=16, page_size=4)
+    t_solo = [solo.add_request(0, p1)]
+    for _ in range(6):
+        t_solo.append(solo.step()[0])
+
+    # Tight pool: 2 prefills take 2 pages each (+1 trash) leaving 1 free;
+    # both sequences need a new page at the same step -> OutOfPagesError.
+    eng = GenerationEngine(gpt, params, total_pages=6, page_size=4)
+    t1 = [eng.add_request(0, p1)]
+    eng.add_request(1, p2)
+    t1.append(eng.step()[0])      # len 6->7, fits page 2
+    t1.append(eng.step()[0])      # len 7->8, fits (position 7)
+    with pytest.raises(OutOfPagesError):
+        eng.step()                # both need page 3: need 2, free 1
+    eng.finish(1)                 # frees p2's pages
+    for _ in range(4):
+        t1.append(eng.step()[0])  # must continue EXACTLY on p1's trajectory
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t_solo))
 
 
 def test_step_many_matches_stepwise():

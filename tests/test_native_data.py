@@ -69,3 +69,17 @@ def test_feeds_gpt_training(token_file):
         params, state, loss = step(params, state, jnp.asarray(batch))
         assert np.isfinite(float(loss))
     ld.close()
+
+
+def test_native_many_batches_no_deadlock(token_file):
+    # Stress the prefetch ring: many workers, tiny capacity, in-order
+    # delivery over hundreds of batches (regression: a ring-size gate
+    # could deadlock when the next-to-consume batch waited outside a
+    # ring filled with later indices).
+    nat = TokenFileLoader(token_file, seq_len=32, batch=2, seed=5,
+                          native=True, n_threads=4, prefetch=1)
+    ref = TokenFileLoader(token_file, seq_len=32, batch=2, seed=5,
+                          native=False)
+    for _ in range(300):
+        np.testing.assert_array_equal(next(nat), next(ref))
+    nat.close()

@@ -55,6 +55,37 @@ class TestPagedKernel:
                                             page_indices)
         assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("window", [3, 8, 20])
+    def test_kernel_window_vs_oracle(self, window):
+        # Sliding-window decode: kernel block skipping + in-block band mask
+        # must match the reference (and the reference must match a dense
+        # windowed attention).
+        q, k_pages, v_pages, lengths, page_indices = _setup()
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices, window=window,
+                                      pages_per_block=2)
+        ref = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices, window=window)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+        # Window restricted to the last W tokens: shrinking the cache to
+        # exactly those tokens must give the same answer.
+        b = q.shape[0]
+        psize = k_pages.shape[2]
+        max_len = page_indices.shape[1] * psize
+        for i in range(int(b)):
+            k_seq = k_pages[:, page_indices[i]].reshape(
+                k_pages.shape[0], max_len, -1)
+            v_seq = v_pages[:, page_indices[i]].reshape(
+                v_pages.shape[0], max_len, -1)
+            lo = max(0, int(lengths[i]) - window)
+            mask = jnp.zeros((max_len,), bool).at[lo:int(lengths[i])].set(
+                True)[None, None, None, :]
+            dense = ops.attention_reference(q[i][None, :, None, :],
+                                            k_seq[None], v_seq[None],
+                                            mask=mask)
+            assert_allclose(ref[i], dense[0, :, 0], rtol=2e-5, atol=2e-5)
+
     def test_kernel_page_sized_lengths(self):
         q, k_pages, v_pages, _, page_indices = _setup()
         lengths = jnp.asarray([8, 16, 32], jnp.int32)  # exact page multiples
