@@ -58,8 +58,18 @@ class BertEncoder(Module):
         params["classifier"] = self.classifier.init(ks[-1], pooled)
         return params
 
-    def encode(self, params, tokens, mask=None, training=False, rngs=None):
+    def encode(self, params, tokens, mask=None, training=False, rngs=None,
+               attention_mask=None):
+        """``attention_mask``: [b, s] (1 = real token, 0 = padding) — the
+        standard padded-batch surface. Routed through the flash kernels'
+        segment-id machinery (O(s) operands, not an O(s^2) boolean mask):
+        padding tokens form their own segment so real tokens never attend
+        to them. ``mask`` remains for arbitrary [b|1, h|1, s, s] masks."""
         c = self.config
+        segment_ids = None
+        if attention_mask is not None:
+            assert attention_mask.shape == tokens.shape
+            segment_ids = attention_mask.astype(jnp.int32)
         positions = jnp.arange(tokens.shape[-1])
         x = (self.embed.apply(params["embedding"], tokens)
              + self.pos_embed.apply(params["pos_embedding"], positions))
@@ -67,10 +77,13 @@ class BertEncoder(Module):
         x = self.drop.apply({}, x, training, rngs, salt=1000)
         for i in range(c.num_layers):
             x = self.block.apply(params[f"layer_{i}"], x, mask=mask,
+                                 segment_ids=segment_ids,
                                  training=training, rngs=split_rngs(rngs, i))
         return x
 
-    def apply(self, params, tokens, mask=None, training=False, rngs=None):
-        x = self.encode(params, tokens, mask, training, rngs)
+    def apply(self, params, tokens, mask=None, training=False, rngs=None,
+              attention_mask=None):
+        x = self.encode(params, tokens, mask, training, rngs,
+                        attention_mask=attention_mask)
         pooled = jnp.tanh(self.pooler.apply(params["pooler"], x[:, 0]))
         return self.classifier.apply(params["classifier"], pooled)

@@ -243,19 +243,25 @@ class GPT(Module):
                         for _ in range(c.num_layers - 1)]
 
     def generate(self, params, prompt_tokens, steps: int, key=None,
-                 temperature: float = 0.0):
-        """Greedy/sampled autoregressive decode with KV caches (jittable scan)."""
+                 temperature: float = 0.0, top_k: int | None = None,
+                 top_p: float | None = None):
+        """Autoregressive decode with KV caches (jittable scan).
+
+        ``temperature=0`` (or no key) is greedy; otherwise samples with
+        optional top-k and/or nucleus (top-p) filtering, all in-graph."""
         b, plen = prompt_tokens.shape
         caches = self.init_cache(b, plen + steps)
         logits, caches = self.apply(params, prompt_tokens, caches=caches,
                                     decode=True)
-        next_tok = self._sample(logits[:, -1], key, temperature, 0)
+        next_tok = self._sample(logits[:, -1], key, temperature, 0,
+                                top_k, top_p)
 
         def body(carry, i):
             tok, caches, key = carry
             logits, caches = self.apply(params, tok[:, None], caches=caches,
                                         decode=True)
-            nxt = self._sample(logits[:, -1], key, temperature, i)
+            nxt = self._sample(logits[:, -1], key, temperature, i,
+                               top_k, top_p)
             return (nxt, caches, key), nxt
 
         (_, _, _), toks = jax.lax.scan(
@@ -263,8 +269,24 @@ class GPT(Module):
         return jnp.concatenate([next_tok[:, None], toks.T], axis=1)
 
     @staticmethod
-    def _sample(logits, key, temperature, salt):
+    def _sample(logits, key, temperature, salt, top_k=None, top_p=None):
         if temperature == 0.0 or key is None:
             return jnp.argmax(logits, axis=-1)
+        lg = logits / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        if top_p is not None:
+            # Nucleus: keep the smallest prefix of the sorted distribution
+            # with cumulative probability >= top_p (the top token always
+            # survives).
+            sorted_lg = jnp.sort(lg, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(sorted_lg, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep_sorted = cum - probs < top_p
+            # Cutoff = the SMALLEST kept logit; everything below it drops.
+            cutoff = jnp.min(jnp.where(keep_sorted, sorted_lg, jnp.inf),
+                             axis=-1, keepdims=True)
+            lg = jnp.where(lg < cutoff, -jnp.inf, lg)
         key = jax.random.fold_in(key, salt)
-        return jax.random.categorical(key, logits / temperature, axis=-1)
+        return jax.random.categorical(key, lg, axis=-1)

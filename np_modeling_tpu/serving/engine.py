@@ -46,6 +46,7 @@ class GenerationEngine:
     quantize_kv: bool = False
     temperature: float = 0.0
     top_k: Optional[int] = None
+    top_p: Optional[float] = None
     seed: int = 0
 
     def __post_init__(self):
@@ -293,14 +294,13 @@ class GenerationEngine:
         return state, jnp.where(active, new_tok, -1)
 
     def _sample(self, logits, key):
-        """Greedy (temperature=0) or in-graph temperature/top-k sampling."""
+        """Greedy (temperature=0) or in-graph temperature/top-k/top-p
+        sampling (same semantics as models.GPT._sample)."""
         if self.temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        lg = logits / self.temperature
-        if self.top_k is not None:
-            kth = jax.lax.top_k(lg, self.top_k)[0][..., -1:]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
-        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+        from np_modeling_tpu.models.transformer_lm import GPT
+        return GPT._sample(logits, key, self.temperature, 0,
+                           self.top_k, self.top_p).astype(jnp.int32)
 
     def _append(self, state, li, pages, offs, k_new, v_new):
         """Scatter [hkv, N, dk] new K/V into layer li's pages at

@@ -536,3 +536,39 @@ class TestSlidingWindow:
             outs.append(lg)
         assert_allclose(jnp.concatenate(outs, axis=1), full,
                         rtol=1e-4, atol=1e-4)
+
+
+class TestGenerateSampling:
+    def _gpt(self):
+        from np_modeling_tpu import models
+        cfg = models.GPTConfig(vocab_size=40, d_model=32, num_heads=4,
+                               num_layers=1, hidden_units=32, max_len=32)
+        gpt = models.GPT(cfg)
+        tokens = jnp.asarray(rng.integers(0, 40, (2, 8)))
+        return gpt, gpt.init(jax.random.PRNGKey(0), tokens), tokens
+
+    def test_top_k_1_equals_greedy(self):
+        gpt, params, tokens = self._gpt()
+        greedy = gpt.generate(params, tokens, steps=6)
+        topk1 = gpt.generate(params, tokens, steps=6,
+                             key=jax.random.PRNGKey(3), temperature=0.7,
+                             top_k=1)
+        np.testing.assert_array_equal(np.asarray(greedy), np.asarray(topk1))
+
+    def test_top_p_tiny_equals_greedy(self):
+        gpt, params, tokens = self._gpt()
+        greedy = gpt.generate(params, tokens, steps=6)
+        nucleus = gpt.generate(params, tokens, steps=6,
+                               key=jax.random.PRNGKey(3), temperature=0.7,
+                               top_p=1e-6)   # nucleus = just the top token
+        np.testing.assert_array_equal(np.asarray(greedy),
+                                      np.asarray(nucleus))
+
+    def test_sampling_varies_with_key_and_stays_valid(self):
+        gpt, params, tokens = self._gpt()
+        a = gpt.generate(params, tokens, steps=8, key=jax.random.PRNGKey(0),
+                         temperature=1.0, top_k=10, top_p=0.9)
+        b = gpt.generate(params, tokens, steps=8, key=jax.random.PRNGKey(1),
+                         temperature=1.0, top_k=10, top_p=0.9)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+        assert ((np.asarray(a) >= 0) & (np.asarray(a) < 40)).all()

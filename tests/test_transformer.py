@@ -314,3 +314,44 @@ def test_mha_layernorm_dropout_block_gradcheck():
     for a, b in zip(jax.tree_util.tree_leaves(g_ours),
                     jax.tree_util.tree_leaves(g_ref)):
         assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+class TestBertPaddedBatch:
+    def test_attention_mask_isolates_padding(self):
+        """Padded-batch BERT (attention_mask, routed as in-kernel segment
+        ids) must produce the same [CLS] logits as the unpadded example."""
+        cfg = models.BertConfig(vocab_size=60, d_model=32, num_heads=4,
+                                num_layers=2, hidden_units=64, max_len=16,
+                                num_classes=3)
+        bert = models.BertEncoder(cfg)
+        short = jnp.asarray(rng.integers(0, 60, (1, 7)))
+        params = bert.init(jax.random.PRNGKey(0), short)
+        ref = bert.apply(params, short)
+        # Pad to length 12 with junk tokens + attention_mask.
+        padded = jnp.concatenate(
+            [short, jnp.full((1, 5), 17, jnp.int32)], axis=1)
+        amask = jnp.concatenate(
+            [jnp.ones((1, 7), jnp.int32), jnp.zeros((1, 5), jnp.int32)],
+            axis=1)
+        out = bert.apply(params, padded, attention_mask=amask)
+        assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # Changing the junk must not change the logits at all.
+        padded2 = padded.at[:, 7:].set(33)
+        out2 = bert.apply(params, padded2, attention_mask=amask)
+        assert_allclose(out, out2, rtol=0, atol=0)
+
+    def test_attention_mask_grads_flow(self):
+        cfg = models.BertConfig(vocab_size=60, d_model=32, num_heads=4,
+                                num_layers=1, hidden_units=32, max_len=16,
+                                num_classes=2)
+        bert = models.BertEncoder(cfg)
+        toks = jnp.asarray(rng.integers(0, 60, (4, 10)))
+        amask = (jnp.arange(10)[None, :]
+                 < jnp.asarray([10, 7, 5, 9])[:, None]).astype(jnp.int32)
+        params = bert.init(jax.random.PRNGKey(0), toks)
+        g = jax.grad(lambda p: jnp.sum(
+            ops.softmax_cross_entropy_with_integer_labels(
+                bert.apply(p, toks, attention_mask=amask),
+                jnp.zeros(4, jnp.int32))))(params)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
