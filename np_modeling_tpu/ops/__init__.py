@@ -18,7 +18,8 @@ from np_modeling_tpu.ops.embedding import embedding_lookup
 from np_modeling_tpu.ops.fused import (dropout_prng, seed_from_key,
                                        softmax_cross_entropy_fused)
 from np_modeling_tpu.ops.linear import linear
-from np_modeling_tpu.ops.losses import (cross_entropy_probs, mse,
+from np_modeling_tpu.ops.losses import (cross_entropy_probs,
+                                        fused_lm_head_loss, mse,
                                         softmax_cross_entropy,
                                         softmax_cross_entropy_with_integer_labels)
 from np_modeling_tpu.ops.matmul import matmul

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from np_modeling_tpu import ops
 from np_modeling_tpu.utils.testing import assert_allclose, rand
@@ -74,3 +75,52 @@ class TestFusedSoftmaxCrossEntropy:
         assert_allclose(
             ops.softmax_cross_entropy_with_integer_labels(logits, labels),
             optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+
+
+class TestFusedLMHeadLoss:
+    def _ref(self, x, table, labels, valid=None):
+        import jax
+        logits = jnp.einsum("bsd,vd->bsv", x, table)
+        lp = jax.nn.log_softmax(logits)
+        b, s = labels.shape
+        ce = -lp[jnp.arange(b)[:, None], jnp.arange(s)[None], labels]
+        if valid is None:
+            return jnp.mean(ce)
+        v = valid.astype(jnp.float32)
+        return jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+    @pytest.mark.parametrize("valid", [False, True])
+    def test_matches_reference_with_grads(self, valid):
+        x = jnp.asarray(rand(2, 9, 16, rng=rng))
+        table = jnp.asarray(rand(33, 16, rng=rng)) * 0.3
+        labels = jnp.asarray(rng.integers(0, 33, (2, 9)))
+        v = jnp.asarray(rng.integers(0, 2, (2, 9))) if valid else None
+        # chunk=4 forces padding (18 rows -> 20) and multi-chunk scan.
+        l1 = ops.fused_lm_head_loss(x, table, labels, chunk=4, valid=v)
+        l2 = self._ref(x, table, labels, v)
+        assert_allclose(l1, l2, rtol=1e-6, atol=1e-6)
+        g1 = jax.grad(lambda x, t: ops.fused_lm_head_loss(
+            x, t, labels, chunk=4, valid=v), argnums=(0, 1))(x, table)
+        g2 = jax.grad(lambda x, t: self._ref(x, t, labels, v),
+                      argnums=(0, 1))(x, table)
+        for a, b in zip(g1, g2):
+            assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_gpt_fused_loss_matches_plain(self):
+        from np_modeling_tpu import models
+        tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+        segs = jnp.asarray(np.broadcast_to(np.repeat([0, 1], 6), (2, 12)))
+        kw = dict(vocab_size=50, d_model=32, num_heads=4, num_layers=2,
+                  hidden_units=64, max_len=16)
+        gpt = models.GPT(models.GPTConfig(**kw))
+        gpt_f = models.GPT(models.GPTConfig(fused_loss=True, **kw))
+        params = gpt.init(jax.random.PRNGKey(0), tokens)
+        for seg in (None, segs):
+            l1, g1 = jax.value_and_grad(
+                lambda p: gpt.loss(p, tokens, segment_ids=seg))(params)
+            l2, g2 = jax.value_and_grad(
+                lambda p: gpt_f.loss(p, tokens, segment_ids=seg))(params)
+            assert_allclose(l2, l1, rtol=1e-5, atol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(g2),
+                            jax.tree_util.tree_leaves(g1)):
+                assert_allclose(a, b, rtol=1e-4, atol=1e-5)
