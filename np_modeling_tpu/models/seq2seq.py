@@ -68,39 +68,62 @@ class Seq2SeqTransformer(Module):
         return (self.embed.apply(params["embedding"], tokens)
                 + self.pos_embed.apply(params["pos_embedding"], pos))
 
-    def encode(self, params, src, training=False, rngs=None):
-        x = self._embed(params, src)
-        return self.encoder.apply(params["encoder"], x, training=training,
-                                  rngs=rngs)
+    @staticmethod
+    def _cross_segs(tgt_len, src_valid):
+        """(q_seg, kv_seg) so every target position attends only valid
+        (non-padding) source positions — in-kernel, O(s) operands."""
+        if src_valid is None:
+            return None
+        q_seg = jnp.ones((src_valid.shape[0], tgt_len), jnp.int32)
+        return (q_seg, src_valid.astype(jnp.int32))
 
-    def apply(self, params, src, tgt, training=False, rngs=None):
-        memory = self.encode(params, src, training, rngs)
+    def encode(self, params, src, training=False, rngs=None, src_valid=None):
+        """``src_valid``: [b, s_src] (1 = token, 0 = padding) — padded
+        source batches; masking runs in-kernel via segment ids."""
+        x = self._embed(params, src)
+        seg = src_valid.astype(jnp.int32) if src_valid is not None else None
+        return self.encoder.apply(params["encoder"], x, training=training,
+                                  rngs=rngs, segment_ids=seg)
+
+    def apply(self, params, src, tgt, training=False, rngs=None,
+              src_valid=None):
+        memory = self.encode(params, src, training, rngs, src_valid)
         y = self._embed(params, tgt)
         y = self.decoder.apply(params["decoder"], y, memory,
-                               training=training, rngs=rngs)
+                               training=training, rngs=rngs,
+                               cross_segment_ids=self._cross_segs(
+                                   tgt.shape[-1], src_valid))
         y = self.final_norm.apply(params["final_norm"], y)
         return self.embed.attend(params["embedding"], y).astype(jnp.float32)
 
-    def loss(self, params, src, tgt, training=False, rngs=None):
-        logits = self.apply(params, src, tgt[..., :-1], training, rngs)
+    def loss(self, params, src, tgt, training=False, rngs=None,
+             src_valid=None, tgt_valid=None):
+        logits = self.apply(params, src, tgt[..., :-1], training, rngs,
+                            src_valid=src_valid)
         ce = ops.softmax_cross_entropy_with_integer_labels(
             logits, tgt[..., 1:])
+        if tgt_valid is not None:
+            v = tgt_valid[..., 1:].astype(ce.dtype)
+            return jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
         return jnp.mean(ce)
 
-    def greedy_decode(self, params, src, bos_token: int, steps: int):
+    def greedy_decode(self, params, src, bos_token: int, steps: int,
+                      src_valid=None):
         """KV-cached greedy decode conditioned on encoded src (jittable
         lax.scan, like GPT.generate — one compile regardless of steps)."""
         b = src.shape[0]
         c = self.config
-        memory = self.encode(params, src)
+        memory = self.encode(params, src, src_valid=src_valid)
         caches = self.decoder.init_cache(b, steps + 1, c.d_model)
         tok0 = jnp.full((b, 1), bos_token, jnp.int32)
+        cross_segs = self._cross_segs(1, src_valid)
 
         def body(carry, i):
             tok, caches = carry
             y = self._embed(params, tok, offset=i)
             y, caches = self.decoder.apply(params["decoder"], y, memory,
-                                           caches=caches, decode=True)
+                                           caches=caches, decode=True,
+                                           cross_segment_ids=cross_segs)
             y = self.final_norm.apply(params["final_norm"], y)
             logits = self.embed.attend(params["embedding"], y)
             nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)

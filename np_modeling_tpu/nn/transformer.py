@@ -157,7 +157,11 @@ class TransformerDecoderBlock(Module):
         }
 
     def apply(self, params, q, kv, self_mask=None, cross_mask=None,
-              training=False, rngs=None, cache=None, decode=False):
+              training=False, rngs=None, cache=None, decode=False,
+              cross_segment_ids=None):
+        """``cross_segment_ids``: (q_seg [b, s_q], kv_seg [b, s_kv]) for
+        cross-attention — e.g. (ones, src_valid) masks padded encoder
+        memory inside the flash kernels (O(s) operands)."""
         dense2 = Linear(q.shape[-1])
         new_cache = None
 
@@ -182,7 +186,8 @@ class TransformerDecoderBlock(Module):
             y = self.drop.apply({}, y, training, rngs, salt=2)
             y = self.norm2.apply(params["norm2"], y)
         y = self.cross_attn.apply(params["cross_attention"], y, kv,
-                                  mask=cross_mask)
+                                  mask=cross_mask,
+                                  segment_ids=cross_segment_ids)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=2)
@@ -228,7 +233,7 @@ class TransformerEncoder(Module):
                 for i in range(self.num_layers)}
 
     def apply(self, params, x, mask=None, training=False, rngs=None,
-              caches=None, decode=False):
+              caches=None, decode=False, segment_ids=None):
         new_caches = [] if decode else None
         for i in range(self.num_layers):
             r = split_rngs(rngs, i)
@@ -239,6 +244,7 @@ class TransformerEncoder(Module):
                 new_caches.append(c)
             else:
                 x = self.block.apply(params[f"layer_{i}"], x, mask=mask,
+                                     segment_ids=segment_ids,
                                      training=training, rngs=r)
         if decode:
             return x, new_caches
@@ -271,7 +277,8 @@ class TransformerDecoder(Module):
                 for i in range(self.num_layers)}
 
     def apply(self, params, q, kv, self_mask=None, cross_mask=None,
-              training=False, rngs=None, caches=None, decode=False):
+              training=False, rngs=None, caches=None, decode=False,
+              cross_segment_ids=None):
         new_caches = [] if decode else None
         for i in range(self.num_layers):
             r = split_rngs(rngs, i)
@@ -280,13 +287,15 @@ class TransformerDecoder(Module):
                                         self_mask=self_mask,
                                         cross_mask=cross_mask,
                                         training=training, rngs=r,
-                                        cache=caches[i], decode=True)
+                                        cache=caches[i], decode=True,
+                                        cross_segment_ids=cross_segment_ids)
                 new_caches.append(c)
             else:
                 q = self.block.apply(params[f"layer_{i}"], q, kv,
                                      self_mask=self_mask,
                                      cross_mask=cross_mask,
-                                     training=training, rngs=r)
+                                     training=training, rngs=r,
+                                     cross_segment_ids=cross_segment_ids)
         if decode:
             return q, new_caches
         return q

@@ -71,3 +71,33 @@ def test_decoder_causality():
     tgt2 = tgt.at[0, -1].set((tgt[0, -1] + 3) % 50)
     l2 = m.apply(params, src, tgt2)
     assert_allclose(l1[:, :-1], l2[:, :-1], rtol=0, atol=0)
+
+
+class TestPaddedSource:
+    def test_src_valid_isolates_padding(self):
+        """Padded source batches (src_valid) must produce the same logits
+        and greedy decode as the unpadded source."""
+        from np_modeling_tpu import models
+        cfg = models.Seq2SeqConfig(vocab_size=40, d_model=32, num_heads=4,
+                                   num_encoder_layers=1,
+                                   num_decoder_layers=1, hidden_units=32,
+                                   max_len=16)
+        s2s = models.Seq2SeqTransformer(cfg)
+        src = jnp.asarray(rng.integers(0, 40, (1, 6)))
+        tgt = jnp.asarray(rng.integers(0, 40, (1, 5)))
+        params = s2s.init(jax.random.PRNGKey(0), src, tgt)
+        ref = s2s.apply(params, src, tgt)
+        ref_dec = s2s.greedy_decode(params, src, bos_token=1, steps=4)
+
+        padded = jnp.concatenate([src, jnp.full((1, 4), 7, jnp.int32)], 1)
+        valid = jnp.asarray([[1] * 6 + [0] * 4], jnp.int32)
+        out = s2s.apply(params, padded, tgt, src_valid=valid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        dec = s2s.greedy_decode(params, padded, bos_token=1, steps=4,
+                                src_valid=valid)
+        np.testing.assert_array_equal(np.asarray(dec), np.asarray(ref_dec))
+        # Junk tokens must not influence anything.
+        padded2 = padded.at[:, 6:].set(21)
+        out2 = s2s.apply(params, padded2, tgt, src_valid=valid)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
