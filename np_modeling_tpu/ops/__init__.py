@@ -25,7 +25,8 @@ from np_modeling_tpu.ops.losses import (cross_entropy_probs,
 from np_modeling_tpu.ops.matmul import matmul
 from np_modeling_tpu.ops.metrics import (BinaryClassificationMetrics, accuracy,
                                          binary_classification_metrics,
-                                         confusion_matrix)
+                                         confusion_matrix, perplexity,
+                                         top_k_accuracy)
 from np_modeling_tpu.ops.normalization import (dropout, dropout_with_mask,
                                                layer_norm, make_dropout_mask,
                                                rms_norm)

@@ -55,3 +55,16 @@ def confusion_matrix(predictions: jax.Array, labels: jax.Array,
     idx = labels * num_classes + predictions
     counts = jnp.bincount(idx.reshape(-1), length=num_classes * num_classes)
     return counts.reshape(num_classes, num_classes)
+
+
+def top_k_accuracy(logits: jax.Array, labels: jax.Array,
+                   k: int = 5) -> jax.Array:
+    """Fraction of examples whose true label is in the top-k logits."""
+    topk = jax.lax.top_k(logits, k)[1]                  # [..., k]
+    hit = jnp.any(topk == labels[..., None], axis=-1)
+    return jnp.mean(hit.astype(jnp.float32))
+
+
+def perplexity(ce_loss: jax.Array) -> jax.Array:
+    """exp(mean cross-entropy) — the standard LM evaluation metric."""
+    return jnp.exp(ce_loss)

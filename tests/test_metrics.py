@@ -1,5 +1,6 @@
 """Metrics vs sklearn (the reference's metrics.py is buggy AND untested)."""
 
+import jax.numpy as jnp
 import numpy as np
 from sklearn import metrics as skm
 
@@ -34,3 +35,16 @@ def test_accuracy():
     preds = np.array([1, 2, 3, 3])
     labels = np.array([1, 2, 0, 3])
     np.testing.assert_allclose(float(ops.accuracy(preds, labels)), 0.75)
+
+
+def test_top_k_accuracy_and_perplexity():
+    logits = jnp.asarray([[3.0, 1.0, 2.0, 0.0],
+                          [0.0, 1.0, 2.0, 3.0]])
+    labels = jnp.asarray([2, 0])
+    # top-1: preds are [0, 3] -> 0 hits; top-2: {0,2}, {3,2} -> 1 hit.
+    assert float(ops.top_k_accuracy(logits, labels, k=1)) == 0.0
+    assert float(ops.top_k_accuracy(logits, labels, k=2)) == 0.5
+    assert float(ops.top_k_accuracy(logits, labels, k=4)) == 1.0
+    ce = ops.softmax_cross_entropy_with_integer_labels(logits, labels)
+    np.testing.assert_allclose(float(ops.perplexity(jnp.mean(ce))),
+                               float(jnp.exp(jnp.mean(ce))), rtol=1e-6)
