@@ -6,15 +6,16 @@ from np_modeling_tpu.training.native_data import TokenFileLoader
 from np_modeling_tpu.training.checkpoint import (
     load_checkpoint, load_checkpoint_sharded, save_checkpoint,
     save_checkpoint_sharded)
-from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adam,
-                                                 adamw, apply_updates, chain,
-                                                 clip_by_global_norm, momentum,
-                                                 sgd)
+from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adafactor,
+                                                 adam, adamw, apply_updates,
+                                                 chain, clip_by_global_norm,
+                                                 momentum, sgd)
 from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
                                               make_train_step, resolve_loss)
 
 __all__ = [
-    "AdamState", "Optimizer", "TokenFileLoader", "Trainer", "adam",
+    "AdamState", "Optimizer", "TokenFileLoader", "Trainer", "adafactor",
+    "adam",
     "adamw", "apply_updates",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",

@@ -128,6 +128,98 @@ def adamw(learning_rate, beta1: float = 0.9, beta2: float = 0.999,
     return Optimizer(base.init, update)
 
 
+def adafactor(learning_rate, min_dim_size_to_factor: int = 128,
+              decay_rate: float = 0.8, epsilon: float = 1e-30,
+              clipping_threshold: float | None = 1.0,
+              multiply_by_parameter_scale: bool = True,
+              epsilon_scale: float = 1e-3) -> Optimizer:
+    """Adafactor (Shazeer & Stern 2018): factored second moments.
+
+    For params whose two largest dims are both >= min_dim_size_to_factor,
+    the second-moment EMA is stored as a row EMA + column EMA (O(m+n)
+    instead of O(m*n) optimizer memory — the reason large TPU models train
+    with Adafactor). Matches ``optax.adafactor`` with the same arguments
+    (momentum-free form); verified leafwise in tests.
+    """
+
+    def _factored_dims(shape):
+        if len(shape) < 2:
+            return None
+        sorted_dims = sorted(((s, i) for i, s in enumerate(shape)))
+        if sorted_dims[-2][0] < min_dim_size_to_factor:
+            return None
+        # (second-largest axis, largest axis); ties resolve like optax
+        # (argsort order).
+        return sorted_dims[-2][1], sorted_dims[-1][1]
+
+    def init(params):
+        leaves = jax.tree_util.tree_leaves(params)
+        state = []
+        for p in leaves:
+            f = _factored_dims(p.shape)
+            if f is not None:
+                d1, d0 = f   # d1: second-largest axis, d0: largest axis
+                vr_shape = list(p.shape)
+                del vr_shape[d0]          # row EMA: mean over largest axis
+                vc_shape = list(p.shape)
+                del vc_shape[d1]
+                state.append({"v_row": jnp.zeros(vr_shape, jnp.float32),
+                              "v_col": jnp.zeros(vc_shape, jnp.float32)})
+            else:
+                state.append({"v": jnp.zeros(p.shape, jnp.float32)})
+        return (jnp.zeros((), jnp.int32), tuple(state))
+
+    def update(grads, state, params=None):
+        count, factors = state
+        count = count + 1
+        t = count.astype(jnp.float32)
+        decay = 1.0 - t ** (-decay_rate)
+        lr = _lr_at(learning_rate, count - 1)
+        gleaves, treedef = jax.tree_util.tree_flatten(grads)
+        pleaves = (jax.tree_util.tree_leaves(params) if params is not None
+                   else [None] * len(gleaves))
+        new_factors, updates = [], []
+        for g, p, s in zip(gleaves, pleaves, factors):
+            g32 = g.astype(jnp.float32)
+            gsq = jnp.square(g32) + epsilon
+            f = _factored_dims(g.shape)
+            if f is not None:
+                d1, d0 = f
+                v_row = decay * s["v_row"] + (1 - decay) * jnp.mean(gsq,
+                                                                    axis=d0)
+                v_col = decay * s["v_col"] + (1 - decay) * jnp.mean(gsq,
+                                                                    axis=d1)
+                new_factors.append({"v_row": v_row, "v_col": v_col})
+                # V ~= (row EMA x col EMA) / mean(row EMA): paper eq. (4).
+                reduced_d1 = d1 - 1 if d1 > d0 else d1
+                row_mean = jnp.mean(v_row, axis=reduced_d1, keepdims=True)
+                row_factor = (v_row / row_mean) ** -0.5
+                col_factor = v_col ** -0.5
+                u = (g32 * jnp.expand_dims(row_factor, d0)
+                     * jnp.expand_dims(col_factor, d1))
+            else:
+                v = decay * s["v"] + (1 - decay) * gsq
+                new_factors.append({"v": v})
+                u = g32 * (v ** -0.5)
+            if clipping_threshold is not None:
+                rms_u = jnp.sqrt(jnp.mean(jnp.square(u)))
+                u = u / jnp.maximum(1.0, rms_u / clipping_threshold)
+            scale = lr
+            if multiply_by_parameter_scale:
+                assert p is not None, (
+                    "adafactor(multiply_by_parameter_scale=True) needs "
+                    "params in update()")
+                pscale = jnp.maximum(
+                    jnp.sqrt(jnp.mean(jnp.square(p.astype(jnp.float32)))),
+                    epsilon_scale)
+                scale = scale * pscale
+            updates.append((-scale * u).astype(g.dtype))
+        return (jax.tree_util.tree_unflatten(treedef, updates),
+                (count, tuple(new_factors)))
+
+    return Optimizer(init, update)
+
+
 def clip_by_global_norm(max_norm: float):
     """Gradient clipping transform, composable via ``chain``."""
 

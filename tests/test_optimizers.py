@@ -6,7 +6,8 @@ import numpy as np
 import optax
 
 from np_modeling_tpu import training
-from np_modeling_tpu.utils.testing import assert_trees_allclose, rand
+from np_modeling_tpu.utils.testing import (assert_allclose,
+                                            assert_trees_allclose, rand)
 
 rng = np.random.default_rng(11)
 
@@ -87,3 +88,63 @@ class TestComposition:
         norm = jnp.sqrt(sum(jnp.sum(u ** 2)
                             for u in jax.tree_util.tree_leaves(updates)))
         np.testing.assert_allclose(float(norm), 1.0, rtol=1e-5)
+
+
+class TestAdafactor:
+    def _tree(self):
+        r = np.random.default_rng(0)
+        return {
+            "w2d": jnp.asarray(r.normal(size=(200, 160)), jnp.float32),
+            "w3d": jnp.asarray(r.normal(size=(160, 8, 130)), jnp.float32),
+            "b": jnp.asarray(r.normal(size=(160,)), jnp.float32),
+        }
+
+    def test_matches_optax_trajectory(self):
+        import optax
+        params = self._tree()
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(1).normal(size=p.shape),
+                jnp.float32) * 0.1, params)
+        ours = training.adafactor(1e-2)
+        ref = optax.adafactor(1e-2)
+        so, sr = ours.init(params), ref.init(params)
+        p1 = p2 = params
+        for _ in range(5):
+            u1, so = ours.update(grads, so, p1)
+            p1 = training.apply_updates(p1, u1)
+            u2, sr = ref.update(grads, sr, p2)
+            p2 = optax.apply_updates(p2, u2)
+        for k in params:
+            assert_allclose(p1[k], p2[k], rtol=1e-5, atol=1e-6)
+
+    def test_factored_state_is_small(self):
+        params = self._tree()
+        state = training.adafactor(1e-2).init(params)
+        n_state = sum(x.size for x in jax.tree_util.tree_leaves(state))
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        # Factored EMAs are O(m+n) per matrix (vs O(m*n) for Adam's 2x).
+        assert n_state < 0.1 * n_params
+
+    def test_trains_gpt(self):
+        from np_modeling_tpu import models
+        r = np.random.default_rng(0)
+        tokens = jnp.asarray(r.integers(0, 50, (4, 12)))
+        cfg = models.GPTConfig(vocab_size=50, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=64, max_len=16)
+        gpt = models.GPT(cfg)
+        params = gpt.init(jax.random.PRNGKey(0), tokens)
+        opt = training.adafactor(3e-2, min_dim_size_to_factor=8)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            loss, g = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(p)
+            u, s = opt.update(g, s, p)
+            return training.apply_updates(p, u), s, loss
+
+        losses = []
+        for _ in range(15):
+            params, state, loss = step(params, state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
