@@ -54,6 +54,9 @@ class GPT(Module):
 
     def __post_init__(self):
         c = self.config
+        assert not (c.fused_loss and not c.tie_embeddings), (
+            "fused_loss requires tie_embeddings=True (the chunked CE reads "
+            "the embedding table as the LM head)")
         self.embed = Embedding(c.vocab_size, c.d_model)
         self.pos_embed = Embedding(c.max_len, c.d_model)
         self.block = TransformerEncoderBlock(
@@ -224,7 +227,7 @@ class GPT(Module):
         c = self.config
         seg = segment_ids[..., :-1] if segment_ids is not None else None
         pos = positions[..., :-1] if positions is not None else None
-        fused = c.fused_loss and c.tie_embeddings
+        fused = c.fused_loss
         if c.moe_experts:
             out, aux = self.apply(params, tokens[..., :-1],
                                   training=training, rngs=rngs,

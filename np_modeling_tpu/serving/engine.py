@@ -55,6 +55,10 @@ class GenerationEngine:
         hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
         self._dims = (hq, hkv, dk)
         self.max_pages = -(-c.max_len // self.page_size)
+        # Hard token bound: the page table may cover slightly more than
+        # max_len when page_size doesn't divide it — never decode past the
+        # model's trained context.
+        self._max_tokens = min(self.max_pages * self.page_size, c.max_len)
         store = jnp.int8 if self.quantize_kv else jnp.float32
         # One page array PER LAYER (not one stacked [L, ...] array): the
         # per-layer scatter then has adjacent advanced indices and XLA
@@ -117,8 +121,10 @@ class GenerationEngine:
 
         prompt = jnp.asarray(prompt_tokens)[None, :]
         plen = int(prompt.shape[1])
-        if plen >= self.max_pages * self.page_size:
-            raise OutOfPagesError("prompt exceeds per-sequence page table")
+        if plen >= self._max_tokens:
+            raise OutOfPagesError(
+                f"prompt length {plen} >= the {self._max_tokens}-token "
+                "per-sequence capacity (model max_len / page table)")
 
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True)
         n_pages = -(-plen // self.page_size)
@@ -193,9 +199,10 @@ class GenerationEngine:
         total = 0
         for seq_id, slot in self._slots.items():
             ln = self._host_len[seq_id]
-            if ln + n > self.max_pages * self.page_size:
+            if ln + n > self._max_tokens:
                 raise OutOfPagesError(
-                    f"sequence {seq_id} exceeds its page table")
+                    f"sequence {seq_id} would exceed the "
+                    f"{self._max_tokens}-token capacity (model max_len)")
             need = -(-(ln + n) // self.page_size)
             extra = need - len(self._seq_pages[seq_id])
             if extra > 0:

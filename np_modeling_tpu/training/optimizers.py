@@ -166,7 +166,9 @@ def adafactor(learning_rate, min_dim_size_to_factor: int = 128,
                 state.append({"v_row": jnp.zeros(vr_shape, jnp.float32),
                               "v_col": jnp.zeros(vc_shape, jnp.float32)})
             else:
-                state.append({"v": jnp.zeros(p.shape, jnp.float32)})
+                # zeros_like preserves the param's sharding (param-sized
+                # state must live where the param lives on a mesh).
+                state.append({"v": jnp.zeros_like(p, dtype=jnp.float32)})
         return (jnp.zeros((), jnp.int32), tuple(state))
 
     def update(grads, state, params=None):

@@ -201,3 +201,21 @@ def test_engine_matches_dense_generate_rope():
     for _ in range(steps - 1):
         toks.append(eng.step()[0])
     np.testing.assert_array_equal(np.asarray(toks), dense)
+
+
+def test_capacity_bounded_by_model_max_len():
+    """page_size not dividing max_len must NOT allow decoding past max_len
+    (review finding: positions clipped silently past the trained context)."""
+    from np_modeling_tpu.serving.kv_cache import OutOfPagesError
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_layers=1, hidden_units=32, max_len=10)
+    gpt = models.GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(0),
+                      jnp.asarray(rng.integers(0, 64, (1, 8))))
+    eng = GenerationEngine(gpt, params, total_pages=16, page_size=4)
+    assert eng._max_tokens == 10          # not 12 (3 pages x 4)
+    eng.add_request(0, jnp.asarray(rng.integers(0, 64, (8,))))
+    eng.step()                            # len 8 -> 9
+    eng.step()                            # len 9 -> 10
+    with pytest.raises(OutOfPagesError):
+        eng.step()                        # appending position 10 > max_len
