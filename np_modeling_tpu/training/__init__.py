@@ -9,7 +9,8 @@ from np_modeling_tpu.training.checkpoint import (
 from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adafactor,
                                                  adam, adamw, apply_updates,
                                                  chain, clip_by_global_norm,
-                                                 momentum, sgd)
+                                                 momentum, sgd,
+                                                 skip_nonfinite)
 from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
                                               make_train_step, resolve_loss)
 
@@ -20,5 +21,5 @@ __all__ = [
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
     "make_eval_step", "make_train_step", "momentum", "resolve_loss",
-    "save_checkpoint", "schedules", "sgd",
+    "save_checkpoint", "schedules", "sgd", "skip_nonfinite",
 ]

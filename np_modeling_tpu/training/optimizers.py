@@ -253,3 +253,34 @@ def chain(*transforms: Optimizer) -> Optimizer:
         return grads, tuple(new_state)
 
     return Optimizer(init, update)
+
+
+def skip_nonfinite(inner: Optimizer) -> Optimizer:
+    """Skip steps whose gradients contain NaN/Inf (production guard).
+
+    When any grad leaf is non-finite: updates are zero and the inner
+    optimizer state is left untouched (the bad step never happened).
+    State: (skipped_count, inner_state) — read ``state[0]`` to monitor.
+    The check is one in-graph all-finite reduction; no host sync.
+    """
+
+    def init(params):
+        return (jnp.zeros((), jnp.int32), inner.init(params))
+
+    def update(grads, state, params=None):
+        skipped, inner_state = state
+        finite = jnp.array(True)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        # Run the inner update on sanitized grads (so it cannot poison its
+        # own state with NaNs), then select old-vs-new by finiteness.
+        safe_grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        updates, new_inner = inner.update(safe_grads, inner_state, params)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(finite, x, y), a, b)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, updates)
+        return (sel(updates, zeros),
+                (skipped + (~finite).astype(jnp.int32),
+                 sel(new_inner, inner_state)))
+
+    return Optimizer(init, update)

@@ -148,3 +148,37 @@ class TestAdafactor:
             params, state, loss = step(params, state)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+def test_skip_nonfinite_guards_updates_and_state():
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    good = {"w": jnp.full((4,), 0.5), "b": jnp.full((2,), 0.5)}
+    bad = {"w": jnp.asarray([0.1, jnp.nan, 0.1, 0.1]),
+           "b": jnp.full((2,), 0.5)}
+    opt = training.skip_nonfinite(training.adam(1e-1))
+    state = opt.init(params)
+
+    u, state = opt.update(good, state, params)
+    p1 = training.apply_updates(params, u)
+    assert int(state[0]) == 0
+    assert not np.allclose(np.asarray(p1["w"]), np.asarray(params["w"]))
+
+    u, state = opt.update(bad, state, p1)           # must be a no-op
+    p2 = training.apply_updates(p1, u)
+    assert int(state[0]) == 1
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    for a, b in zip(jax.tree_util.tree_leaves(state[1].mu),
+                    jax.tree_util.tree_leaves(state[1].mu)):
+        assert np.isfinite(np.asarray(a)).all()
+
+    # Trajectory with the bad step skipped == trajectory without it.
+    opt2 = training.skip_nonfinite(training.adam(1e-1))
+    s2 = opt2.init(params)
+    u, s2 = opt2.update(good, s2, params)
+    q1 = training.apply_updates(params, u)
+    u, s2 = opt2.update(good, s2, q1)
+    q2 = training.apply_updates(q1, u)
+    u, state = opt.update(good, state, p2)
+    p3 = training.apply_updates(p2, u)
+    np.testing.assert_allclose(np.asarray(p3["w"]), np.asarray(q2["w"]),
+                               rtol=1e-6)
