@@ -37,7 +37,8 @@ class GPTConfig:
                                   # (O(1) compile time in depth)
     remat: bool = False           # jax.checkpoint each block (recompute
                                   # activations in backward: memory for FLOPs)
-    moe_experts: int = 0          # >0: FFN becomes a top-2 routed MoE
+    moe_experts: int = 0          # >0: FFN becomes a routed MoE
+    moe_top_k: int = 2            # 2 = GShard, 1 = Switch routing
     moe_aux_weight: float = 0.01  # load-balancing aux loss coefficient
     positional: str = "learned"   # "learned" | "rope"
     attention_window: int | None = None   # sliding-window (local) attention
@@ -62,7 +63,8 @@ class GPT(Module):
         self.block = TransformerEncoderBlock(
             c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
             causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
-            moe_experts=c.moe_experts, rope=(c.positional == "rope"),
+            moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
+            rope=(c.positional == "rope"),
             window=c.attention_window)
         self.final_norm = LayerNorm()
         self.drop = Dropout(c.drop_rate)

@@ -30,8 +30,12 @@ class MoE(Module):
     num_experts: int
     hidden_units: int
     capacity_factor: float = 1.25
+    router_top_k: int = 2         # 2 = GShard; 1 = Switch routing
     activation: str = "relu"
     kernel_init: Callable = initializers.lecun_normal
+
+    def __post_init__(self):
+        assert self.router_top_k in (1, 2), "router_top_k must be 1 or 2"
 
     def init(self, key, x):
         d = x.shape[-1]
@@ -46,8 +50,9 @@ class MoE(Module):
         }
 
     def _capacity(self, tokens):
-        # ceil(2 * T / E * factor), at least 4, rounded up to a multiple of 4.
-        c = int(2 * tokens / self.num_experts * self.capacity_factor)
+        # ceil(k * T / E * factor), at least 4, rounded to a multiple of 4.
+        c = int(self.router_top_k * tokens / self.num_experts
+                * self.capacity_factor)
         c = max(c, 4)
         return -(-c // 4) * 4
 
@@ -68,30 +73,36 @@ class MoE(Module):
         logits = xt @ params["router"]              # [T, E]
         gates = jax.nn.softmax(logits, axis=-1)
 
-        # Top-2 expert choice per token.
-        g1, i1 = jax.lax.top_k(gates, 2)
-        idx1, idx2 = i1[:, 0], i1[:, 1]
-        w1g, w2g = g1[:, 0], g1[:, 1]
-        denom = jnp.maximum(w1g + w2g, 1e-9)
-        w1g, w2g = w1g / denom, w2g / denom
+        # Top-k expert choice per token (k=2: GShard, gates renormalized
+        # over the pair; k=1: Switch, raw softmax gate).
+        g1, i1 = jax.lax.top_k(gates, self.router_top_k)
+        idx1 = i1[:, 0]
+        if self.router_top_k == 2:
+            idx2 = i1[:, 1]
+            w1g, w2g = g1[:, 0], g1[:, 1]
+            denom = jnp.maximum(w1g + w2g, 1e-9)
+            w1g, w2g = w1g / denom, w2g / denom
+        else:
+            w1g = g1[:, 0]
 
         # Position of each token within its expert's capacity buffer.
         # Second choices are slotted AFTER all first choices of that expert
         # (GShard), so first/second slots can never collide.
         mask1 = jax.nn.one_hot(idx1, e)             # [T, E]
         pos1 = (jnp.cumsum(mask1, axis=0) - 1.0) * mask1
-        mask2 = jax.nn.one_hot(idx2, e)
-        count1 = jnp.sum(mask1, axis=0, keepdims=True)       # [1, E]
-        pos2 = (jnp.cumsum(mask2, axis=0) - 1.0 + count1) * mask2
         keep1 = mask1 * (pos1 < cap)
-        keep2 = mask2 * (pos2 < cap)
 
         def routing_tensor(keep, pos, w):
             slot = jax.nn.one_hot(jnp.sum(pos, axis=1).astype(jnp.int32), cap)
             return keep[:, :, None] * slot[:, None, :] * w[:, None, None]
 
-        combine = (routing_tensor(keep1, pos1, w1g)
-                   + routing_tensor(keep2, pos2, w2g))  # [T, E, C]
+        combine = routing_tensor(keep1, pos1, w1g)       # [T, E, C]
+        if self.router_top_k == 2:
+            mask2 = jax.nn.one_hot(idx2, e)
+            count1 = jnp.sum(mask1, axis=0, keepdims=True)   # [1, E]
+            pos2 = (jnp.cumsum(mask2, axis=0) - 1.0 + count1) * mask2
+            keep2 = mask2 * (pos2 < cap)
+            combine = combine + routing_tensor(keep2, pos2, w2g)
         dispatch = (combine > 0.0).astype(xt.dtype)
 
         # Dispatch -> per-expert FFN -> combine: all dense einsums.

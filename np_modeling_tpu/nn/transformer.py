@@ -33,7 +33,8 @@ class TransformerEncoderBlock(Module):
     causal: bool = False            # GPT-style decoder-only blocks set True
     num_kv_heads: Optional[int] = None
     dtype: Optional[object] = None  # compute dtype (mixed precision)
-    moe_experts: int = 0            # >0: FFN becomes a top-2 routed MoE
+    moe_experts: int = 0            # >0: FFN becomes a routed MoE
+    moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
     rope: bool = False              # rotary position embeddings
     window: Optional[int] = None    # sliding-window attention (causal only)
 
@@ -45,7 +46,8 @@ class TransformerEncoderBlock(Module):
         self.norm2 = LayerNorm()
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
-            self.moe = MoE(self.moe_experts, self.hidden_units)
+            self.moe = MoE(self.moe_experts, self.hidden_units,
+                           router_top_k=self.moe_top_k)
         else:
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype)  # ReLU
         self.drop = Dropout(self.drop_rate)

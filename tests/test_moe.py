@@ -119,3 +119,50 @@ def test_moe_gpt_trains():
     # Router grads flow (aux loss is wired in).
     g = jax.grad(lambda p: gpt.loss(p, tokens))(params)
     assert float(jnp.sum(jnp.abs(g["layer_0"]["moe"]["router"]))) > 0
+
+
+class TestSwitchRouting:
+    def test_top1_routes_each_token_to_one_expert(self):
+        from np_modeling_tpu.nn.moe import MoE
+        moe = MoE(num_experts=4, hidden_units=32, router_top_k=1,
+                  capacity_factor=4.0)
+        x = jnp.asarray(rand(2, 16, 16, rng=rng))
+        params = moe.init(jax.random.PRNGKey(0), x)
+        out, aux = moe.apply_with_aux(params, x)
+        assert out.shape == x.shape and float(aux) > 0
+        # With huge capacity, every token's output is its top-1 expert's
+        # FFN output weighted by the raw softmax gate.
+        xt = x.reshape(-1, 16)
+        gates = jax.nn.softmax(xt @ params["router"], axis=-1)
+        idx = jnp.argmax(gates, axis=-1)
+        ref = []
+        for t in range(xt.shape[0]):
+            e = int(idx[t])
+            h = jax.nn.relu(xt[t] @ params["w1"][e] + params["b1"][e])
+            ref.append((h @ params["w2"][e] + params["b2"][e])
+                       * gates[t, e])
+        assert_allclose(out.reshape(-1, 16), jnp.stack(ref),
+                        rtol=1e-5, atol=1e-5)
+
+    def test_switch_gpt_trains(self):
+        from np_modeling_tpu import models, training
+        tokens = jnp.asarray(rng.integers(0, 50, (4, 12)))
+        cfg = models.GPTConfig(vocab_size=50, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=64, max_len=16,
+                               moe_experts=4, moe_top_k=1)
+        gpt = models.GPT(cfg)
+        params = gpt.init(jax.random.PRNGKey(0), tokens)
+        opt = training.adam(1e-3)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            loss, g = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(p)
+            u, s = opt.update(g, s, p)
+            return training.apply_updates(p, u), s, loss
+
+        losses = []
+        for _ in range(12):
+            params, state, loss = step(params, state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
