@@ -4,9 +4,12 @@ Measures the jitted continuous-batching decode step (step_many: one device
 dispatch for n tokens x all live sequences) on a 4L/d1024 GPT with 8 live
 sequences at ~512-token context. One JSON line per config.
 
-Measured (tunneled v5e, warm compiles): fp32 KV 2.96 ms/token (2.7k tok/s
-aggregate), int8 KV 3.14 ms/token. A single per-token step() costs ~29ms
-extra dispatch+readback round-trip through this machine's TPU tunnel —
+Measured (tunneled v5e, warm compiles, same run): fp32 KV 2.79 ms/token
+(2.9k tok/s aggregate), bf16 KV 2.13 ms/token (3.8k tok/s — the paged
+kernel is page-DMA bound, so halving page bytes is a 1.31x decode win),
+int8 KV 4.55 ms/token (quantized append + per-page dequant overheads
+dominate at this model size). A single per-token step() costs ~29ms extra
+dispatch+readback round-trip through this machine's TPU tunnel —
 production serving should batch decode steps via step_many.
 """
 
@@ -33,9 +36,11 @@ def main():
     gpt = models.GPT(cfg)
     params = gpt.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 128), jnp.int32))
-    for quant in (False, True):
+    import jax.numpy as _jnp
+    for tag, kw in [("", {}), ("_bf16kv", {"kv_dtype": _jnp.bfloat16}),
+                    ("_int8kv", {"quantize_kv": True})]:
         eng = GenerationEngine(gpt, params, total_pages=128, page_size=64,
-                               max_seqs=SEQS, quantize_kv=quant)
+                               max_seqs=SEQS, **kw)
         for s in range(SEQS):
             eng.add_request(s, jnp.asarray(rng.integers(0, 8192, (PROMPT,))))
         eng.step_many(N)          # warm the n-step scan compile
@@ -43,7 +48,7 @@ def main():
         eng.step_many(N)
         per = (time.perf_counter() - t0) / N
         print(json.dumps({
-            "metric": f"engine_decode_8seq_gpt4L_d1024{'_int8kv' if quant else ''}",
+            "metric": f"engine_decode_8seq_gpt4L_d1024{tag}",
             "value": round(per * 1e6, 1),
             "unit": "us/token_step",
             "tok_per_s": round(SEQS / per, 0),

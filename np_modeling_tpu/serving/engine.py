@@ -44,6 +44,8 @@ class GenerationEngine:
     page_size: int = 16
     max_seqs: int = 16
     quantize_kv: bool = False
+    kv_dtype: object = None      # page dtype; None = fp32 (exact vs dense
+                                 # decode), jnp.bfloat16 halves page traffic
     temperature: float = 0.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
@@ -59,7 +61,8 @@ class GenerationEngine:
         # max_len when page_size doesn't divide it — never decode past the
         # model's trained context.
         self._max_tokens = min(self.max_pages * self.page_size, c.max_len)
-        store = jnp.int8 if self.quantize_kv else jnp.float32
+        store = (jnp.int8 if self.quantize_kv
+                 else (self.kv_dtype or jnp.float32))
         # One page array PER LAYER (not one stacked [L, ...] array): the
         # per-layer scatter then has adjacent advanced indices and XLA
         # updates the donated buffer in place — a stacked layout's leading

@@ -6,17 +6,18 @@ from np_modeling_tpu.training.native_data import TokenFileLoader
 from np_modeling_tpu.training.checkpoint import (
     load_checkpoint, load_checkpoint_sharded, save_checkpoint,
     save_checkpoint_sharded)
-from np_modeling_tpu.training.optimizers import (AdamState, Optimizer, adafactor,
+from np_modeling_tpu.training.optimizers import (AdamState, EmaState,
+                                                 Optimizer, adafactor,
                                                  adam, adamw, apply_updates,
                                                  chain, clip_by_global_norm,
-                                                 momentum, sgd,
+                                                 ema_params, momentum, sgd,
                                                  skip_nonfinite)
 from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
                                               make_train_step, resolve_loss)
 
 __all__ = [
-    "AdamState", "Optimizer", "TokenFileLoader", "Trainer", "adafactor",
-    "adam",
+    "AdamState", "EmaState", "Optimizer", "TokenFileLoader", "Trainer",
+    "adafactor", "ema_params", "adam",
     "adamw", "apply_updates",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",

