@@ -1,0 +1,93 @@
+"""Real-TPU correctness smoke: paths that interpret mode cannot fully cover.
+
+The CPU test suite runs Pallas kernels in interpret mode, which stubs the
+TPU PRNG and can mask Mosaic-lowering divergences. Run THIS on hardware
+(`python tpu_smoke.py`) to check:
+
+1. flash attention with in-kernel bias + packed segments, causal, on chip:
+   forward equals the jnp fallback exactly; dbias to ~1e-5 abs.
+2. GPT training with PRNG-in-kernel dropout: loss decreases, finite.
+3. Dropout mask statistics on the hardware PRNG: keep rate ~= 1-rate and
+   the backward regenerates the IDENTICAL mask (fwd/bwd identity == 1.0).
+
+Last verified on v5e 2026-08-16: bias fwd rel err 0.0, dbias max abs err
+1.9e-5 (values ~38), dropout train 6.254 -> 2.044, keep 0.7496,
+mask identity 1.0000.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from np_modeling_tpu import models, ops, training
+from np_modeling_tpu.ops import dispatch
+
+
+def main():
+    rng = np.random.default_rng(0)
+    assert jax.devices()[0].platform == "tpu", "run on a TPU"
+
+    with jax.default_matmul_precision("highest"):
+        q = jnp.asarray(rng.normal(size=(1, 2, 512, 128)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 2, 512, 128)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, 2, 512, 128)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(1, 2, 512, 512)),
+                           jnp.float32) * 0.1
+        segs = jnp.asarray(np.repeat(np.arange(4), 128))[None, :]
+
+        def loss(b, use_kernel):
+            with dispatch.force_pallas(use_kernel):
+                out = ops.flash_attention(q, k, v, bias=b, causal=True,
+                                          segment_ids=(segs, segs),
+                                          block_q=256, block_kv=256)
+            return jnp.sum(out ** 2)
+
+        rel = float(jnp.abs(loss(bias, True) - loss(bias, False))
+                    / jnp.abs(loss(bias, False)))
+        gb_k = jax.grad(lambda b: loss(b, True))(bias)
+        gb_j = jax.grad(lambda b: loss(b, False))(bias)
+        db_err = float(jnp.max(jnp.abs(gb_k - gb_j)))
+        print(f"bias+segs kernel-vs-jnp: fwd rel err {rel:.2e}, "
+              f"dbias max abs err {db_err:.2e}")
+        assert rel < 1e-6 and db_err < 1e-3
+
+    cfg = models.GPTConfig(vocab_size=512, d_model=128, num_heads=4,
+                           num_layers=2, hidden_units=256, max_len=64,
+                           drop_rate=0.2)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 512, (8, 48)))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    opt = training.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, key):
+        l, g = jax.value_and_grad(lambda p: gpt.loss(
+            p, tokens, training=True, rngs={"dropout": key}))(p)
+        u, s = opt.update(g, s, p)
+        return training.apply_updates(p, u), s, l
+
+    losses = []
+    for i in range(25):
+        params, state, l = step(params, state, jax.random.PRNGKey(i))
+        losses.append(float(l))
+    print(f"PRNG-dropout training: {losses[0]:.3f} -> {losses[-1]:.3f}")
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0]
+
+    x = jnp.ones((512, 256), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    y = ops.dropout(x, key, 0.25, training=True)
+    keep = float(jnp.mean((y != 0).astype(jnp.float32)))
+    g = jax.grad(
+        lambda x: jnp.sum(ops.dropout(x, key, 0.25, training=True)))(x)
+    same = float(jnp.mean(((y != 0) == (g != 0)).astype(jnp.float32)))
+    print(f"dropout keep_rate {keep:.4f} (want ~0.75), "
+          f"fwd/bwd mask identity {same:.4f}")
+    assert abs(keep - 0.75) < 0.02 and same == 1.0
+    print("ALL TPU SMOKE CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
