@@ -94,14 +94,17 @@ class GPT(Module):
 
     def apply(self, params, tokens, training=False, rngs=None,
               caches=None, decode=False, positions=None, collect_kv=False,
-              collect_aux=False, segment_ids=None, return_hidden=False):
+              collect_aux=False, segment_ids=None, return_hidden=False,
+              logits_last_only=False):
         """``segment_ids`` [b, s]: packed-sequence training — documents in
         the batch cannot attend across segment boundaries (masked inside
         the flash kernels). Pass per-document ``positions`` as well if
         position embeddings should restart at each document.
         ``return_hidden=True`` returns the final-norm hidden states instead
         of logits (the fused-loss path computes CE without materializing
-        them)."""
+        them). ``logits_last_only=True`` computes the LM head only for the
+        final position (decode prefill needs just the next-token logits —
+        skips a [b, s, vocab] materialization)."""
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
         if c.positional == "learned":
@@ -157,6 +160,8 @@ class GPT(Module):
             if collect_aux:
                 return x, aux_total
             return x
+        if logits_last_only:
+            x = x[..., -1:, :]
         if c.tie_embeddings:
             table = params["embedding"]["table"]
             if c.dtype is not None:
@@ -277,7 +282,7 @@ class GPT(Module):
         b, plen = prompt_tokens.shape
         caches = self.init_cache(b, plen + steps)
         logits, caches = self.apply(params, prompt_tokens, caches=caches,
-                                    decode=True)
+                                    decode=True, logits_last_only=True)
         next_tok = self._sample(logits[:, -1], key, temperature, 0,
                                 top_k, top_p)
 

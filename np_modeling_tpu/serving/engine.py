@@ -129,7 +129,8 @@ class GenerationEngine:
                 f"prompt length {plen} >= the {self._max_tokens}-token "
                 "per-sequence capacity (model max_len / page table)")
 
-        logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True)
+        logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True,
+                                     logits_last_only=True)
         n_pages = -(-plen // self.page_size)
         pages = self._alloc(n_pages)           # atomic: checks before popping
         # Seed the pages through a jitted, state-donating append (eager
