@@ -41,6 +41,10 @@ class GPTConfig:
     moe_top_k: int = 2            # 2 = GShard, 1 = Switch routing
     moe_aux_weight: float = 0.01  # load-balancing aux loss coefficient
     positional: str = "learned"   # "learned" | "rope"
+    activation: str = "relu"      # FFN activation ("relu" | "gelu" | "silu";
+                                  # "gelu" is the tanh form = HF "gelu_new")
+    ln_eps: float = 1e-3          # LayerNorm epsilon (reference default;
+                                  # GPT-2 uses 1e-5)
     attention_window: int | None = None   # sliding-window (local) attention
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
                                   # never materialized (tied embeddings
@@ -65,8 +69,9 @@ class GPT(Module):
             causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
             moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
             rope=(c.positional == "rope"),
-            window=c.attention_window)
-        self.final_norm = LayerNorm()
+            window=c.attention_window, activation=c.activation,
+            ln_eps=c.ln_eps)
+        self.final_norm = LayerNorm(epsilon=c.ln_eps)
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
             self.lm_head = Linear(c.vocab_size, use_bias=False, dtype=c.dtype)

@@ -37,19 +37,22 @@ class TransformerEncoderBlock(Module):
     moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
     rope: bool = False              # rotary position embeddings
     window: Optional[int] = None    # sliding-window attention (causal only)
+    activation: object = "relu"     # FFN activation (reference default ReLU)
+    ln_eps: float = 1e-3            # LayerNorm epsilon
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
                                        causal=self.causal, dtype=self.dtype,
                                        rope=self.rope, window=self.window)
-        self.norm1 = LayerNorm()
-        self.norm2 = LayerNorm()
+        self.norm1 = LayerNorm(epsilon=self.ln_eps)
+        self.norm2 = LayerNorm(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
             self.moe = MoE(self.moe_experts, self.hidden_units,
                            router_top_k=self.moe_top_k)
         else:
-            self.dense1 = Dense(self.hidden_units, dtype=self.dtype)  # ReLU
+            self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
+                                activation=self.activation)
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, x):

@@ -1,0 +1,95 @@
+"""HuggingFace GPT-2 import: logits parity vs the torch model.
+
+Oracle pattern (SURVEY.md §4): an independent trusted implementation —
+here ``transformers.GPT2LMHeadModel`` built locally with random weights
+(no network) — is converted via utils.hf_compat and must produce the same
+logits through our GPT at float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu import models
+from np_modeling_tpu.utils import hf_compat
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _tiny_hf_gpt2(seed=0):
+    cfg = transformers.GPT2Config(
+        vocab_size=97, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        activation_function="gelu_new")
+    torch.manual_seed(seed)
+    model = transformers.GPT2LMHeadModel(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def hf_and_ours():
+    model = _tiny_hf_gpt2()
+    cfg, params = hf_compat.import_gpt2(model)
+    return model, models.GPT(cfg), params
+
+
+def test_config_mapping(hf_and_ours):
+    model, gpt, params = hf_and_ours
+    c = gpt.config
+    assert (c.vocab_size, c.d_model, c.num_heads, c.num_layers) == (97, 32,
+                                                                    4, 2)
+    assert c.hidden_units == 128 and c.max_len == 64
+    assert c.activation == "gelu" and c.ln_eps == 1e-5
+    assert c.norm_first and c.tie_embeddings
+    # The tied LM head really is the embedding table.
+    np.testing.assert_array_equal(
+        np.asarray(params["embedding"]["table"]),
+        model.lm_head.weight.detach().numpy())
+
+
+def test_logits_match_torch(hf_and_ours):
+    model, gpt, params = hf_and_ours
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=(3, 17))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = gpt.apply(params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_loss_matches_torch_ce(hf_and_ours):
+    model, gpt, params = hf_and_ours
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, 97, size=(2, 12))
+    t = torch.from_numpy(tokens)
+    with torch.no_grad():
+        want = model(t, labels=t).loss.item()  # HF shifts labels internally
+    with jax.default_matmul_precision("highest"):
+        got = float(gpt.loss(params, jnp.asarray(tokens, jnp.int32)))
+    assert abs(got - want) < 1e-4
+
+
+def test_kv_cache_decode_matches_torch(hf_and_ours):
+    """Prefill + single-token decode steps reproduce the torch logits."""
+    model, gpt, params = hf_and_ours
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, 97, size=(2, 9))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        caches = gpt.init_cache(2, 9)
+        toks = jnp.asarray(tokens, jnp.int32)
+        logits, caches = gpt.apply(params, toks[:, :5], caches=caches,
+                                   decode=True)
+        steps = [np.asarray(logits)[:, i] for i in range(5)]
+        for i in range(5, 9):
+            logits, caches = gpt.apply(params, toks[:, i:i + 1],
+                                       caches=caches, decode=True)
+            steps.append(np.asarray(logits)[:, 0])
+    got = np.stack(steps, axis=1)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
