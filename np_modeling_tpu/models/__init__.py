@@ -6,10 +6,11 @@ from np_modeling_tpu.models.knn import (Algorithm, KNearestNeighbours,
                                         euclidean_distance)
 from np_modeling_tpu.models.mlp import MLP
 from np_modeling_tpu.models.seq2seq import Seq2SeqConfig, Seq2SeqTransformer
+from np_modeling_tpu.models.speculative import speculative_generate
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
 
 __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
-    "Seq2SeqTransformer", "euclidean_distance",
+    "Seq2SeqTransformer", "euclidean_distance", "speculative_generate",
 ]

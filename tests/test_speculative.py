@@ -1,0 +1,110 @@
+"""Speculative decoding: greedy mode must be TOKEN-EXACT vs target-only
+greedy decoding, for any draft (good, bad, or identical). Sampling mode is
+smoke-checked for validity and full-acceptance with a perfect draft."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu import models
+
+
+def _train_tiny(cfg, key, steps=0):
+    gpt = models.GPT(cfg)
+    toks = jax.random.randint(key, (1, 8), 0, cfg.vocab_size)
+    params = gpt.init(jax.random.fold_in(key, 1), toks)
+    return gpt, params
+
+
+@pytest.fixture(scope="module")
+def target():
+    cfg = models.GPTConfig(vocab_size=61, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=128)
+    return _train_tiny(cfg, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def draft():
+    # Deliberately different (smaller, differently seeded): a BAD draft.
+    cfg = models.GPTConfig(vocab_size=61, d_model=16, num_heads=2,
+                           num_layers=1, hidden_units=32, max_len=128)
+    return _train_tiny(cfg, jax.random.PRNGKey(42))
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 5])
+def test_greedy_token_exact_bad_draft(target, draft, gamma):
+    gpt, params = target
+    dgpt, dparams = draft
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 7), 0, 61)
+    want = np.asarray(gpt.generate(params, prompt, steps=20))
+    got = np.asarray(models.speculative_generate(
+        gpt, params, dgpt, dparams, prompt, steps=20, gamma=gamma))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_greedy_self_draft_accepts_everything(target):
+    """Draft == target: every proposal must be accepted (gamma per round)."""
+    gpt, params = target
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (1, 5), 0, 61)
+    steps, gamma = 18, 3
+    want = np.asarray(gpt.generate(params, prompt, steps=steps))
+    got, (accepted, rounds) = models.speculative_generate(
+        gpt, params, gpt, params, prompt, steps=steps, gamma=gamma,
+        return_stats=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(accepted) == int(rounds) * gamma
+    # gamma+1 tokens per round -> ceil(steps / (gamma+1)) rounds.
+    assert int(rounds) == -(-steps // (gamma + 1))
+
+
+def test_speculative_is_jittable(target, draft):
+    gpt, params = target
+    dgpt, dparams = draft
+    prompt = jnp.zeros((1, 4), jnp.int32)
+
+    fn = jax.jit(lambda p, dp, pr: models.speculative_generate(
+        gpt, p, dgpt, dp, pr, steps=10, gamma=2))
+    out = fn(params, dparams, prompt)
+    want = np.asarray(gpt.generate(params, prompt, steps=10))
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_sampling_valid_and_self_draft_accepts(target):
+    gpt, params = target
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (1, 6), 0, 61)
+    toks, (accepted, rounds) = models.speculative_generate(
+        gpt, params, gpt, params, prompt, steps=12, gamma=3,
+        key=jax.random.PRNGKey(9), temperature=1.0, return_stats=True)
+    toks = np.asarray(toks)
+    assert toks.shape == (1, 12)
+    assert (toks >= 0).all() and (toks < 61).all()
+    # Identical draft: p_t/p_d == 1 so every accept-test passes.
+    assert int(accepted) == int(rounds) * 3
+
+
+def test_sampling_distribution_matches_target():
+    """Speculative sampling with a DIFFERENT draft reproduces the target's
+    next-token distribution (chi-squared-style tolerance on frequencies)."""
+    cfg = models.GPTConfig(vocab_size=13, d_model=16, num_heads=2,
+                           num_layers=1, hidden_units=32, max_len=64)
+    gpt, params = _train_tiny(cfg, jax.random.PRNGKey(7))
+    dcfg = models.GPTConfig(vocab_size=13, d_model=8, num_heads=2,
+                            num_layers=1, hidden_units=16, max_len=64)
+    dgpt, dparams = _train_tiny(dcfg, jax.random.PRNGKey(8))
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+
+    # Target's true first-token distribution.
+    logits = gpt.apply(params, prompt)[0, -1]
+    p_true = np.asarray(jax.nn.softmax(logits))
+
+    n = 3000
+    gen = jax.jit(jax.vmap(lambda k: models.speculative_generate(
+        gpt, params, dgpt, dparams, prompt, steps=1, gamma=2, key=k,
+        temperature=1.0)[0, 0]))
+    keys = jax.random.split(jax.random.PRNGKey(123), n)
+    draws = np.asarray(gen(keys))
+    freq = np.bincount(draws, minlength=13) / n
+    # Standard error ~ sqrt(p(1-p)/n) <= 0.009; allow 5 sigma.
+    np.testing.assert_allclose(freq, p_true, atol=0.05)
