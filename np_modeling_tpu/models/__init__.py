@@ -5,6 +5,7 @@ from np_modeling_tpu.models.cnn import CNNClassifier
 from np_modeling_tpu.models.knn import (Algorithm, KNearestNeighbours,
                                         euclidean_distance)
 from np_modeling_tpu.models.mlp import MLP
+from np_modeling_tpu.models.beam import beam_search
 from np_modeling_tpu.models.seq2seq import Seq2SeqConfig, Seq2SeqTransformer
 from np_modeling_tpu.models.speculative import speculative_generate
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
@@ -12,5 +13,6 @@ from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
 __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
-    "Seq2SeqTransformer", "euclidean_distance", "speculative_generate",
+    "Seq2SeqTransformer", "beam_search", "euclidean_distance",
+    "speculative_generate",
 ]
