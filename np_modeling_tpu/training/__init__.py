@@ -2,6 +2,9 @@
 pipeline, checkpointing."""
 
 from np_modeling_tpu.training import data, schedules
+from np_modeling_tpu.training.lora import (ALL_LINEAR_TARGETS,
+                                           ATTENTION_TARGETS, lora_finalize,
+                                           lora_init, lora_merge)
 from np_modeling_tpu.training.native_data import TokenFileLoader
 from np_modeling_tpu.training.checkpoint import (
     load_checkpoint, load_checkpoint_sharded, save_checkpoint,
@@ -19,6 +22,8 @@ __all__ = [
     "AdamState", "EmaState", "Optimizer", "TokenFileLoader", "Trainer",
     "adafactor", "ema_params", "adam",
     "adamw", "apply_updates",
+    "ALL_LINEAR_TARGETS", "ATTENTION_TARGETS", "lora_finalize", "lora_init",
+    "lora_merge",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
     "make_eval_step", "make_train_step", "momentum", "resolve_loss",
