@@ -1,6 +1,7 @@
 """Model zoo: classical (KNN) + neural (MLP/CNN/GPT/BERT)."""
 
-from np_modeling_tpu.models.bert import BertConfig, BertEncoder
+from np_modeling_tpu.models.bert import (BertConfig, BertEncoder,
+                                         mlm_mask_tokens)
 from np_modeling_tpu.models.cnn import CNNClassifier
 from np_modeling_tpu.models.knn import (Algorithm, KNearestNeighbours,
                                         euclidean_distance)
@@ -14,5 +15,5 @@ __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
     "Seq2SeqTransformer", "beam_search", "euclidean_distance",
-    "speculative_generate",
+    "mlm_mask_tokens", "speculative_generate",
 ]

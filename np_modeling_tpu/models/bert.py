@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from np_modeling_tpu import ops
 from np_modeling_tpu.nn import Dropout, Embedding, LayerNorm, Linear
 from np_modeling_tpu.nn.module import Module, split_rngs
 from np_modeling_tpu.nn.transformer import TransformerEncoderBlock
@@ -23,6 +24,8 @@ class BertConfig:
     drop_rate: float = 0.0
     norm_first: bool = False    # classic BERT is post-norm
     num_classes: int = 2
+    mlm_head: bool = False      # add the masked-LM pretraining head
+                                # (transform Linear+gelu+LN, tied decoder)
 
 
 @dataclasses.dataclass
@@ -41,6 +44,9 @@ class BertEncoder(Module):
         self.pooler = Linear(c.d_model)
         self.classifier = Linear(c.num_classes)
         self.drop = Dropout(c.drop_rate)
+        if c.mlm_head:
+            self.mlm_transform = Linear(c.d_model)
+            self.mlm_norm = LayerNorm()
 
     def init(self, key, tokens):
         c = self.config
@@ -56,6 +62,12 @@ class BertEncoder(Module):
         pooled = jnp.zeros((tokens.shape[0], c.d_model), jnp.float32)
         params["pooler"] = self.pooler.init(ks[-2], pooled)
         params["classifier"] = self.classifier.init(ks[-1], pooled)
+        if c.mlm_head:
+            km = jax.random.fold_in(key, 999)
+            params["mlm_transform"] = self.mlm_transform.init(km, x)
+            params["mlm_norm"] = self.mlm_norm.init(
+                jax.random.fold_in(km, 1), x)
+            params["mlm_bias"] = jnp.zeros((c.vocab_size,), jnp.float32)
         return params
 
     def encode(self, params, tokens, mask=None, training=False, rngs=None,
@@ -87,3 +99,50 @@ class BertEncoder(Module):
                         attention_mask=attention_mask)
         pooled = jnp.tanh(self.pooler.apply(params["pooler"], x[:, 0]))
         return self.classifier.apply(params["classifier"], pooled)
+
+    # ---- masked-LM pretraining (BERT objective) --------------------------
+
+    def mlm_logits(self, params, tokens, training=False, rngs=None,
+                   attention_mask=None):
+        """Per-position vocab logits via the BERT MLM head: hidden ->
+        Linear + gelu + LayerNorm -> tied-embedding decoder + bias."""
+        assert self.config.mlm_head, "build with BertConfig(mlm_head=True)"
+        x = self.encode(params, tokens, training=training, rngs=rngs,
+                        attention_mask=attention_mask)
+        x = ops.gelu(self.mlm_transform.apply(params["mlm_transform"], x))
+        x = self.mlm_norm.apply(params["mlm_norm"], x)
+        logits = jnp.einsum("...d,vd->...v", x,
+                            params["embedding"]["table"],
+                            preferred_element_type=jnp.float32)
+        return logits.astype(jnp.float32) + params["mlm_bias"]
+
+    def mlm_loss(self, params, tokens, labels, weights, training=False,
+                 rngs=None, attention_mask=None):
+        """Mean CE over masked positions (``weights`` 1 = masked/predict).
+
+        ``tokens``: corrupted inputs (see :func:`mlm_mask_tokens`);
+        ``labels``: original ids."""
+        logits = self.mlm_logits(params, tokens, training, rngs,
+                                 attention_mask=attention_mask)
+        ce = ops.softmax_cross_entropy_with_integer_labels(logits, labels)
+        w = weights.astype(jnp.float32)
+        return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def mlm_mask_tokens(key, tokens, vocab_size: int, mask_token: int,
+                    mask_rate: float = 0.15, special_tokens=()):
+    """BERT 80/10/10 corruption: select ``mask_rate`` of positions; replace
+    80% with ``mask_token``, 10% with a random id, 10% kept. Returns
+    ``(inputs, labels, weights)`` with ``weights`` 1 at selected positions.
+    ``special_tokens``: ids never selected (e.g. CLS/SEP/PAD)."""
+    k_sel, k_split, k_rand = jax.random.split(key, 3)
+    selectable = jnp.ones(tokens.shape, bool)
+    for t in special_tokens:
+        selectable &= tokens != t
+    sel = (jax.random.uniform(k_sel, tokens.shape) < mask_rate) & selectable
+    u = jax.random.uniform(k_split, tokens.shape)
+    rand_ids = jax.random.randint(k_rand, tokens.shape, 0, vocab_size)
+    corrupted = jnp.where(u < 0.8, mask_token,
+                          jnp.where(u < 0.9, rand_ids, tokens))
+    inputs = jnp.where(sel, corrupted, tokens)
+    return inputs, tokens, sel.astype(jnp.int32)
