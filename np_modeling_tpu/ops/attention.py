@@ -47,6 +47,20 @@ NUM_SUBLANES = 8
 # the ~5 saved VPU passes at these tile counts, so it stays OFF.
 STRUCT_MASK_COND = False
 
+# Block-size retune at the headline shape (b4 h8 s4096 d128 causal bf16,
+# fwd+bwd, probe 138 TF/s, same process): 1024x1024 stays the winner —
+# 512x1024 0.969x, 512x2048 0.930x, 512x512 0.877x, 2048x512 0.848x,
+# 1024x512 0.823x. Larger KV blocks don't pay: the VPU score-tile work is
+# fixed and the fp32 score tile (bq x bkv) starts pressuring VMEM.
+
+# Lane width of the LSE / di residual arrays in HBM. The kernels only read
+# lane 0, so narrower residuals LOOK like a 16x HBM-traffic saving — but a
+# same-process A/B (probe 150 TF/s, b4 h8 s4096 d128 causal fwd+bwd) measured
+# lanes=8 at 0.994x of lanes=128 (7789 vs 7741 us): XLA tiles the minor dim
+# to 128 lanes in HBM regardless, so nothing is actually saved. Kept at the
+# natural T(8,128) width.
+RESID_LANES = NUM_LANES
+
 
 # ---------------------------------------------------------------------------
 # Pure-jnp oracle (no custom gradient) — the trusted baseline tests diff against.
@@ -513,7 +527,7 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
         lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
-        lse_ref[0, 0] = lse
+        lse_ref[0, 0] = lse[:, :lse_ref.shape[-1]]
 
 
 def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
@@ -566,12 +580,12 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES),
+            pl.BlockSpec((1, 1, bq, RESID_LANES),
                          lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq_p, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, sq_p, RESID_LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, NUM_LANES), jnp.float32),
@@ -770,11 +784,11 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     kp, vp = _pad4(k, skv_p, d_p), _pad4(v, skv_p, d_p)
     dop = _pad4(do, sq_p, d_p)
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    # Lane-broadcast [b,h,sq,128]; pad the seq axis. Padded q rows are
-    # harmless: their do rows are zero, so dv += pᵀ@do and ds = p*(dp-di)
-    # both vanish; padded dq rows are sliced away below.
-    lse4 = jnp.broadcast_to(lse[..., None], (*lse.shape, NUM_LANES))
-    di4 = jnp.broadcast_to(di[..., None], (*di.shape, NUM_LANES))
+    # Lane-broadcast [b,h,sq,RESID_LANES]; pad the seq axis. Padded q rows
+    # are harmless: their do rows are zero, so dv += pᵀ@do and
+    # ds = p*(dp-di) both vanish; padded dq rows are sliced away below.
+    lse4 = jnp.broadcast_to(lse[..., None], (*lse.shape, RESID_LANES))
+    di4 = jnp.broadcast_to(di[..., None], (*di.shape, RESID_LANES))
     lse4 = jnp.pad(lse4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     di4 = jnp.pad(di4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
 
@@ -786,7 +800,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
 
     q_spec = pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
     kv_spec = pl.BlockSpec((1, 1, bkv, d_p), kv_map)
-    lm_spec = pl.BlockSpec((1, 1, bq, NUM_LANES),
+    lm_spec = pl.BlockSpec((1, 1, bq, RESID_LANES),
                            lambda ib, ih, iq, ik: (ib, ih, iq, 0))
 
     has_seg = q_seg is not None
@@ -853,7 +867,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     q_spec_t = pl.BlockSpec((1, 1, bq, d_p), q_map_t)
     kv_spec_t = pl.BlockSpec((1, 1, bkv, d_p),
                              lambda ib, ih, ikv, iq: (ib, ih // g, ikv, 0))
-    lm_spec_t = pl.BlockSpec((1, 1, bq, NUM_LANES),
+    lm_spec_t = pl.BlockSpec((1, 1, bq, RESID_LANES),
                              lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
     dkv_out_spec = pl.BlockSpec((1, 1, bkv, d_p),
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
