@@ -13,8 +13,8 @@ from np_modeling_tpu.training.optimizers import (AdamState, EmaState,
                                                  Optimizer, adafactor,
                                                  adam, adamw, apply_updates,
                                                  chain, clip_by_global_norm,
-                                                 ema_params, momentum, sgd,
-                                                 skip_nonfinite)
+                                                 ema_params, lion, momentum,
+                                                 muon, sgd, skip_nonfinite)
 from np_modeling_tpu.training.trainer import (Trainer, make_eval_step,
                                               make_train_step, resolve_loss)
 
@@ -26,6 +26,7 @@ __all__ = [
     "lora_merge",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
+    "lion", "muon",
     "make_eval_step", "make_train_step", "momentum", "resolve_loss",
     "save_checkpoint", "schedules", "sgd", "skip_nonfinite",
 ]

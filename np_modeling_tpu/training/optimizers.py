@@ -222,6 +222,107 @@ def adafactor(learning_rate, min_dim_size_to_factor: int = 128,
     return Optimizer(init, update)
 
 
+def lion(learning_rate, beta1: float = 0.9, beta2: float = 0.99,
+         weight_decay: float = 0.0) -> Optimizer:
+    """Lion (Chen et al. 2023): sign of a momentum interpolation.
+
+    ``u = -lr * (sign(b1*m + (1-b1)*g) + wd*p); m <- b2*m + (1-b2)*g``.
+    1 state tree (vs Adam's 2) and sign-quantized updates. Matches
+    ``optax.lion`` with the same arguments (verified leafwise in tests).
+    """
+
+    def init(params):
+        return (jnp.zeros((), jnp.int32),
+                jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        count, mu = state
+        lr = _lr_at(learning_rate, count)
+
+        def u(g, m, p):
+            upd = jnp.sign(beta1 * m + (1 - beta1) * g)
+            if weight_decay and p is not None:
+                upd = upd + weight_decay * p
+            return -lr * upd
+
+        if weight_decay:
+            assert params is not None, "lion(weight_decay>0) needs params"
+            updates = jax.tree_util.tree_map(u, grads, mu, params)
+        else:
+            updates = jax.tree_util.tree_map(lambda g, m: u(g, m, None),
+                                             grads, mu)
+        new_mu = jax.tree_util.tree_map(
+            lambda m, g: beta2 * m + (1 - beta2) * g, mu, grads)
+        return updates, (count + 1, new_mu)
+
+    return Optimizer(init, update)
+
+
+def _newton_schulz(m, steps: int = 5):
+    """Quintic Newton-Schulz orthogonalization (Muon's core): iterates
+    ``X <- aX + (XXᵀ)(bX) + (XXᵀ)²(cX)`` on the Frobenius-normalized matrix,
+    driving singular values toward 1 (loosely, into ~[0.7, 1.2])."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = m.astype(jnp.float32)
+    transposed = x.shape[0] > x.shape[1]
+    if transposed:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + 1e-7)
+    for _ in range(steps):
+        xxt = x @ x.T
+        x = a * x + (b * xxt + c * (xxt @ xxt)) @ x
+    return (x.T if transposed else x).astype(m.dtype)
+
+
+def muon(learning_rate, beta: float = 0.95, ns_steps: int = 5,
+         adam_lr: float | None = None, beta1: float = 0.9,
+         beta2: float = 0.999, epsilon: float = 1e-8,
+         nesterov: bool = True) -> Optimizer:
+    """Muon (Jordan et al. 2024): momentum orthogonalized by Newton-Schulz.
+
+    Matrix params (ndim >= 2, flattened to [dim0, rest]) get
+    ``-lr * sqrt(max(1, rows/cols)) * NS5(momentum)``; all other leaves
+    (biases, norms, embeddings-as-vectors) fall back to Adam at
+    ``adam_lr`` (default: ``learning_rate``). The orthogonalization and
+    shape-scale follow the reference Muon formulation; verified against an
+    independent NumPy implementation in tests.
+    """
+
+    adam_opt = adam(adam_lr if adam_lr is not None else learning_rate,
+                    beta1, beta2, epsilon)
+
+    def _is_matrix(p):
+        return p.ndim >= 2
+
+    def init(params):
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return (jnp.zeros((), jnp.int32), mu, adam_opt.init(params))
+
+    def update(grads, state, params=None):
+        count, mu, adam_state = state
+        lr = _lr_at(learning_rate, count)
+        new_mu = jax.tree_util.tree_map(
+            lambda m, g: beta * m + g, mu, grads)
+
+        # Adam updates for every leaf; matrix leaves get overwritten below.
+        adam_updates, new_adam = adam_opt.update(grads, adam_state, params)
+
+        def u(g, m, au):
+            if not _is_matrix(g):
+                return au
+            eff = (beta * m + g) if nesterov else m
+            two_d = eff.reshape(eff.shape[0], -1)
+            o = _newton_schulz(two_d, ns_steps).reshape(eff.shape)
+            scale = jnp.sqrt(jnp.maximum(
+                1.0, two_d.shape[0] / two_d.shape[1]))
+            return -lr * scale * o
+
+        updates = jax.tree_util.tree_map(u, grads, new_mu, adam_updates)
+        return updates, (count + 1, new_mu, new_adam)
+
+    return Optimizer(init, update)
+
+
 def clip_by_global_norm(max_norm: float):
     """Gradient clipping transform, composable via ``chain``."""
 
