@@ -33,8 +33,11 @@ from np_modeling_tpu.ops.normalization import (dropout, dropout_with_mask,
 from np_modeling_tpu.ops.paged_attention import (paged_attention,
                                                  paged_attention_reference)
 from np_modeling_tpu.ops.quantization import (QuantizedTensor,
-                                              dequantize_int8, quantize_int8,
-                                              quantize_int8_stochastic)
+                                              dequantize_int8,
+                                              dequantize_params,
+                                              quantize_int8,
+                                              quantize_int8_stochastic,
+                                              quantize_params_int8)
 from np_modeling_tpu.ops.rope import apply_rope
 
 __all__ = [
@@ -48,6 +51,7 @@ __all__ = [
     "QuantizedTensor", "apply_rope", "dequantize_int8", "mse",
     "paged_attention",
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
+    "quantize_params_int8", "dequantize_params",
     "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
 ]

@@ -98,3 +98,58 @@ def quantize_int8_stochastic(x: jax.Array, seed: jax.Array) -> QuantizedTensor:
     )(seed, x2)
     return QuantizedTensor(values[:n].reshape(orig),
                            scales[:n, 0:1].reshape(*orig[:-1], 1))
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 params (serving: weights at rest in int8, dequant in-graph)
+# ---------------------------------------------------------------------------
+
+# Matmul weights of the transformer stack (attention projections, FFN,
+# untied LM head). Embeddings are excluded by default: the lookup path
+# gathers rows (per-column scales don't apply) and tied LM heads share them.
+WEIGHT_QUANT_TARGETS = (
+    r".*(/w[qkvo]|dense1/linear/w|dense2/w|lm_head/w|mlm_transform/w)$")
+
+_QKEYS = frozenset(("int8", "scale"))
+
+
+def quantize_params_int8(params, match: str = WEIGHT_QUANT_TARGETS):
+    """Replace matched weight leaves with ``{"int8", "scale"}`` dicts.
+
+    Scales are per-column of the LAST axis (absmax over all leading axes),
+    so every output channel of a matmul weight keeps its own range. Halves
+    the at-rest bytes of the matched weights vs bf16 (4x vs fp32);
+    :func:`dequantize_params` restores a compute pytree inside jit.
+    """
+    import re
+
+    from np_modeling_tpu.parallel.sharding import _path_str
+    pat = re.compile(match)
+
+    def f(path, leaf):
+        if not (pat.match(_path_str(path)) and leaf.ndim >= 2):
+            return leaf
+        x = leaf.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=tuple(range(leaf.ndim - 1)),
+                         keepdims=True)
+        scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        values = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return {"int8": values, "scale": scale}
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def dequantize_params(qparams, dtype=jnp.bfloat16):
+    """Rebuild a compute pytree from :func:`quantize_params_int8` output.
+
+    Jit-safe: call inside the decode/eval step so weights stay int8 in HBM
+    and dequantize on the fly (XLA fuses the convert+scale into consumers
+    where profitable)."""
+    if isinstance(qparams, dict):
+        if frozenset(qparams.keys()) == _QKEYS:
+            return (qparams["int8"].astype(jnp.float32)
+                    * qparams["scale"]).astype(dtype)
+        return {k: dequantize_params(v, dtype) for k, v in qparams.items()}
+    if isinstance(qparams, (list, tuple)):
+        return type(qparams)(dequantize_params(v, dtype) for v in qparams)
+    return qparams

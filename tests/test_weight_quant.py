@@ -1,0 +1,74 @@
+"""Weight-only int8 params: roundtrip accuracy, model closeness, byte size."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from np_modeling_tpu import models, ops
+
+
+def _gpt():
+    cfg = models.GPTConfig(vocab_size=67, d_model=64, num_heads=4,
+                           num_layers=2, hidden_units=128, max_len=32)
+    gpt = models.GPT(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 0, 67)
+    params = gpt.init(jax.random.PRNGKey(1), toks)
+    return gpt, params, toks
+
+
+def test_roundtrip_error_is_small():
+    gpt, params, _ = _gpt()
+    q = ops.quantize_params_int8(params)
+    back = ops.dequantize_params(q, dtype=jnp.float32)
+    w = np.asarray(params["layer_0"]["self_attention"]["wq"])
+    w2 = np.asarray(back["layer_0"]["self_attention"]["wq"])
+    rel = np.abs(w - w2).max() / np.abs(w).max()
+    assert rel < 0.01  # int8 absmax: max error ~ scale/2 ~ 0.4% of absmax
+
+
+def test_unmatched_leaves_pass_through():
+    _, params, _ = _gpt()
+    q = ops.quantize_params_int8(params)
+    # Embedding and norms are untouched (same arrays).
+    np.testing.assert_array_equal(np.asarray(q["embedding"]["table"]),
+                                  np.asarray(params["embedding"]["table"]))
+    np.testing.assert_array_equal(
+        np.asarray(q["final_norm"]["gamma"]),
+        np.asarray(params["final_norm"]["gamma"]))
+    # Matched leaves are int8 with per-output-channel scales.
+    wq = q["layer_0"]["self_attention"]["wq"]
+    assert wq["int8"].dtype == jnp.int8
+    assert wq["scale"].shape == (1, 1, params["layer_0"]["self_attention"]
+                                 ["wq"].shape[-1])
+
+
+def test_quantized_model_close_and_smaller():
+    gpt, params, toks = _gpt()
+    q = ops.quantize_params_int8(params)
+
+    @jax.jit
+    def qlogits(q, toks):
+        return gpt.apply(ops.dequantize_params(q, jnp.float32), toks)
+
+    full = np.asarray(gpt.apply(params, toks))
+    quant = np.asarray(qlogits(q, toks))
+    # Loose closeness: logits shift a little, ranking mostly preserved.
+    assert np.abs(full - quant).max() < 0.15 * np.abs(full).max()
+    agree = (full.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree > 0.9
+
+    def nbytes(t):
+        return sum(x.nbytes for x in jax.tree_util.tree_leaves(t))
+
+    # Matched weights drop 4x (fp32 -> int8); whole tree strictly smaller.
+    assert nbytes(q) < 0.7 * nbytes(params)
+
+
+def test_quantized_decode_runs():
+    gpt, params, toks = _gpt()
+    q = ops.quantize_params_int8(params)
+    deq = ops.dequantize_params(q, jnp.float32)
+    out = gpt.generate(deq, toks[:, :6], steps=4)
+    assert out.shape == (2, 4)
+    assert (np.asarray(out) < 67).all()
