@@ -53,6 +53,21 @@ STRUCT_MASK_COND = False
 # 1024x512 0.823x. Larger KV blocks don't pay: the VPU score-tile work is
 # fixed and the fp32 score tile (bq x bkv) starts pressuring VMEM.
 
+# Compute softmax via exp2 with log2(e) folded into the q pre-scale — the
+# hypothesis being that Mosaic lowers exp(x) as exp2(x * log2e), a VPU
+# multiply pass over every [bq, bkv] score tile, three times per element
+# per layer (fwd p, dq-kernel p, dkv-kernel p), which the fold would
+# delete. MEASURED (same process, probe 122 TF/s, b4 h8 s4096 d128 causal
+# fwd+bwd): exp2 is 0.961x (8590 vs 8255 us) — i.e. SLOWER, so exp does
+# not pay a separate multiply pass on this toolchain (and jnp.exp2 may
+# itself lower through exp). Kept as a tested flag; default OFF. Gradient
+# bookkeeping when ON: ds stays the true d/ds_e, dq's outside `* scale` is
+# unchanged, dk picks up one `* ln2` on its small group-summed output, and
+# dbias is unchanged (bias is pre-scaled by log2e on the way in).
+EXP2_SCORES = False
+_LOG2E = float(np.log2(np.e))
+_LN2 = float(np.log(2.0))
+
 # Lane width of the LSE / di residual arrays in HBM. The kernels only read
 # lane 0, so narrower residuals LOOK like a 16x HBM-traffic saving — but a
 # same-process A/B (probe 150 TF/s, b4 h8 s4096 d128 causal fwd+bwd) measured
@@ -511,8 +526,9 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
         m_prev, l_prev = m_scr[...], l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]                 # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)                 # [bq, 128]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, 0:1])
+        exp_fn = jnp.exp2 if EXP2_SCORES else jnp.exp
+        alpha = exp_fn(m_prev - m_next)
+        p = exp_fn(s - m_next[:, 0:1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...], l_scr[...] = m_next, l_next
 
@@ -526,7 +542,13 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
-        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        if EXP2_SCORES:
+            # m is in base-2 score units; publish the residual in base e
+            # (ln2*m + ln(l)) so the jnp fallback stays interchangeable.
+            lse = _LN2 * m_scr[...] + jnp.log(safe_l)
+        else:
+            lse = m_scr[...] + jnp.log(safe_l)
         lse_ref[0, 0] = lse[:, :lse_ref.shape[-1]]
 
 
@@ -539,11 +561,14 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
-    # Fold the softmax scale into q here: saves one full VPU pass over
-    # every s^2 score tile in the forward AND backward kernels.
-    qp = _pad4((q * scale).astype(q.dtype), sq_p, d_p)
+    # Fold the softmax scale (and exp2's log2e) into q here: saves one full
+    # VPU pass over every s^2 score tile in the forward AND backward kernels.
+    qscale = scale * _LOG2E if EXP2_SCORES else scale
+    qp = _pad4((q * qscale).astype(q.dtype), sq_p, d_p)
     kp = _pad4(k, skv_p, d_p)
     vp = _pad4(v, skv_p, d_p)
+    if bias is not None and EXP2_SCORES:
+        bias = bias * _LOG2E
     n_kv = skv_p // bkv
 
     grid = (b, hq, sq_p // bq, n_kv)
@@ -628,13 +653,15 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
     def _run():
         q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
         lse, di = lse_ref[0, 0], di_ref[0, 0]
+        if EXP2_SCORES:
+            lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
                        block_kv, n_kv, seg, mask_ref)
-        p = jnp.exp(s - lse[:, 0:1])
+        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(s - lse[:, 0:1])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds_raw = p * (dp - di[:, 0:1])      # grad wrt post-bias scores
@@ -672,13 +699,15 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
     def _run():
         q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
         lse, di = lse_ref[0, 0], di_ref[0, 0]
+        if EXP2_SCORES:
+            lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
                        block_kv, n_kv, seg, mask_ref)
-        p = jnp.exp(s - lse[:, 0:1])                          # [bq, bkv]
+        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(s - lse[:, 0:1])                          # [bq, bkv]
         # dv += pᵀ @ do ; transpose folded into dot_general contraction dims.
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -721,13 +750,15 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
     def _run():
         q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
         lse, di = lse_ref[0, 0], di_ref[0, 0]
+        if EXP2_SCORES:
+            lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
                        block_kv, n_kv, seg, mask_ref)
-        p = jnp.exp(s - lse[:, 0:1])
+        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(s - lse[:, 0:1])
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -780,9 +811,12 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
     n_q, n_kv = sq_p // bq, skv_p // bkv
 
-    qp = _pad4((q * scale).astype(q.dtype), sq_p, d_p)   # see fwd: folded scale
+    qscale = scale * _LOG2E if EXP2_SCORES else scale
+    qp = _pad4((q * qscale).astype(q.dtype), sq_p, d_p)  # see fwd: folded scale
     kp, vp = _pad4(k, skv_p, d_p), _pad4(v, skv_p, d_p)
     dop = _pad4(do, sq_p, d_p)
+    if bias is not None and EXP2_SCORES:
+        bias = bias * _LOG2E
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     # Lane-broadcast [b,h,sq,RESID_LANES]; pad the seq axis. Padded q rows
     # are harmless: their do rows are zero, so dv += pᵀ@do and
@@ -925,5 +959,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
 
     dq = dq[:, :, :sq, :d] * scale      # fold the pre-scaled q back out
     dk = _group_sum(dk_full[:, :, :skv, :d], g)
+    if EXP2_SCORES:
+        # dk was computed against the log2e-scaled q: fold the constant out.
+        dk = dk * _LN2
     dv = _group_sum(dv_full[:, :, :skv, :d], g)
     return dq, dk, dv, dbias

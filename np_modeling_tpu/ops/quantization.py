@@ -120,6 +120,13 @@ def quantize_params_int8(params, match: str = WEIGHT_QUANT_TARGETS):
     so every output channel of a matmul weight keeps its own range. Halves
     the at-rest bytes of the matched weights vs bf16 (4x vs fp32);
     :func:`dequantize_params` restores a compute pytree inside jit.
+
+    Measured (v5e, probe 131 TF/s, same process): chained decode steps with
+    the dequant forced to re-run every step (carry-dependent int8 values)
+    run 1.14x FASTER than bf16 weights (4298 vs 4917 us/step, b8 decode on
+    a 2L/d1024/ffn4096 GPT) — the halved weight HBM reads beat the added
+    dequant VPU work, so int8 weights are a speed win for decode as well
+    as a 2x (vs bf16) memory win.
     """
     import re
 

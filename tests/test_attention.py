@@ -572,3 +572,42 @@ class TestGenerateSampling:
                          temperature=1.0, top_k=10, top_p=0.9)
         assert not np.array_equal(np.asarray(a), np.asarray(b))
         assert ((np.asarray(a) >= 0) & (np.asarray(a) < 40)).all()
+
+
+class TestExp2Variant:
+    """EXP2_SCORES=True (measured-off flag) stays correct: fwd + all grads
+    (incl. bias) match the autodiff oracle through the Pallas kernels."""
+
+    def test_exp2_kernels_match_oracle(self):
+        from np_modeling_tpu.ops import attention as A
+        q, k, v = _qkv(b=1, hq=4, hkv=2, sq=128, skv=128, d=32)
+        bias = jnp.asarray(rand(1, 1, 128, 128, rng=rng))
+        t = jnp.asarray(rand(*q.shape, rng=rng))
+
+        # Oracle: plain jnp attention with bias, autodiff grads.
+        def oracle(q, k, v, bias):
+            import math
+            s = jnp.einsum("bhqd,bhkd->bhqk", q,
+                           jnp.repeat(k, 2, 1)) / math.sqrt(32) + bias
+            s = A._apply_masks(s, None, True)
+            p = jax.nn.softmax(s, -1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, jnp.repeat(v, 2, 1))
+
+        want = jax.grad(lambda *a: ops.mse(oracle(*a), t),
+                        argnums=(0, 1, 2, 3))(q, k, v, bias)
+        old = A.EXP2_SCORES
+        try:
+            A.EXP2_SCORES = True
+            with dispatch.force_pallas(True, interpret=True):
+                out = ops.flash_attention(q, k, v, bias=bias, causal=True,
+                                          block_q=64, block_kv=64)
+                got = jax.grad(
+                    lambda q, k, v, bias: ops.mse(ops.flash_attention(
+                        q, k, v, bias=bias, causal=True, block_q=64,
+                        block_kv=64), t),
+                    argnums=(0, 1, 2, 3))(q, k, v, bias)
+        finally:
+            A.EXP2_SCORES = old
+        assert_allclose(out, oracle(q, k, v, bias), rtol=2e-5, atol=2e-5)
+        for g, w in zip(got, want):
+            assert_allclose(g, w, rtol=3e-5, atol=3e-5)
