@@ -20,12 +20,18 @@ group). Int8 caches pass per-token scales, dequantized after the VMEM load
 
 Shapes:
   q            [batch, num_q_heads, head_dim]        (one decode token)
+               or [batch, sq, num_q_heads, head_dim] (multi-token queries:
+               speculative verification / chunked append; sq small, the
+               sq*group rows fold into the score tile's sublanes)
   k_pages      [num_kv_heads, total_pages, page_size, head_dim]
   v_pages      [num_kv_heads, total_pages, page_size, head_dim]
-  lengths      [batch] int32   (tokens already in cache, per sequence)
+  lengths      [batch] int32   (tokens in cache INCLUDING the sq query
+               tokens — query token i sits at position lengths - sq + i
+               and attends causally to positions <= its own)
   page_indices [batch, pages_per_seq] int32
   k/v_scales   [num_kv_heads, total_pages, page_size, 1] fp32 (int8 mode)
-Returns: [batch, num_q_heads, head_dim].
+Returns: [batch, num_q_heads, head_dim] (3-D q) or
+         [batch, sq, num_q_heads, head_dim] (4-D q).
 
 No backward: decode is inference-only (training uses ops.flash_attention).
 """
@@ -49,10 +55,14 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
                               scale=None, window=None):
     """Pure-jnp oracle: gather each sequence's pages, masked attention.
 
-    ``window``: sliding-window width W — the decode token (position
-    length-1) attends to cache positions [length-W, length-1], matching
-    training-time ops.flash_attention(causal=True, window=W)."""
-    b, hq, d = q.shape
+    ``window``: sliding-window width W — query token at position p attends
+    to cache positions [p-W+1, p], matching training-time
+    ops.flash_attention(causal=True, window=W). Accepts 3-D (single-token)
+    or 4-D (multi-token) q; see module docstring for length semantics."""
+    squeeze = q.ndim == 3
+    if squeeze:
+        q = q[:, None]
+    b, sq, hq, d = q.shape
     hkv, _, psize, _ = k_pages.shape
     g = hq // hkv
     pages_per_seq = page_indices.shape[1]
@@ -64,22 +74,26 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     v_seq = jnp.moveaxis(v_seq, 1, 0).reshape(b, hkv, max_len, d)
 
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    qg = q.reshape(b, hkv, g, d)
-    s = jnp.einsum("bhgd,bhkd->bhgk", qg, k_seq,
+    qg = jnp.moveaxis(q.reshape(b, sq, hkv, g, d), 1, 2)  # [b,hkv,sq,g,d]
+    s = jnp.einsum("bhtgd,bhkd->bhtgk", qg, k_seq,
                    preferred_element_type=jnp.float32) * scale
-    pos = jnp.arange(max_len)[None, None, None, :]
-    keep = pos < lengths[:, None, None, None]
+    pos = jnp.arange(max_len)[None, None, None, None, :]
+    # Query token t's own absolute position: lengths - sq + t.
+    own = (lengths[:, None, None, None, None] - sq
+           + jnp.arange(sq)[None, None, :, None, None])
+    keep = pos <= own
     if window is not None:
-        keep = keep & (pos >= lengths[:, None, None, None] - window)
+        keep = keep & (pos > own - window)
     s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq,
+    o = jnp.einsum("bhtgk,bhkd->bhtgd", p, v_seq,
                    preferred_element_type=jnp.float32)
-    return o.reshape(b, hq, d).astype(q.dtype)
+    o = jnp.moveaxis(o, 2, 1).reshape(b, sq, hq, d).astype(q.dtype)
+    return o[:, 0] if squeeze else o
 
 
 def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
-                  n_blocks, npb, quantized, window):
+                  n_blocks, npb, quantized, window, sq, g):
     """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], o_ref, m, l, acc."""
     del page_idx_ref
     if quantized:
@@ -113,20 +127,26 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
 
     should_run = blk * block_tokens < length
     if window is not None:
-        # Whole blocks below the sliding-window band are skipped.
+        # Whole blocks below the FIRST query row's sliding-window band are
+        # skipped (later rows allow strictly more).
         should_run = jnp.logical_and(
-            should_run, (blk + 1) * block_tokens > length - window)
+            should_run,
+            (blk + 1) * block_tokens > length - sq + 1 - window)
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]                        # [g_pad, d]
+        q = q_ref[0, 0]                        # [sq*g (padded), d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         pos = blk * block_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
-        keep = pos < length
+        # Row r is query token r // g at absolute position length - sq + t;
+        # it attends causally to pos <= its own position.
+        own = (length - sq
+               + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // g)
+        keep = pos <= own
         if window is not None:
-            keep = jnp.logical_and(keep, pos >= length - window)
+            keep = jnp.logical_and(keep, pos > own - window)
         s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
 
         m_prev, l_prev = m_scr[...], l_scr[...]
@@ -161,7 +181,10 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
         return paged_attention_reference(q, k_pages, v_pages, lengths,
                                          page_indices, scale, window)
 
-    b, hq, d = q.shape
+    squeeze = q.ndim == 3
+    if squeeze:
+        q = q[:, None]
+    b, sq, hq, d = q.shape
     hkv, n_pages, psize, _ = k_pages.shape
     g = hq // hkv
     pages_per_seq = page_indices.shape[1]
@@ -174,11 +197,15 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pps_pad - pages_per_seq)))
     n_blocks = pps_pad // npb
 
-    g_pad = max(round_up(g, 8), 8)
+    rows = sq * g
+    g_pad = max(round_up(rows, 8), 8)
     d_pad = round_up(d, 128)
-    qg = q.reshape(b, hkv, g, d)
-    if (g_pad, d_pad) != (g, d):
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - g), (0, d_pad - d)))
+    # Token-major row folding: row t*g + j = (query token t, group member j).
+    qg = jnp.moveaxis(q.reshape(b, sq, hkv, g, d), 1, 2).reshape(
+        b, hkv, rows, d)
+    if (g_pad, d_pad) != (rows, d):
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - rows),
+                          (0, d_pad - d)))
     if d_pad != d:
         k_pages = jnp.pad(k_pages, ((0, 0),) * 3 + ((0, d_pad - d),))
         v_pages = jnp.pad(v_pages, ((0, 0),) * 3 + ((0, d_pad - d),))
@@ -211,7 +238,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
 
     kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
                                n_blocks=n_blocks, npb=npb,
-                               quantized=quantized, window=window)
+                               quantized=quantized, window=window, sq=sq,
+                               g=g)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -230,4 +258,6 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=dispatch.interpret_mode(),
     )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), *inputs)
-    return out[:, :, :g, :d].reshape(b, hq, d)
+    o = jnp.moveaxis(out[:, :, :rows, :d].reshape(b, hkv, sq, g, d), 2, 1)
+    o = o.reshape(b, sq, hq, d)
+    return o[:, 0] if squeeze else o

@@ -154,3 +154,92 @@ class TestPagedKVCache:
         assert cache.free_pages == 2
         cache.append(1, jnp.ones((1, 1, 8)), jnp.ones((1, 1, 8)))
         assert cache.length(1) == 1
+
+
+class TestMultiTokenQueries:
+    """4-D q: speculative-verify / chunked-append path. Query token t sits
+    at position lengths - sq + t and attends causally to its own prefix."""
+
+    def _setup4(self, sq, b=3, hq=4, hkv=2, d=16, psize=8, pages_per_seq=4,
+                total=32, min_len=None):
+        q = jnp.asarray(rand(b, sq, hq, d, rng=rng))
+        k_pages = jnp.asarray(rand(hkv, total, psize, d, rng=rng))
+        v_pages = jnp.asarray(rand(hkv, total, psize, d, rng=rng))
+        perm = rng.permutation(total)[:b * pages_per_seq]
+        page_indices = jnp.asarray(
+            perm.reshape(b, pages_per_seq).astype(np.int32))
+        lo = min_len if min_len is not None else sq
+        lengths = jnp.asarray(
+            rng.integers(lo, pages_per_seq * psize + 1, b).astype(np.int32))
+        return q, k_pages, v_pages, lengths, page_indices
+
+    def test_oracle_vs_flash_attention(self):
+        """Multi-token oracle == dense causal attention on the gathered
+        cache (per sequence, via attention_reference on the full prefix)."""
+        sq = 4
+        q, k_pages, v_pages, lengths, page_indices = self._setup4(sq)
+        out = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices)
+        b, _, hq, d = q.shape
+        hkv, _, psize, _ = k_pages.shape
+        for i in range(int(b)):
+            L = int(lengths[i])
+            kf = k_pages[:, page_indices[i]].reshape(hkv, -1, d)[:, :L]
+            vf = v_pages[:, page_indices[i]].reshape(hkv, -1, d)[:, :L]
+            # Build the full query sequence: zeros for the cached prefix,
+            # the real q rows at the last sq positions, then causal attn.
+            qfull = jnp.zeros((1, hq, L, d))
+            qfull = qfull.at[0, :, L - sq:].set(
+                jnp.moveaxis(q[i], 0, 1))
+            ref = ops.attention_reference(qfull, kf[None], vf[None],
+                                          causal=True)
+            assert_allclose(out[i], jnp.moveaxis(ref[0, :, L - sq:], 0, 1),
+                            rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("sq,hq,hkv", [(2, 4, 4), (4, 4, 2), (8, 8, 2)])
+    def test_kernel_vs_oracle(self, sq, hq, hkv):
+        q, k_pages, v_pages, lengths, page_indices = self._setup4(
+            sq, hq=hq, hkv=hkv)
+        want = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                             page_indices)
+        with dispatch.force_pallas(True, interpret=True):
+            got = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices, pages_per_block=2)
+        assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_kernel_window_vs_oracle(self):
+        sq, window = 3, 5
+        q, k_pages, v_pages, lengths, page_indices = self._setup4(
+            sq, min_len=8)
+        want = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                             page_indices, window=window)
+        with dispatch.force_pallas(True, interpret=True):
+            got = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices, window=window,
+                                      pages_per_block=2)
+        assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_sq1_matches_3d_api(self):
+        q, k_pages, v_pages, lengths, page_indices = _setup()
+        with dispatch.force_pallas(True, interpret=True):
+            old = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices, pages_per_block=2)
+            new = ops.paged_attention(q[:, None], k_pages, v_pages, lengths,
+                                      page_indices, pages_per_block=2)
+        assert_allclose(new[:, 0], old, rtol=1e-6, atol=1e-6)
+
+    def test_quantized_multitoken(self):
+        from np_modeling_tpu.ops.quantization import quantize_int8
+        sq = 4
+        q, k_pages, v_pages, lengths, page_indices = self._setup4(sq)
+        kq, vq = quantize_int8(k_pages), quantize_int8(v_pages)
+        want = ops.paged_attention_reference(
+            q, kq.values.astype(jnp.float32) * kq.scales,
+            vq.values.astype(jnp.float32) * vq.scales,
+            lengths, page_indices)
+        with dispatch.force_pallas(True, interpret=True):
+            got = ops.paged_attention(q, kq.values, vq.values, lengths,
+                                      page_indices, k_scales=kq.scales,
+                                      v_scales=vq.scales,
+                                      pages_per_block=2)
+        assert_allclose(got, want, rtol=2e-5, atol=2e-5)
