@@ -14,6 +14,14 @@ between steps (continuous batching); pages are reclaimed on completion.
 Sliding-window models (GPTConfig.attention_window) decode with the same
 window mask as training. MoE GPTs are served (router runs per decode slot).
 
+Speculative decoding: construct with ``draft_gpt=/draft_params=`` and call
+``step_speculative(gamma)`` — the draft lane keeps its own pages/tables,
+the target verifies all gamma+1 positions in ONE multi-token paged forward
+(ops.paged_attention 4-D q), and each sequence commits its accepted prefix
+plus one target token. Token-exact vs plain greedy ``step()`` for any
+draft. Mixing ``step()`` and ``step_speculative()`` stays exact but desyncs
+the draft cache (acceptance drops until the next prefill).
+
 This is the decode path the reference explicitly lacks
 (``TODO: support cache``, /root/reference/layers/transformer.py:120).
 """
@@ -50,24 +58,20 @@ class GenerationEngine:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     seed: int = 0
+    draft_gpt: object = None     # optional draft model -> step_speculative
+    draft_params: dict = None
+    draft_total_pages: Optional[int] = None   # default: total_pages
 
-    def __post_init__(self):
-        c = self.gpt.config
-        assert not c.scan_layers, "engine requires scan_layers=False"
-        hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
-        self._dims = (hq, hkv, dk)
-        self.max_pages = -(-c.max_len // self.page_size)
-        # Hard token bound: the page table may cover slightly more than
-        # max_len when page_size doesn't divide it — never decode past the
-        # model's trained context.
-        self._max_tokens = min(self.max_pages * self.page_size, c.max_len)
+    def _make_lane_state(self, gpt, total_pages):
+        c = gpt.config
+        hq, hkv, dk = gpt.block.attn._dims(c.d_model)
         store = (jnp.int8 if self.quantize_kv
                  else (self.kv_dtype or jnp.float32))
         # One page array PER LAYER (not one stacked [L, ...] array): the
         # per-layer scatter then has adjacent advanced indices and XLA
         # updates the donated buffer in place — a stacked layout's leading
         # layer index forced multi-GB copies per appended token.
-        shape = (hkv, self.total_pages, self.page_size, dk)
+        shape = (hkv, total_pages, self.page_size, dk)
         L = c.num_layers
         state = {
             "k_pages": [jnp.zeros(shape, store) for _ in range(L)],
@@ -83,7 +87,19 @@ class GenerationEngine:
                                  for _ in range(L)]
             state["v_scales"] = [jnp.zeros(sshape, jnp.float32)
                                  for _ in range(L)]
-        self._state = state
+        return state
+
+    def __post_init__(self):
+        c = self.gpt.config
+        assert not c.scan_layers, "engine requires scan_layers=False"
+        hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
+        self._dims = (hq, hkv, dk)
+        self.max_pages = -(-c.max_len // self.page_size)
+        # Hard token bound: the page table may cover slightly more than
+        # max_len when page_size doesn't divide it — never decode past the
+        # model's trained context.
+        self._max_tokens = min(self.max_pages * self.page_size, c.max_len)
+        self._state = self._make_lane_state(self.gpt, self.total_pages)
         # The last page is the trash page: inactive slots' appends land
         # there so the jitted step needs no scatter masking.
         self._trash = self.total_pages - 1
@@ -95,6 +111,23 @@ class GenerationEngine:
         self._jit_step = jax.jit(self._device_step, donate_argnums=(0,))
         self._jit_multi: dict[int, object] = {}   # n -> jitted n-step scan
         self._jit_prefill: dict[int, object] = {}  # n_pages -> jitted prefill
+        # ---- optional draft lane (speculative decoding) -----------------
+        if self.draft_gpt is not None:
+            dc = self.draft_gpt.config
+            assert dc.vocab_size == c.vocab_size, "draft must share vocab"
+            assert not dc.scan_layers
+            self._d_total = self.draft_total_pages or self.total_pages
+            # Both lanes must be able to hold the same token count.
+            self._max_tokens = min(self._max_tokens, dc.max_len,
+                                   self.max_pages * self.page_size)
+            assert dc.max_len >= self._max_tokens
+            self._dstate = self._make_lane_state(self.draft_gpt,
+                                                 self._d_total)
+            self._dtrash = self._d_total - 1
+            self._dfree = list(range(self._d_total - 2, -1, -1))
+            self._dseq_pages: dict[int, list[int]] = {}
+            self._jit_dprefill: dict[int, object] = {}
+            self._jit_spec: dict[int, object] = {}   # gamma -> jitted step
 
     # ---- request lifecycle ----------------------------------------------
 
@@ -106,11 +139,12 @@ class GenerationEngine:
     def free_pages(self) -> int:
         return len(self._free)
 
-    def _alloc(self, n: int) -> list[int]:
-        if len(self._free) < n:
+    def _alloc(self, n: int, free=None) -> list[int]:
+        free = self._free if free is None else free
+        if len(free) < n:
             raise OutOfPagesError(
                 f"out of KV pages ({self.total_pages} total)")
-        return [self._free.pop() for _ in range(n)]
+        return [free.pop() for _ in range(n)]
 
     def add_request(self, seq_id: int, prompt_tokens) -> int:
         """Prefill a prompt; returns the first generated token."""
@@ -132,30 +166,46 @@ class GenerationEngine:
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True,
                                      logits_last_only=True)
         n_pages = -(-plen // self.page_size)
+        # Atomic across lanes: check both allocations before popping either.
+        if self.draft_gpt is not None and len(self._dfree) < n_pages:
+            raise OutOfPagesError("out of draft-lane KV pages")
         pages = self._alloc(n_pages)           # atomic: checks before popping
-        # Seed the pages through a jitted, state-donating append (eager
-        # scatters would copy the full KV buffers per layer per request).
-        # K/V are padded to whole pages so the compile is bucketed by page
-        # COUNT, not by token count; padding rows land on the trash page.
-        padded = n_pages * self.page_size
-        kvs_pad = [
-            (jnp.pad(k[0], ((0, 0), (0, padded - plen), (0, 0))),
-             jnp.pad(v[0], ((0, 0), (0, padded - plen), (0, 0))))
-            for (k, v) in kvs
-        ]
         self._rng, sub = jax.random.split(self._rng)
         tok = int(self._sample(logits[:, -1].astype(jnp.float32), sub)[0])
         if n_pages not in self._jit_prefill:
-            self._jit_prefill[n_pages] = self._make_prefill(n_pages)
+            self._jit_prefill[n_pages] = self._make_prefill(n_pages,
+                                                            self._trash)
         self._state = self._jit_prefill[n_pages](
-            self._state, kvs_pad, jnp.asarray(pages, jnp.int32),
+            self._state, self._pad_kvs(kvs, n_pages, plen),
+            jnp.asarray(pages, jnp.int32),
             jnp.int32(slot), jnp.int32(tok), jnp.int32(plen))
+        if self.draft_gpt is not None:
+            _, dkvs = self.draft_gpt.apply(self.draft_params, prompt,
+                                           collect_kv=True,
+                                           logits_last_only=True)
+            dpages = self._alloc(n_pages, self._dfree)
+            if n_pages not in self._jit_dprefill:
+                self._jit_dprefill[n_pages] = self._make_prefill(
+                    n_pages, self._dtrash)
+            self._dstate = self._jit_dprefill[n_pages](
+                self._dstate, self._pad_kvs(dkvs, n_pages, plen),
+                jnp.asarray(dpages, jnp.int32),
+                jnp.int32(slot), jnp.int32(tok), jnp.int32(plen))
+            self._dseq_pages[seq_id] = dpages
         self._slots[seq_id] = slot
         self._host_len[seq_id] = plen
         self._seq_pages[seq_id] = pages
         return tok
 
-    def _make_prefill(self, n_pages: int):
+    def _pad_kvs(self, kvs, n_pages, plen):
+        """Pad collected per-layer K/V to whole pages (compile buckets by
+        page COUNT, not token count; padding rows land on the trash page)."""
+        padded = n_pages * self.page_size
+        return [(jnp.pad(k[0], ((0, 0), (0, padded - plen), (0, 0))),
+                 jnp.pad(v[0], ((0, 0), (0, padded - plen), (0, 0))))
+                for (k, v) in kvs]
+
+    def _make_prefill(self, n_pages: int, trash: int):
         """Jitted prefill: scatter padded per-layer K/V into the allocated
         pages and activate the slot, donating the engine state."""
 
@@ -165,7 +215,7 @@ class GenerationEngine:
             positions = jnp.arange(padded)
             p_idx = jnp.where(positions < plen,
                               pages_arr[positions // self.page_size],
-                              self._trash)
+                              trash)
             offs = positions % self.page_size
             for li, (k, v) in enumerate(kvs):
                 state = self._append(state, li, p_idx, offs, k, v)
@@ -186,6 +236,12 @@ class GenerationEngine:
         st["active"] = st["active"].at[slot].set(False)
         st["lengths"] = st["lengths"].at[slot].set(0)
         self._state = st
+        if self.draft_gpt is not None:
+            self._dfree.extend(self._dseq_pages.pop(seq_id))
+            dst = jax.tree_util.tree_map(lambda x: x, self._dstate)
+            dst["active"] = dst["active"].at[slot].set(False)
+            dst["lengths"] = dst["lengths"].at[slot].set(0)
+            self._dstate = dst
 
     # ---- decode step (host wrapper: page growth + one jit dispatch) ------
 
@@ -199,36 +255,43 @@ class GenerationEngine:
         recorded host-side but absent from the device table, silently
         corrupting another sequence's cache on the retry).
         Returns the (possibly updated) device state."""
-        needs = []                            # (seq_id, slot, n_new_pages)
-        total = 0
-        for seq_id, slot in self._slots.items():
-            ln = self._host_len[seq_id]
-            if ln + n > self._max_tokens:
+        lanes = [(self._free, self._seq_pages, "_state")]
+        if self.draft_gpt is not None:
+            lanes.append((self._dfree, self._dseq_pages, "_dstate"))
+        plans = []
+        for free, seq_pages, attr in lanes:
+            needs = []                        # (seq_id, slot, n_new_pages)
+            total = 0
+            for seq_id, slot in self._slots.items():
+                ln = self._host_len[seq_id]
+                if ln + n > self._max_tokens:
+                    raise OutOfPagesError(
+                        f"sequence {seq_id} would exceed the "
+                        f"{self._max_tokens}-token capacity (model max_len)")
+                need = -(-(ln + n) // self.page_size)
+                extra = need - len(seq_pages[seq_id])
+                if extra > 0:
+                    needs.append((seq_id, slot, extra))
+                    total += extra
+            if len(free) < total:
                 raise OutOfPagesError(
-                    f"sequence {seq_id} would exceed the "
-                    f"{self._max_tokens}-token capacity (model max_len)")
-            need = -(-(ln + n) // self.page_size)
-            extra = need - len(self._seq_pages[seq_id])
-            if extra > 0:
-                needs.append((seq_id, slot, extra))
-                total += extra
-        if not needs:
-            return self._state
-        if len(self._free) < total:
-            raise OutOfPagesError(
-                f"out of KV pages ({self.total_pages} total; "
-                f"need {total}, free {len(self._free)})")
-        upd = []                              # (slot, page_pos, new_page)
-        for seq_id, slot, extra in needs:
-            for _ in range(extra):
-                pg = self._free.pop()
-                self._seq_pages[seq_id].append(pg)
-                upd.append((slot, len(self._seq_pages[seq_id]) - 1, pg))
-        slots, poss, pgs = (jnp.asarray(u, jnp.int32) for u in zip(*upd))
-        st = dict(self._state)
-        st["table"] = st["table"].at[slots, poss].set(pgs)
-        self._state = st
-        return st
+                    f"out of KV pages ({self.total_pages} total; "
+                    f"need {total}, free {len(free)})")
+            plans.append((free, seq_pages, attr, needs))
+        for free, seq_pages, attr, needs in plans:
+            if not needs:
+                continue
+            upd = []                          # (slot, page_pos, new_page)
+            for seq_id, slot, extra in needs:
+                for _ in range(extra):
+                    pg = free.pop()
+                    seq_pages[seq_id].append(pg)
+                    upd.append((slot, len(seq_pages[seq_id]) - 1, pg))
+            slots, poss, pgs = (jnp.asarray(u, jnp.int32) for u in zip(*upd))
+            st = dict(getattr(self, attr))
+            st["table"] = st["table"].at[slots, poss].set(pgs)
+            setattr(self, attr, st)
+        return self._state
 
     def step(self) -> dict:
         """Decode ONE token for every live sequence; returns {seq_id: token}."""
@@ -273,35 +336,132 @@ class GenerationEngine:
             out[seq_id] = [int(t) for t in toks_np[:, slot]]
         return out
 
+    # ---- speculative decoding (draft lane) --------------------------------
+
+    def step_speculative(self, gamma: int = 4) -> dict:
+        """Speculative decode: the draft model proposes ``gamma`` tokens per
+        live sequence, the target verifies all of them in ONE multi-token
+        paged forward pass, and each sequence commits its accepted prefix
+        plus one target token — between 1 and ``gamma + 1`` tokens per
+        sequence per call, TOKEN-EXACT vs greedy ``step()``. One jitted,
+        state-donating dispatch for both lanes. Returns
+        ``{seq_id: [tokens]}`` (ragged). Greedy only (``temperature == 0``).
+
+        Rollback is free: rejected tokens' K/V stay in the pages as stale
+        entries beyond ``lengths`` — masked by the length check and
+        overwritten when those offsets are legitimately reached again.
+        """
+        assert self.draft_gpt is not None, (
+            "construct the engine with draft_gpt=/draft_params= to use "
+            "speculative decoding")
+        assert self.temperature == 0.0, (
+            "speculative engine decode is greedy-only")
+        if not self._slots:
+            return {}
+        self._grow_tables(gamma + 1)   # worst case: all gamma+1 committed
+        if gamma not in self._jit_spec:
+            self._jit_spec[gamma] = jax.jit(
+                functools.partial(self._spec_device_step, gamma=gamma),
+                donate_argnums=(0, 1))
+        self._state, self._dstate, emitted, produced = self._jit_spec[gamma](
+            self._state, self._dstate, self.params, self.draft_params)
+        emitted = np.asarray(emitted)
+        produced = np.asarray(produced)
+        out = {}
+        for seq_id, slot in sorted(self._slots.items()):
+            n_new = int(produced[slot])
+            self._host_len[seq_id] += n_new
+            out[seq_id] = [int(tk) for tk in emitted[slot, :n_new]]
+        return out
+
+    def _spec_device_step(self, state, dstate, params, dparams, *, gamma):
+        active = state["active"]
+        base_t = state["lengths"]
+        base_d = dstate["lengths"]
+        cur = state["last_tok"]
+
+        # 1. Draft proposes gamma tokens greedily (sequential small steps).
+        def dbody(dstate, _):
+            dstate, _tok = self._device_step(dstate, dparams, None,
+                                             self.draft_gpt, self._dtrash)
+            return dstate, dstate["last_tok"]
+
+        dstate, drafts = jax.lax.scan(dbody, dstate, None, length=gamma)
+        drafts = drafts.T                                   # [S, gamma]
+        # One more draft step caches d_gamma's K/V so a fully-accepted
+        # round leaves the draft cache complete (its sampled token and
+        # bookkeeping are overwritten below).
+        dstate, _ = self._device_step(dstate, dparams, None,
+                                      self.draft_gpt, self._dtrash)
+
+        # 2. Target verifies all gamma+1 positions in one forward.
+        block = jnp.concatenate([cur[:, None], drafts], axis=1)
+        state, logits = self._forward_tokens(state, params, block,
+                                             self.gpt, self._trash)
+        t_hat = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, g+1]
+
+        # 3. Accept the longest matching prefix; commit one target token.
+        ok = (drafts == t_hat[:, :-1]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)    # [S] in [0, g]
+        produced = jnp.where(active, n_acc + 1, 0)
+        nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
+
+        i = jnp.arange(gamma + 1)[None]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((drafts.shape[0], 1), jnp.int32)], axis=1)
+        emitted = jnp.where(i < n_acc[:, None], drafts_pad,
+                            jnp.where(i == n_acc[:, None], nxt[:, None], -1))
+        emitted = jnp.where(active[:, None], emitted, -1)
+
+        # 4. Commit lengths/last_tok on both lanes (rollback = shorter
+        # lengths; stale page entries are masked/overwritten later).
+        state["lengths"] = base_t + produced
+        state["last_tok"] = jnp.where(active, nxt, cur)
+        dstate["lengths"] = base_d + produced
+        dstate["last_tok"] = jnp.where(active, nxt, dstate["last_tok"])
+        return state, dstate, emitted, produced
+
     # ---- the jitted device step ------------------------------------------
 
-    def _device_step(self, state, params, key):
-        c = self.gpt.config
-        active = state["active"]
+    def _forward_tokens(self, state, params, tokens, gpt, trash):
+        """Run ``gpt`` over ``tokens`` [S, t], appending their K/V to this
+        lane's pages. Returns (state, logits [S, t, vocab]). Does NOT touch
+        lengths/last_tok — bookkeeping belongs to the caller."""
+        c = gpt.config
+        t = tokens.shape[1]
         lengths = state["lengths"]
-        x = ops.embedding_lookup(params["embedding"]["table"],
-                                 state["last_tok"])
+        x = ops.embedding_lookup(params["embedding"]["table"], tokens)
         if c.positional == "learned":
-            pos = jnp.clip(lengths, 0, c.max_len - 1)
+            pos = jnp.clip(lengths[:, None] + jnp.arange(t), 0,
+                           c.max_len - 1)
             x = x + ops.embedding_lookup(params["pos_embedding"]["table"],
                                          pos)
         if c.dtype is not None:
             x = x.astype(c.dtype)
-        x = x[:, None, :]                                   # [S, 1, d]
 
         for li in range(c.num_layers):
-            x, state = self._block_step(params[f"layer_{li}"], x, li, state)
+            x, state = self._block_step(params[f"layer_{li}"], x, li, state,
+                                        gpt, trash)
 
-        x = self.gpt.final_norm.apply(params["final_norm"], x)
+        x = gpt.final_norm.apply(params["final_norm"], x)
         if c.tie_embeddings:
             table = params["embedding"]["table"]
             logits = jnp.einsum("bsd,vd->bsv", x, table.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
         else:
-            logits = self.gpt.lm_head.apply(params["lm_head"], x)
-        new_tok = self._sample(logits[:, 0].astype(jnp.float32), key)
+            logits = gpt.lm_head.apply(params["lm_head"], x)
+        return state, logits.astype(jnp.float32)
+
+    def _device_step(self, state, params, key, gpt=None, trash=None):
+        gpt = gpt if gpt is not None else self.gpt
+        trash = self._trash if trash is None else trash
+        active = state["active"]
+        state, logits = self._forward_tokens(state, params,
+                                             state["last_tok"][:, None],
+                                             gpt, trash)
+        new_tok = self._sample(logits[:, 0], key)
         state["last_tok"] = jnp.where(active, new_tok, state["last_tok"])
-        state["lengths"] = lengths + active.astype(jnp.int32)
+        state["lengths"] = state["lengths"] + active.astype(jnp.int32)
         return state, jnp.where(active, new_tok, -1)
 
     def _sample(self, logits, key):
@@ -331,49 +491,55 @@ class GenerationEngine:
             v_new.astype(state["v_pages"][li].dtype))
         return state
 
-    def _block_step(self, bp, x, li, state):
-        """One transformer block on the [S, 1, d] decode slice: batched page
-        append + paged attention + FFN/MoE. Mirrors
+    def _block_step(self, bp, x, li, state, gpt, trash):
+        """One transformer block on the [S, t, d] decode slice (t = 1 for
+        plain decode; t = gamma+1 for speculative verification): batched
+        page append + paged attention + FFN/MoE. Mirrors
         TransformerEncoderBlock.apply (eval mode, both norm orders)."""
-        c = self.gpt.config
-        block = self.gpt.block
+        c = gpt.config
+        block = gpt.block
         attn = block.attn
         active, lengths = state["active"], state["lengths"]
+        t = x.shape[1]
 
         skip = x
         y = block.norm1.apply(bp["norm1"], x) if block.norm_first else x
         ap = bp["self_attention"]
-        q = attn._project(y, ap["wq"], ap["bq"])            # [S, hq, 1, dk]
+        q = attn._project(y, ap["wq"], ap["bq"])            # [S, hq, t, dk]
         k = attn._project(y, ap["wk"], ap["bk"])
         v = attn._project(y, ap["wv"], ap["bv"])
         if attn.rope:
             from np_modeling_tpu.ops.rope import apply_rope
-            pos = lengths[:, None]                          # [S, 1]
+            pos = lengths[:, None] + jnp.arange(t)          # [S, t]
             q = apply_rope(q, pos, attn.rope_base)
             k = apply_rope(k, pos, attn.rope_base)
 
-        # Batched append: slot n writes (page_of(lengths[n]), lengths[n]%ps);
+        # Batched append: slot n's token i writes
+        # (page_of(lengths[n] + i), (lengths[n] + i) % ps);
         # inactive slots write the trash page.
-        page_pos = lengths // self.page_size
-        slot_off = lengths % self.page_size
-        pages = jnp.take_along_axis(state["table"], page_pos[:, None],
-                                    axis=1)[:, 0]
-        pages = jnp.where(active, pages, self._trash)
-        state = self._append(state, li, pages, slot_off,
-                             jnp.swapaxes(k[:, :, 0, :], 0, 1),
-                             jnp.swapaxes(v[:, :, 0, :], 0, 1))
+        tok_pos = lengths[:, None] + jnp.arange(t)          # [S, t]
+        page_pos = tok_pos // self.page_size
+        slot_off = (tok_pos % self.page_size).reshape(-1)
+        pages = jnp.take_along_axis(state["table"], page_pos, axis=1)
+        pages = jnp.where(active[:, None], pages, trash).reshape(-1)
+        hkv = k.shape[1]
+        dk_ = k.shape[-1]
+        k_flat = jnp.swapaxes(k, 0, 1).reshape(hkv, -1, dk_)  # [hkv, S*t, dk]
+        v_flat = jnp.swapaxes(v, 0, 1).reshape(hkv, -1, dk_)
+        state = self._append(state, li, pages, slot_off, k_flat, v_flat)
 
-        att_len = jnp.where(active, lengths + 1, 0)
+        att_len = jnp.where(active, lengths + t, 0)
         kwargs = {}
         if self.quantize_kv:
             kwargs = {"k_scales": state["k_scales"][li],
                       "v_scales": state["v_scales"][li]}
-        o = ops.paged_attention(q[:, :, 0, :], state["k_pages"][li],
+        o = ops.paged_attention(jnp.swapaxes(q, 1, 2),      # [S, t, hq, dk]
+                                state["k_pages"][li],
                                 state["v_pages"][li], att_len,
                                 state["table"],
                                 window=c.attention_window, **kwargs)
         hq, dk, d_out = ap["wo"].shape
-        o = o.reshape(x.shape[0], 1, hq * dk).astype(x.dtype)
+        o = o.reshape(x.shape[0], t, hq * dk).astype(x.dtype)
         y = ops.linear(o, ap["wo"].reshape(hq * dk, d_out).astype(x.dtype),
                        ap["bo"].astype(x.dtype))
         y = y + skip
