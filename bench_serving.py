@@ -47,12 +47,54 @@ def main():
         t0 = time.perf_counter()
         eng.step_many(N)
         per = (time.perf_counter() - t0) / N
+        if tag == "":
+            plain_per_tok = per
         print(json.dumps({
             "metric": f"engine_decode_8seq_gpt4L_d1024{tag}",
             "value": round(per * 1e6, 1),
             "unit": "us/token_step",
             "tok_per_s": round(SEQS / per, 0),
         }))
+
+    # Speculative decoding mechanics: round cost with a 16x-smaller draft.
+    # These weights are random, so acceptance ~0 and tokens/round ~1 — the
+    # bench reports the ROUND COST; a trained draft at acceptance a commits
+    # 1 + a*gamma tokens/round. Two break-evens: vs step_many (device-bound
+    # inner loop; unreachable through this machine's ~30-45ms-per-dispatch
+    # tunnel) and vs per-token step() (the like-for-like one-host-call-per-
+    # event comparison that interactive serving actually makes).
+    eng = None                    # release the previous engine's HBM
+    gamma, rounds = 4, 16
+    dcfg = models.GPTConfig(vocab_size=8192, d_model=256, num_heads=4,
+                            num_layers=2, hidden_units=1024, max_len=2048,
+                            dtype=jnp.bfloat16)
+    draft = models.GPT(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    eng = GenerationEngine(gpt, params, total_pages=160, page_size=64,
+                           max_seqs=SEQS, draft_gpt=draft,
+                           draft_params=dparams)
+    for s in range(SEQS):
+        eng.add_request(s, jnp.asarray(rng.integers(0, 8192, (PROMPT,))))
+    eng.step_speculative(gamma)   # warm the compile
+    eng.step()                    # warm the per-token step too
+    t0 = time.perf_counter()
+    eng.step()
+    step_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tok = 0
+    for _ in range(rounds):
+        out = eng.step_speculative(gamma)
+        tok += sum(len(v) for v in out.values())
+    per_round = (time.perf_counter() - t0) / rounds
+    print(json.dumps({
+        "metric": f"engine_speculative_d256draft_g{gamma}",
+        "value": round(per_round * 1e6, 1),
+        "unit": "us/round",
+        "tokens_per_round": round(tok / rounds / SEQS, 2),
+        "break_even_tokens_vs_step_many": round(per_round / plain_per_tok,
+                                                2),
+        "break_even_tokens_vs_step": round(per_round / step_wall, 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -104,6 +104,7 @@ class GenerationEngine:
         # there so the jitted step needs no scatter masking.
         self._trash = self.total_pages - 1
         self._free = list(range(self.total_pages - 2, -1, -1))
+        self._refs: dict[int, int] = {}         # page -> refcount (fork)
         self._slots: dict[int, int] = {}        # seq_id -> slot
         self._host_len: dict[int, int] = {}     # authoritative lengths
         self._seq_pages: dict[int, list[int]] = {}
@@ -125,6 +126,7 @@ class GenerationEngine:
                                                  self._d_total)
             self._dtrash = self._d_total - 1
             self._dfree = list(range(self._d_total - 2, -1, -1))
+            self._drefs: dict[int, int] = {}
             self._dseq_pages: dict[int, list[int]] = {}
             self._jit_dprefill: dict[int, object] = {}
             self._jit_spec: dict[int, object] = {}   # gamma -> jitted step
@@ -139,12 +141,23 @@ class GenerationEngine:
     def free_pages(self) -> int:
         return len(self._free)
 
-    def _alloc(self, n: int, free=None) -> list[int]:
+    def _alloc(self, n: int, free=None, refs=None) -> list[int]:
         free = self._free if free is None else free
+        refs = self._refs if refs is None else refs
         if len(free) < n:
             raise OutOfPagesError(
                 f"out of KV pages ({self.total_pages} total)")
-        return [free.pop() for _ in range(n)]
+        pages = [free.pop() for _ in range(n)]
+        for p in pages:
+            refs[p] = 1
+        return pages
+
+    def _release(self, pages, free, refs) -> None:
+        for p in pages:
+            refs[p] -= 1
+            if refs[p] == 0:
+                del refs[p]
+                free.append(p)
 
     def add_request(self, seq_id: int, prompt_tokens) -> int:
         """Prefill a prompt; returns the first generated token."""
@@ -183,7 +196,7 @@ class GenerationEngine:
             _, dkvs = self.draft_gpt.apply(self.draft_params, prompt,
                                            collect_kv=True,
                                            logits_last_only=True)
-            dpages = self._alloc(n_pages, self._dfree)
+            dpages = self._alloc(n_pages, self._dfree, self._drefs)
             if n_pages not in self._jit_dprefill:
                 self._jit_dprefill[n_pages] = self._make_prefill(
                     n_pages, self._dtrash)
@@ -231,17 +244,91 @@ class GenerationEngine:
     def finish(self, seq_id: int) -> None:
         slot = self._slots.pop(seq_id)
         del self._host_len[seq_id]
-        self._free.extend(self._seq_pages.pop(seq_id))
+        self._release(self._seq_pages.pop(seq_id), self._free, self._refs)
         st = jax.tree_util.tree_map(lambda x: x, self._state)
         st["active"] = st["active"].at[slot].set(False)
         st["lengths"] = st["lengths"].at[slot].set(0)
         self._state = st
         if self.draft_gpt is not None:
-            self._dfree.extend(self._dseq_pages.pop(seq_id))
+            self._release(self._dseq_pages.pop(seq_id), self._dfree,
+                          self._drefs)
             dst = jax.tree_util.tree_map(lambda x: x, self._dstate)
             dst["active"] = dst["active"].at[slot].set(False)
             dst["lengths"] = dst["lengths"].at[slot].set(0)
             self._dstate = dst
+
+    # ---- fork: prefix caching via refcounted page sharing -----------------
+
+    def fork(self, parent_id: int, new_id: int) -> None:
+        """Clone a live sequence. The child SHARES the parent's full pages
+        (refcounted; pages are append-only so no copy-on-write is ever
+        needed) and copies only the partial tail page — O(1) pages per fork
+        regardless of context length. Both sequences then decode
+        independently; ``finish`` frees a page only when its last owner
+        leaves. This is serving-side prefix caching: N continuations of one
+        long prompt cost one prefill + N-1 forks."""
+        if new_id in self._slots:
+            raise ValueError(f"sequence {new_id} already live")
+        pslot = self._slots[parent_id]
+        used = set(self._slots.values())
+        free_slots = [s for s in range(self.max_seqs) if s not in used]
+        if not free_slots:
+            raise RuntimeError(f"all {self.max_seqs} slots busy")
+        slot = free_slots[0]
+        plen = self._host_len[parent_id]
+        full, partial = divmod(plen, self.page_size)
+        need = 1 if partial else 0
+        if len(self._free) < need or (
+                self.draft_gpt is not None and len(self._dfree) < need):
+            raise OutOfPagesError("out of KV pages for fork")
+        if not hasattr(self, "_jit_fork"):
+            self._jit_fork = self._make_fork()
+
+        def lane(attr, free, refs, seq_pages, trash):
+            parent_pages = seq_pages[parent_id]
+            shared = parent_pages[:full]
+            for p in shared:
+                refs[p] += 1
+            child = list(shared)
+            if partial:
+                dst = self._alloc(1, free, refs)[0]
+                src = parent_pages[full]
+                child.append(dst)
+            else:
+                src = dst = trash     # copy trash -> trash: harmless no-op
+            row = np.zeros((self.max_pages,), np.int32)
+            row[:len(child)] = child
+            st = self._jit_fork(getattr(self, attr), jnp.asarray(row),
+                                jnp.int32(slot), jnp.int32(pslot),
+                                jnp.int32(plen), jnp.int32(src),
+                                jnp.int32(dst))
+            setattr(self, attr, st)
+            seq_pages[new_id] = child
+
+        lane("_state", self._free, self._refs, self._seq_pages, self._trash)
+        if self.draft_gpt is not None:
+            lane("_dstate", self._dfree, self._drefs, self._dseq_pages,
+                 self._dtrash)
+        self._slots[new_id] = slot
+        self._host_len[new_id] = plen
+
+    def _make_fork(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fork_lane(state, table_row, slot, pslot, plen, src, dst):
+            for li in range(len(state["k_pages"])):
+                for key in ("k_pages", "v_pages", "k_scales", "v_scales"):
+                    if key in state:
+                        buf = state[key][li]
+                        state[key][li] = buf.at[:, dst].set(buf[:, src])
+            state["table"] = jax.lax.dynamic_update_slice(
+                state["table"], table_row[None], (slot, 0))
+            state["lengths"] = state["lengths"].at[slot].set(plen)
+            state["last_tok"] = state["last_tok"].at[slot].set(
+                state["last_tok"][pslot])
+            state["active"] = state["active"].at[slot].set(True)
+            return state
+
+        return fork_lane
 
     # ---- decode step (host wrapper: page growth + one jit dispatch) ------
 
@@ -255,11 +342,12 @@ class GenerationEngine:
         recorded host-side but absent from the device table, silently
         corrupting another sequence's cache on the retry).
         Returns the (possibly updated) device state."""
-        lanes = [(self._free, self._seq_pages, "_state")]
+        lanes = [(self._free, self._seq_pages, "_state", self._refs)]
         if self.draft_gpt is not None:
-            lanes.append((self._dfree, self._dseq_pages, "_dstate"))
+            lanes.append((self._dfree, self._dseq_pages, "_dstate",
+                          self._drefs))
         plans = []
-        for free, seq_pages, attr in lanes:
+        for free, seq_pages, attr, refs in lanes:
             needs = []                        # (seq_id, slot, n_new_pages)
             total = 0
             for seq_id, slot in self._slots.items():
@@ -277,14 +365,15 @@ class GenerationEngine:
                 raise OutOfPagesError(
                     f"out of KV pages ({self.total_pages} total; "
                     f"need {total}, free {len(free)})")
-            plans.append((free, seq_pages, attr, needs))
-        for free, seq_pages, attr, needs in plans:
+            plans.append((free, seq_pages, attr, refs, needs))
+        for free, seq_pages, attr, refs, needs in plans:
             if not needs:
                 continue
             upd = []                          # (slot, page_pos, new_page)
             for seq_id, slot, extra in needs:
                 for _ in range(extra):
                     pg = free.pop()
+                    refs[pg] = 1
                     seq_pages[seq_id].append(pg)
                     upd.append((slot, len(seq_pages[seq_id]) - 1, pg))
             slots, poss, pgs = (jnp.asarray(u, jnp.int32) for u in zip(*upd))
