@@ -463,6 +463,45 @@ class GenerationEngine:
             out[seq_id] = [int(tk) for tk in emitted[slot, :n_new]]
         return out
 
+    def step_speculative_many(self, rounds: int, gamma: int = 4) -> dict:
+        """``rounds`` speculative rounds in ONE device dispatch (lax.scan
+        over the round; per-round emitted/produced buffers are read back
+        once). The speculative analogue of ``step_many`` — on this
+        machine's tunneled TPU the per-dispatch round-trip dominates a
+        single round, so scanning rounds is what makes speculative decoding
+        actually pay. Returns ``{seq_id: [tokens]}`` (ragged)."""
+        assert self.draft_gpt is not None and self.temperature == 0.0
+        if not self._slots:
+            return {}
+        self._grow_tables(rounds * (gamma + 1))
+        key = (rounds, gamma)
+        if key not in self._jit_spec:
+            def multi(state, dstate, params, dparams):
+                def body(carry, _):
+                    state, dstate = carry
+                    state, dstate, emitted, produced = self._spec_device_step(
+                        state, dstate, params, dparams, gamma=gamma)
+                    return (state, dstate), (emitted, produced)
+
+                (state, dstate), outs = jax.lax.scan(
+                    body, (state, dstate), None, length=rounds)
+                return state, dstate, outs
+
+            self._jit_spec[key] = jax.jit(multi, donate_argnums=(0, 1))
+        self._state, self._dstate, (emitted, produced) = self._jit_spec[key](
+            self._state, self._dstate, self.params, self.draft_params)
+        emitted = np.asarray(emitted)            # [rounds, S, gamma+1]
+        produced = np.asarray(produced)          # [rounds, S]
+        out = {}
+        for seq_id, slot in sorted(self._slots.items()):
+            toks = []
+            for r in range(rounds):
+                toks.extend(int(tk) for tk in
+                            emitted[r, slot, :produced[r, slot]])
+            self._host_len[seq_id] += len(toks)
+            out[seq_id] = toks
+        return out
+
     def _spec_device_step(self, state, dstate, params, dparams, *, gamma):
         active = state["active"]
         base_t = state["lengths"]

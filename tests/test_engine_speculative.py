@@ -160,3 +160,21 @@ def test_rope_model_speculative(ignore=None):
     while len(got) < len(want):
         got.extend(spec.step_speculative(3)[0])
     assert got[:len(want)] == want
+
+
+def test_step_speculative_many_matches_stepwise(stack):
+    gpt, params, draft, dparams = stack
+    prompt = rng.integers(0, 64, 8)
+
+    a = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                         draft_gpt=draft, draft_params=dparams)
+    got_a = [a.add_request(0, prompt)]
+    for _ in range(5):
+        got_a.extend(a.step_speculative(3)[0])
+
+    b = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                         draft_gpt=draft, draft_params=dparams)
+    got_b = [b.add_request(0, prompt)]
+    got_b.extend(b.step_speculative_many(5, gamma=3)[0])
+    assert got_a == got_b
+    assert b._host_len[0] == len(prompt) + len(got_b) - 1
