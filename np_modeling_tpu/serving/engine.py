@@ -432,9 +432,15 @@ class GenerationEngine:
         live sequence, the target verifies all of them in ONE multi-token
         paged forward pass, and each sequence commits its accepted prefix
         plus one target token — between 1 and ``gamma + 1`` tokens per
-        sequence per call, TOKEN-EXACT vs greedy ``step()``. One jitted,
-        state-donating dispatch for both lanes. Returns
-        ``{seq_id: [tokens]}`` (ragged). Greedy only (``temperature == 0``).
+        sequence per call. One jitted, state-donating dispatch for both
+        lanes. Returns ``{seq_id: [tokens]}`` (ragged).
+
+        ``temperature == 0``: greedy — TOKEN-EXACT vs ``step()``.
+        ``temperature > 0``: speculative SAMPLING (Leviathan et al.) —
+        accept draft token d with probability ``min(1, p_t(d)/p_d(d))``,
+        resample rejects from ``norm(max(0, p_t - p_d))`` — the output
+        DISTRIBUTION equals target-only sampling (temperature-only;
+        top_k/top_p are not supported in speculative mode).
 
         Rollback is free: rejected tokens' K/V stay in the pages as stale
         entries beyond ``lengths`` — masked by the length check and
@@ -443,8 +449,8 @@ class GenerationEngine:
         assert self.draft_gpt is not None, (
             "construct the engine with draft_gpt=/draft_params= to use "
             "speculative decoding")
-        assert self.temperature == 0.0, (
-            "speculative engine decode is greedy-only")
+        assert self.top_k is None and self.top_p is None, (
+            "speculative sampling supports temperature only")
         if not self._slots:
             return {}
         self._grow_tables(gamma + 1)   # worst case: all gamma+1 committed
@@ -452,8 +458,9 @@ class GenerationEngine:
             self._jit_spec[gamma] = jax.jit(
                 functools.partial(self._spec_device_step, gamma=gamma),
                 donate_argnums=(0, 1))
+        self._rng, sub = jax.random.split(self._rng)
         self._state, self._dstate, emitted, produced = self._jit_spec[gamma](
-            self._state, self._dstate, self.params, self.draft_params)
+            self._state, self._dstate, self.params, self.draft_params, sub)
         emitted = np.asarray(emitted)
         produced = np.asarray(produced)
         out = {}
@@ -470,26 +477,29 @@ class GenerationEngine:
         machine's tunneled TPU the per-dispatch round-trip dominates a
         single round, so scanning rounds is what makes speculative decoding
         actually pay. Returns ``{seq_id: [tokens]}`` (ragged)."""
-        assert self.draft_gpt is not None and self.temperature == 0.0
+        assert self.draft_gpt is not None
+        assert self.top_k is None and self.top_p is None
         if not self._slots:
             return {}
         self._grow_tables(rounds * (gamma + 1))
         key = (rounds, gamma)
         if key not in self._jit_spec:
-            def multi(state, dstate, params, dparams):
-                def body(carry, _):
+            def multi(state, dstate, params, dparams, rng):
+                def body(carry, r):
                     state, dstate = carry
                     state, dstate, emitted, produced = self._spec_device_step(
-                        state, dstate, params, dparams, gamma=gamma)
+                        state, dstate, params, dparams,
+                        jax.random.fold_in(rng, r), gamma=gamma)
                     return (state, dstate), (emitted, produced)
 
                 (state, dstate), outs = jax.lax.scan(
-                    body, (state, dstate), None, length=rounds)
+                    body, (state, dstate), jnp.arange(rounds))
                 return state, dstate, outs
 
             self._jit_spec[key] = jax.jit(multi, donate_argnums=(0, 1))
+        self._rng, sub = jax.random.split(self._rng)
         self._state, self._dstate, (emitted, produced) = self._jit_spec[key](
-            self._state, self._dstate, self.params, self.draft_params)
+            self._state, self._dstate, self.params, self.draft_params, sub)
         emitted = np.asarray(emitted)            # [rounds, S, gamma+1]
         produced = np.asarray(produced)          # [rounds, S]
         out = {}
@@ -502,20 +512,33 @@ class GenerationEngine:
             out[seq_id] = toks
         return out
 
-    def _spec_device_step(self, state, dstate, params, dparams, *, gamma):
+    def _spec_device_step(self, state, dstate, params, dparams, key, *,
+                          gamma):
         active = state["active"]
         base_t = state["lengths"]
         base_d = dstate["lengths"]
         cur = state["last_tok"]
+        greedy = self.temperature == 0.0
 
-        # 1. Draft proposes gamma tokens greedily (sequential small steps).
-        def dbody(dstate, _):
-            dstate, _tok = self._device_step(dstate, dparams, None,
-                                             self.draft_gpt, self._dtrash)
-            return dstate, dstate["last_tok"]
+        # 1. Draft proposes gamma tokens (sequential small steps), keeping
+        # its per-step logits for the sampling-mode accept ratio.
+        def dbody(dstate, i):
+            d_active = dstate["active"]
+            dstate, lg = self._forward_tokens(
+                dstate, dparams, dstate["last_tok"][:, None],
+                self.draft_gpt, self._dtrash)
+            lg = lg[:, 0]
+            tok = self._sample(lg, jax.random.fold_in(key, i))
+            dstate["last_tok"] = jnp.where(d_active, tok,
+                                           dstate["last_tok"])
+            dstate["lengths"] = (dstate["lengths"]
+                                 + d_active.astype(jnp.int32))
+            return dstate, (dstate["last_tok"], lg)
 
-        dstate, drafts = jax.lax.scan(dbody, dstate, None, length=gamma)
+        dstate, (drafts, d_logits) = jax.lax.scan(dbody, dstate,
+                                                  jnp.arange(gamma))
         drafts = drafts.T                                   # [S, gamma]
+        d_logits = jnp.swapaxes(d_logits, 0, 1)             # [S, g, V]
         # One more draft step caches d_gamma's K/V so a fully-accepted
         # round leaves the draft cache complete (its sampled token and
         # bookkeeping are overwritten below).
@@ -526,13 +549,37 @@ class GenerationEngine:
         block = jnp.concatenate([cur[:, None], drafts], axis=1)
         state, logits = self._forward_tokens(state, params, block,
                                              self.gpt, self._trash)
-        t_hat = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, g+1]
 
-        # 3. Accept the longest matching prefix; commit one target token.
-        ok = (drafts == t_hat[:, :-1]).astype(jnp.int32)
-        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)    # [S] in [0, g]
+        # 3. Accept a prefix; commit one target token.
+        if greedy:
+            t_hat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ok = (drafts == t_hat[:, :-1]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # [S] in [0,g]
+            nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
+        else:
+            kacc, kres = jax.random.split(jax.random.fold_in(key, 7777))
+            p_t = jax.nn.softmax(logits / self.temperature, axis=-1)
+            p_d = jax.nn.softmax(d_logits / self.temperature, axis=-1)
+            d_idx = drafts[:, :, None]
+            pt_d = jnp.take_along_axis(p_t[:, :-1], d_idx, axis=2)[:, :, 0]
+            pd_d = jnp.take_along_axis(p_d, d_idx, axis=2)[:, :, 0]
+            u = jax.random.uniform(kacc, drafts.shape)
+            ok = (u < jnp.minimum(1.0, pt_d / jnp.maximum(pd_d, 1e-20)))
+            n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
+                            axis=1)
+            # Residual distribution at the first rejected position (or the
+            # target's own distribution when everything was accepted).
+            j = jnp.minimum(n_acc, gamma - 1)
+            resid = jnp.maximum(
+                jnp.take_along_axis(p_t, j[:, None, None], axis=1)[:, 0]
+                - jnp.take_along_axis(p_d, j[:, None, None], axis=1)[:, 0],
+                0.0)
+            resid = resid / jnp.maximum(jnp.sum(resid, -1, keepdims=True),
+                                        1e-20)
+            dist = jnp.where((n_acc < gamma)[:, None], resid, p_t[:, -1])
+            nxt = jax.random.categorical(
+                kres, jnp.log(dist + 1e-30), axis=-1).astype(jnp.int32)
         produced = jnp.where(active, n_acc + 1, 0)
-        nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
 
         i = jnp.arange(gamma + 1)[None]
         drafts_pad = jnp.concatenate(

@@ -178,3 +178,59 @@ def test_step_speculative_many_matches_stepwise(stack):
     got_b.extend(b.step_speculative_many(5, gamma=3)[0])
     assert got_a == got_b
     assert b._host_len[0] == len(prompt) + len(got_b) - 1
+
+
+def test_sampling_self_draft_accepts_everything(stack):
+    gpt, params, _, _ = stack
+    prompt = rng.integers(0, 64, 6)
+    spec = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                            draft_gpt=gpt, draft_params=params,
+                            temperature=1.0, seed=3)
+    spec.add_request(0, prompt)
+    # p_t == p_d -> accept probability 1 -> gamma+1 tokens every round.
+    for _ in range(3):
+        assert len(spec.step_speculative(gamma=3)[0]) == 4
+
+
+def test_sampling_distribution_matches_target():
+    """Engine speculative sampling reproduces the target's next-token
+    distribution (frequency check over repeated fresh rounds)."""
+    cfg = models.GPTConfig(vocab_size=13, d_model=16, num_heads=2,
+                           num_layers=1, hidden_units=32, max_len=32)
+    gpt = models.GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(11), jnp.zeros((1, 4), jnp.int32))
+    dcfg = models.GPTConfig(vocab_size=13, d_model=8, num_heads=2,
+                            num_layers=1, hidden_units=16, max_len=32)
+    draft = models.GPT(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(12), jnp.zeros((1, 4),
+                                                           jnp.int32))
+    prompt = jnp.asarray([1, 2, 3], jnp.int32)
+
+    # True next-token distribution after the FIRST generated token t0
+    # (t0 itself is sampled at prefill; condition on the argmax prompt
+    # continuation by measuring the distribution of the SECOND token given
+    # a fixed first token is fiddly — instead measure the first token
+    # emitted by step_speculative, whose context is prompt + t0 where t0
+    # varies per trial; so compare against the MIXTURE by simulating the
+    # same two-stage process with the dense model).
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                           max_seqs=2, draft_gpt=draft,
+                           draft_params=dparams, temperature=1.0, seed=0)
+    n = 500
+    draws = []
+    for i in range(n):
+        t0 = eng.add_request(0, prompt)
+        tok = eng.step_speculative(gamma=2)[0][0]
+        draws.append((t0, tok))
+        eng.finish(0)
+
+    # Dense-model mixture oracle: P(t1) = sum_t0 P(t0) P(t1 | prompt,t0).
+    logits0 = gpt.apply(params, prompt[None])[0, -1]
+    p0 = np.asarray(jax.nn.softmax(logits0))
+    p1 = np.zeros(13)
+    for t0 in range(13):
+        ctx = jnp.concatenate([prompt, jnp.asarray([t0], jnp.int32)])[None]
+        lg = gpt.apply(params, ctx)[0, -1]
+        p1 += p0[t0] * np.asarray(jax.nn.softmax(lg))
+    freq = np.bincount([t for _, t in draws], minlength=13) / n
+    np.testing.assert_allclose(freq, p1, atol=0.075)  # ~3.3 sigma at n=500
