@@ -45,6 +45,12 @@ def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
     """
     b, plen = prompt_tokens.shape
     beam = beam_size
+    cfg = getattr(model, "config", None)
+    if cfg is not None and getattr(cfg, "scan_layers", False):
+        raise NotImplementedError(
+            "beam_search tiles/gathers cache leaves along axis 0 (batch); "
+            "scan_layers caches are stacked [num_layers, batch, ...] — "
+            "build the model with scan_layers=False for decoding")
 
     caches = model.init_cache(b, plen + steps)
     logits, caches = model.apply(params, prompt_tokens, caches=caches,

@@ -29,10 +29,46 @@ import jax
 import jax.numpy as jnp
 
 
+
+def speculative_accept(p_t, p_d, drafts, key):
+    """Batched accept/resample core of speculative SAMPLING (shared by
+    :func:`speculative_generate` and the serving engine's draft lane).
+
+    ``p_t [..., gamma+1, V]``: target probabilities (position i predicts
+    the token after input i); ``p_d [..., gamma, V]``: draft probabilities
+    (position i is the distribution ``drafts[..., i]`` was drawn from);
+    ``drafts [..., gamma]``. Accepts draft token d with probability
+    ``min(1, p_t(d)/p_d(d))``; the first reject resamples from the
+    normalized residual ``max(0, p_t - p_d)``; full acceptance draws from
+    ``p_t[..., -1, :]``. Returns ``(n_acc [...], nxt [...])``.
+    """
+    gamma = drafts.shape[-1]
+    kacc, kres = jax.random.split(key)
+    pt_d = jnp.take_along_axis(p_t[..., :gamma, :], drafts[..., None],
+                               axis=-1)[..., 0]
+    pd_d = jnp.take_along_axis(p_d, drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(kacc, drafts.shape)
+    ok = (u < jnp.minimum(1.0, pt_d / jnp.maximum(pd_d, 1e-20)))
+    n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=-1), axis=-1)
+    j = jnp.minimum(n_acc, gamma - 1)
+    pt_j = jnp.take_along_axis(p_t, j[..., None, None], axis=-2)[..., 0, :]
+    pd_j = jnp.take_along_axis(p_d, j[..., None, None], axis=-2)[..., 0, :]
+    resid = jnp.maximum(pt_j - pd_j, 0.0)
+    resid = resid / jnp.maximum(jnp.sum(resid, -1, keepdims=True), 1e-20)
+    dist = jnp.where((n_acc < gamma)[..., None], resid, p_t[..., -1, :])
+    nxt = jax.random.categorical(kres, jnp.log(dist + 1e-30),
+                                 axis=-1).astype(jnp.int32)
+    return n_acc, nxt
+
+
 def _reset_index(caches, new_index):
-    """Roll a cache pytree's write positions back to ``new_index``."""
+    """Roll a cache pytree's write positions back to ``new_index``.
+
+    ``full_like`` keeps the index leaf's shape: scalar for the list cache
+    layout, ``[num_layers]`` for the scan_layers stacked layout (a scalar
+    here would change the while_loop carry type and fail to trace)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: (jnp.asarray(new_index, leaf.dtype)
+        lambda path, leaf: (jnp.full_like(leaf, new_index)
                             if path[-1].key == "index" else leaf),
         caches, is_leaf=None)
 
@@ -116,23 +152,11 @@ def speculative_generate(target, target_params, draft, draft_params,
             n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1))
             nxt = t_choice[0, n_acc][None]
         else:
-            kacc, kres = jax.random.split(jax.random.fold_in(key, 7777))
-            p_t = jax.nn.softmax(t_logits[0] / temperature, axis=-1)
-            p_d = jax.nn.softmax(d_logits[0] / temperature, axis=-1)
-            dtok = drafts[0]
-            pt_d = p_t[jnp.arange(gamma), dtok]              # target prob
-            pd_d = p_d[jnp.arange(gamma), dtok]              # draft prob
-            u = jax.random.uniform(kacc, (gamma,))
-            ok = u < jnp.minimum(1.0, pt_d / jnp.maximum(pd_d, 1e-20))
-            n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
-            # Residual distribution at the first rejected position
-            # (or the target's own distribution if all accepted).
-            resid = jnp.maximum(p_t[jnp.minimum(n_acc, gamma - 1)]
-                                - p_d[jnp.minimum(n_acc, gamma - 1)], 0.0)
-            resid = resid / jnp.maximum(jnp.sum(resid), 1e-20)
-            use_resid = n_acc < gamma
-            dist = jnp.where(use_resid, resid, p_t[gamma])
-            nxt = jax.random.categorical(kres, jnp.log(dist + 1e-30))[None]
+            p_t = jax.nn.softmax(t_logits / temperature, axis=-1)
+            p_d = jax.nn.softmax(d_logits / temperature, axis=-1)
+            n_acc_v, nxt = speculative_accept(
+                p_t, p_d, drafts, jax.random.fold_in(key, 7777))
+            n_acc = n_acc_v[0]
 
         # ---- commit: write tokens, roll back rejected cache suffix ------
         out = jax.lax.dynamic_update_slice(out, block, (0, n))

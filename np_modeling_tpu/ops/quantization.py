@@ -116,8 +116,11 @@ _QKEYS = frozenset(("int8", "scale"))
 def quantize_params_int8(params, match: str = WEIGHT_QUANT_TARGETS):
     """Replace matched weight leaves with ``{"int8", "scale"}`` dicts.
 
-    Scales are per-column of the LAST axis (absmax over all leading axes),
-    so every output channel of a matmul weight keeps its own range. Halves
+    Scales reduce over axis 0 only (the canonical contraction axis), so a
+    2-D weight [in, out] gets true per-output-column scales [1, out] and a
+    3-D attention projection [d, heads, dk] keeps per-(head, dk) ranges
+    [1, heads, dk] — a small head never shares the largest head's range.
+    Halves
     the at-rest bytes of the matched weights vs bf16 (4x vs fp32);
     :func:`dequantize_params` restores a compute pytree inside jit.
 
@@ -137,8 +140,7 @@ def quantize_params_int8(params, match: str = WEIGHT_QUANT_TARGETS):
         if not (pat.match(_path_str(path)) and leaf.ndim >= 2):
             return leaf
         x = leaf.astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(x), axis=tuple(range(leaf.ndim - 1)),
-                         keepdims=True)
+        absmax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
         scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
         values = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
         return {"int8": values, "scale": scale}

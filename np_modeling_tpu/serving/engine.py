@@ -557,28 +557,11 @@ class GenerationEngine:
             n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # [S] in [0,g]
             nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
         else:
-            kacc, kres = jax.random.split(jax.random.fold_in(key, 7777))
+            from np_modeling_tpu.models.speculative import speculative_accept
             p_t = jax.nn.softmax(logits / self.temperature, axis=-1)
             p_d = jax.nn.softmax(d_logits / self.temperature, axis=-1)
-            d_idx = drafts[:, :, None]
-            pt_d = jnp.take_along_axis(p_t[:, :-1], d_idx, axis=2)[:, :, 0]
-            pd_d = jnp.take_along_axis(p_d, d_idx, axis=2)[:, :, 0]
-            u = jax.random.uniform(kacc, drafts.shape)
-            ok = (u < jnp.minimum(1.0, pt_d / jnp.maximum(pd_d, 1e-20)))
-            n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
-                            axis=1)
-            # Residual distribution at the first rejected position (or the
-            # target's own distribution when everything was accepted).
-            j = jnp.minimum(n_acc, gamma - 1)
-            resid = jnp.maximum(
-                jnp.take_along_axis(p_t, j[:, None, None], axis=1)[:, 0]
-                - jnp.take_along_axis(p_d, j[:, None, None], axis=1)[:, 0],
-                0.0)
-            resid = resid / jnp.maximum(jnp.sum(resid, -1, keepdims=True),
-                                        1e-20)
-            dist = jnp.where((n_acc < gamma)[:, None], resid, p_t[:, -1])
-            nxt = jax.random.categorical(
-                kres, jnp.log(dist + 1e-30), axis=-1).astype(jnp.int32)
+            n_acc, nxt = speculative_accept(
+                p_t, p_d, drafts, jax.random.fold_in(key, 7777))
         produced = jnp.where(active, n_acc + 1, 0)
 
         i = jnp.arange(gamma + 1)[None]

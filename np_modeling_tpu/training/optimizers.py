@@ -277,48 +277,68 @@ def _newton_schulz(m, steps: int = 5):
 def muon(learning_rate, beta: float = 0.95, ns_steps: int = 5,
          adam_lr: float | None = None, beta1: float = 0.9,
          beta2: float = 0.999, epsilon: float = 1e-8,
-         nesterov: bool = True) -> Optimizer:
+         nesterov: bool = True,
+         exclude: str = r".*(embedding|lm_head|pos_embed|table).*") -> Optimizer:
     """Muon (Jordan et al. 2024): momentum orthogonalized by Newton-Schulz.
 
     Matrix params (ndim >= 2, flattened to [dim0, rest]) get
-    ``-lr * sqrt(max(1, rows/cols)) * NS5(momentum)``; all other leaves
-    (biases, norms, embeddings-as-vectors) fall back to Adam at
-    ``adam_lr`` (default: ``learning_rate``). The orthogonalization and
-    shape-scale follow the reference Muon formulation; verified against an
-    independent NumPy implementation in tests.
+    ``-lr * sqrt(max(1, rows/cols)) * NS5(momentum)``. Everything else —
+    vectors (biases, norms) and any path matching ``exclude`` (embeddings
+    and LM heads, which the reference Muon formulation keeps OUT of the
+    orthogonalized group) — runs Adam at ``adam_lr`` (default:
+    ``learning_rate``). The second-moment state is allocated ONLY for the
+    Adam group (a scalar placeholder elsewhere), so optimizer memory is
+    one momentum tree plus Adam state for the small leaves. Verified
+    against an independent NumPy implementation in tests.
     """
+    import re
 
-    adam_opt = adam(adam_lr if adam_lr is not None else learning_rate,
-                    beta1, beta2, epsilon)
+    from np_modeling_tpu.parallel.sharding import _path_str
 
-    def _is_matrix(p):
-        return p.ndim >= 2
+    adam_rate = adam_lr if adam_lr is not None else learning_rate
+    pat = re.compile(exclude)
+
+    def _is_muon(path, p):
+        return p.ndim >= 2 and not pat.match(_path_str(path))
 
     def init(params):
         mu = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return (jnp.zeros((), jnp.int32), mu, adam_opt.init(params))
+        nu = jax.tree_util.tree_map_with_path(
+            lambda path, p: (jnp.zeros((), jnp.float32) if _is_muon(path, p)
+                             else jnp.zeros_like(p)), params)
+        return (jnp.zeros((), jnp.int32), mu, nu)
 
     def update(grads, state, params=None):
-        count, mu, adam_state = state
+        del params
+        count, mu, nu = state
+        new_count = count + 1
+        t = new_count.astype(jnp.float32)
         lr = _lr_at(learning_rate, count)
-        new_mu = jax.tree_util.tree_map(
-            lambda m, g: beta * m + g, mu, grads)
+        a_lr = _lr_at(adam_rate, count)
+        bc1 = 1 - beta1 ** t
+        bc2 = 1 - beta2 ** t
 
-        # Adam updates for every leaf; matrix leaves get overwritten below.
-        adam_updates, new_adam = adam_opt.update(grads, adam_state, params)
+        def upd(path, g, m, v):
+            if _is_muon(path, g):
+                m2 = beta * m + g                      # muon momentum
+                eff = (beta * m2 + g) if nesterov else m2
+                two_d = eff.reshape(eff.shape[0], -1)
+                o = _newton_schulz(two_d, ns_steps).reshape(eff.shape)
+                scale = jnp.sqrt(jnp.maximum(
+                    1.0, two_d.shape[0] / two_d.shape[1]))
+                return -lr * scale * o, m2, v
+            m2 = beta1 * m + (1 - beta1) * g           # adam
+            v2 = beta2 * v + (1 - beta2) * jnp.square(g)
+            u = -a_lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + epsilon)
+            return u, m2, v2
 
-        def u(g, m, au):
-            if not _is_matrix(g):
-                return au
-            eff = (beta * m + g) if nesterov else m
-            two_d = eff.reshape(eff.shape[0], -1)
-            o = _newton_schulz(two_d, ns_steps).reshape(eff.shape)
-            scale = jnp.sqrt(jnp.maximum(
-                1.0, two_d.shape[0] / two_d.shape[1]))
-            return -lr * scale * o
-
-        updates = jax.tree_util.tree_map(u, grads, new_mu, adam_updates)
-        return updates, (count + 1, new_mu, new_adam)
+        flat = jax.tree_util.tree_map_with_path(upd, grads, mu, nu)
+        three = jax.tree_util.tree_transpose(
+            jax.tree_util.tree_structure(grads),
+            jax.tree_util.tree_structure((0, 0, 0)),
+            flat)
+        updates, new_mu, new_nu = three
+        return updates, (new_count, new_mu, new_nu)
 
     return Optimizer(init, update)
 

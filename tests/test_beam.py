@@ -107,3 +107,14 @@ def test_eos_freezes_hypothesis(tiny):
         if hit.size:  # after the first EOS, only EOS (frozen hypothesis)
             assert (row[hit[0]:] == eos).all()
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_scan_layers_rejected_with_clear_error():
+    cfg = models.GPTConfig(vocab_size=V, d_model=16, num_heads=2,
+                           num_layers=2, hidden_units=32, max_len=32,
+                           scan_layers=True)
+    gpt = models.GPT(cfg)
+    prompt = jnp.zeros((1, 4), jnp.int32)
+    params = gpt.init(jax.random.PRNGKey(0), prompt)
+    with pytest.raises(NotImplementedError, match="scan_layers"):
+        models.beam_search(gpt, params, prompt, steps=3, beam_size=2)

@@ -125,3 +125,28 @@ class TestMuon:
             losses.append(float(loss))
         assert losses[-1] < losses[0] - 0.5
         assert np.isfinite(losses).all()
+
+
+class TestMuonPartitioning:
+    def test_embeddings_excluded_and_state_partitioned(self):
+        """Embedding/LM-head tables run Adam (reference Muon excludes them)
+        and carry Adam state; matrix leaves carry only a scalar nu
+        placeholder (no full second-moment tree)."""
+        params = {"embedding": {"table": jnp.asarray(rand(50, 8, rng=rng))},
+                  "layer_0": {"w": jnp.asarray(rand(8, 8, rng=rng))}}
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        opt = training.muon(1e-2, adam_lr=1e-3)
+        state = opt.init(params)
+        _, mu, nu = state
+        assert nu["embedding"]["table"].shape == (50, 8)   # adam leaf
+        assert nu["layer_0"]["w"].shape == ()              # muon leaf
+        updates, _ = opt.update(g, state, params)
+        # Embedding update == plain Adam's first step at adam_lr.
+        adam = training.adam(1e-3)
+        au, _ = adam.update(g, adam.init(params), params)
+        np.testing.assert_allclose(np.asarray(updates["embedding"]["table"]),
+                                   np.asarray(au["embedding"]["table"]),
+                                   rtol=1e-6)
+        # Matrix leaf is NOT an Adam update (orthogonalized instead).
+        assert not np.allclose(np.asarray(updates["layer_0"]["w"]),
+                               np.asarray(au["layer_0"]["w"]))

@@ -108,3 +108,18 @@ def test_sampling_distribution_matches_target():
     freq = np.bincount(draws, minlength=13) / n
     # Standard error ~ sqrt(p(1-p)/n) <= 0.009; allow 5 sigma.
     np.testing.assert_allclose(freq, p_true, atol=0.05)
+
+
+def test_scan_layers_target_and_draft():
+    """Stacked (scan_layers) caches: the index leaf is [num_layers], which
+    the rollback must preserve (regression: a scalar reset broke the
+    while_loop carry type)."""
+    cfg = models.GPTConfig(vocab_size=41, d_model=16, num_heads=2,
+                           num_layers=2, hidden_units=32, max_len=64,
+                           scan_layers=True)
+    gpt, params = _train_tiny(cfg, jax.random.PRNGKey(13))
+    prompt = jax.random.randint(jax.random.PRNGKey(14), (1, 5), 0, 41)
+    want = np.asarray(gpt.generate(params, prompt, steps=9))
+    got = np.asarray(models.speculative_generate(
+        gpt, params, gpt, params, prompt, steps=9, gamma=2))
+    np.testing.assert_array_equal(got, want)

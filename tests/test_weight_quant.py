@@ -39,8 +39,9 @@ def test_unmatched_leaves_pass_through():
     # Matched leaves are int8 with per-output-channel scales.
     wq = q["layer_0"]["self_attention"]["wq"]
     assert wq["int8"].dtype == jnp.int8
-    assert wq["scale"].shape == (1, 1, params["layer_0"]["self_attention"]
-                                 ["wq"].shape[-1])
+    # Per-(head, dk) scales: reduce over the contraction axis only.
+    assert wq["scale"].shape == (
+        1, *params["layer_0"]["self_attention"]["wq"].shape[1:])
 
 
 def test_quantized_model_close_and_smaller():
