@@ -19,6 +19,7 @@ from np_modeling_tpu.ops.fused import (dropout_prng, seed_from_key,
                                        softmax_cross_entropy_fused)
 from np_modeling_tpu.ops.linear import linear
 from np_modeling_tpu.ops.losses import (cross_entropy_probs,
+                                        kl_divergence_from_logits,
                                         fused_lm_head_loss, mse,
                                         softmax_cross_entropy,
                                         softmax_cross_entropy_with_integer_labels)
@@ -52,6 +53,7 @@ __all__ = [
     "paged_attention",
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
     "quantize_params_int8", "dequantize_params",
+    "kl_divergence_from_logits",
     "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
 ]

@@ -206,3 +206,42 @@ def _fused_lm_bwd(chunk, res, dy):
 
 
 _fused_lm_loss.defvjp(_fused_lm_fwd, _fused_lm_bwd)
+
+
+@jax.custom_vjp
+def kl_divergence_from_logits(student_logits: jax.Array,
+                              teacher_logits: jax.Array) -> jax.Array:
+    """Per-example ``KL(softmax(teacher) || softmax(student))`` from logits.
+
+    The knowledge-distillation objective (Hinton et al. 2015) in its
+    numerically safe form: both distributions come from log-softmax, no
+    explicit ``p log p`` on zero-probability entries. Returns
+    ``logits.shape[:-1]``; reduce outside. Hand-written VJP (framework
+    invariant): ``d/ds = softmax(s) - softmax(t)``,
+    ``d/dt_j = p_j * ((log p_j - logsoftmax(s)_j) - KL)``.
+    """
+    return _kl_impl(student_logits, teacher_logits)[0]
+
+
+def _kl_impl(s, t):
+    ls = jax.nn.log_softmax(s, axis=-1)
+    lt = jax.nn.log_softmax(t, axis=-1)
+    p = jnp.exp(lt)
+    kl = jnp.sum(p * (lt - ls), axis=-1)
+    return kl, (ls, lt, p)
+
+
+def _kl_fwd(s, t):
+    kl, res = _kl_impl(s, t)
+    return kl, (*res, kl)
+
+
+def _kl_bwd(res, g):
+    ls, lt, p, kl = res
+    g = g[..., None]
+    ds = (jnp.exp(ls) - p) * g
+    dt = p * ((lt - ls) - kl[..., None]) * g
+    return ds, dt
+
+
+kl_divergence_from_logits.defvjp(_kl_fwd, _kl_bwd)

@@ -2,6 +2,7 @@
 pipeline, checkpointing."""
 
 from np_modeling_tpu.training import data, schedules
+from np_modeling_tpu.training.distill import distill_gpt_loss, distill_loss
 from np_modeling_tpu.training.lora import (ALL_LINEAR_TARGETS,
                                            ATTENTION_TARGETS, lora_finalize,
                                            lora_init, lora_merge)
@@ -24,6 +25,7 @@ __all__ = [
     "adamw", "apply_updates",
     "ALL_LINEAR_TARGETS", "ATTENTION_TARGETS", "lora_finalize", "lora_init",
     "lora_merge",
+    "distill_gpt_loss", "distill_loss",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
     "lion", "muon",
