@@ -55,6 +55,33 @@ def main():
         print(f"request {sid}: generated {toks}")
     print("free pages after completion:", engine.free_pages)
 
+    # ---- fork (prefix caching): N continuations of one prompt ----------
+    prompt = jnp.asarray(rng.integers(0, 512, 40))
+    first = engine.add_request(2, prompt)      # ONE prefill
+    engine.fork(2, 3)                          # O(1) pages per fork
+    engine.fork(2, 4)
+    forked = {sid: [first] for sid in (2, 3, 4)}
+    for sid, toks in engine.step_many(6).items():
+        forked[sid].extend(toks)
+    print("forked continuations (greedy twins):",
+          {sid: t[:4] for sid, t in forked.items()})
+    for sid in (2, 3, 4):
+        engine.finish(sid)
+
+    # ---- speculative decoding with a draft model ------------------------
+    dcfg = models.GPTConfig(vocab_size=512, d_model=32, num_heads=2,
+                            num_layers=1, hidden_units=128, max_len=256)
+    draft = models.GPT(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    spec = serving.GenerationEngine(gpt, params, total_pages=256,
+                                    page_size=16, max_seqs=8,
+                                    draft_gpt=draft, draft_params=dparams)
+    spec.add_request(0, prompt)
+    toks = spec.step_speculative_many(rounds=3, gamma=4)[0]
+    print(f"speculative decode: {len(toks)} tokens in 3 rounds "
+          "(train the draft with training.distill_gpt_loss to raise "
+          "acceptance)")
+
 
 if __name__ == "__main__":
     main()
