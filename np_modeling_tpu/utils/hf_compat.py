@@ -115,3 +115,48 @@ def import_gpt2(model, **config_overrides):
     """
     cfg = gpt2_config(model.config, **config_overrides)
     return cfg, gpt2_params(model.state_dict(), cfg)
+
+
+def export_gpt2_state_dict(params, config) -> dict:
+    """GPT params pytree -> a HuggingFace GPT-2 state dict (numpy values).
+
+    Inverse of :func:`gpt2_params`: load the result into a
+    ``transformers.GPT2LMHeadModel`` of the matching ``GPT2Config`` via
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})`` to run a model
+    trained here under torch. Requires the GPT-2 architecture settings
+    (norm_first, tied embeddings, learned positions, gelu FFN).
+    """
+    c = config
+    assert c.norm_first and c.tie_embeddings, "GPT-2 is pre-norm and tied"
+    assert c.positional == "learned" and c.activation == "gelu"
+    d = c.d_model
+    sd = {
+        "transformer.wte.weight": _np(params["embedding"]["table"]),
+        "transformer.wpe.weight": _np(params["pos_embedding"]["table"]),
+        "transformer.ln_f.weight": _np(params["final_norm"]["gamma"]),
+        "transformer.ln_f.bias": _np(params["final_norm"]["beta"]),
+        "lm_head.weight": _np(params["embedding"]["table"]),
+    }
+    for i in range(c.num_layers):
+        lp = params[f"layer_{i}"]
+        ap = lp["self_attention"]
+        p = f"transformer.h.{i}"
+        w_qkv = np.concatenate([_np(ap[k]).reshape(d, d)
+                                for k in ("wq", "wk", "wv")], axis=1)
+        b_qkv = np.concatenate([_np(ap[k]).reshape(d)
+                                for k in ("bq", "bk", "bv")])
+        sd.update({
+            f"{p}.attn.c_attn.weight": w_qkv,
+            f"{p}.attn.c_attn.bias": b_qkv,
+            f"{p}.attn.c_proj.weight": _np(ap["wo"]).reshape(d, d),
+            f"{p}.attn.c_proj.bias": _np(ap["bo"]),
+            f"{p}.ln_1.weight": _np(lp["norm1"]["gamma"]),
+            f"{p}.ln_1.bias": _np(lp["norm1"]["beta"]),
+            f"{p}.ln_2.weight": _np(lp["norm2"]["gamma"]),
+            f"{p}.ln_2.bias": _np(lp["norm2"]["beta"]),
+            f"{p}.mlp.c_fc.weight": _np(lp["dense1"]["linear"]["w"]),
+            f"{p}.mlp.c_fc.bias": _np(lp["dense1"]["linear"]["b"]),
+            f"{p}.mlp.c_proj.weight": _np(lp["dense2"]["w"]),
+            f"{p}.mlp.c_proj.bias": _np(lp["dense2"]["b"]),
+        })
+    return sd

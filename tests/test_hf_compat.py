@@ -93,3 +93,51 @@ def test_kv_cache_decode_matches_torch(hf_and_ours):
             steps.append(np.asarray(logits)[:, 0])
     got = np.stack(steps, axis=1)
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_export_roundtrip(hf_and_ours):
+    """export(import(model)) loads back into torch and reproduces logits."""
+    model, gpt, params = hf_and_ours
+    sd = hf_compat.export_gpt2_state_dict(params, gpt.config)
+    model2 = _tiny_hf_gpt2(seed=123)   # different weights, same shape
+    missing, unexpected = model2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not [m for m in missing if "attn.bias" not in m
+                and "masked_bias" not in m], missing
+    assert not unexpected
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 97, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+        got = model2(torch.from_numpy(tokens)).logits.numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_after_training(hf_and_ours):
+    """Fine-tune here, export, and torch sees the updated weights."""
+    import jax as _jax
+    from np_modeling_tpu import training
+    model, gpt, params = hf_and_ours
+    toks = jnp.asarray(np.random.default_rng(6).integers(0, 97, (4, 10)))
+    opt = training.adam(1e-2)
+    state = opt.init(params)
+
+    @_jax.jit
+    def step(p, s):
+        loss, g = _jax.value_and_grad(lambda p: gpt.loss(p, toks))(p)
+        u, s = opt.update(g, s, p)
+        return training.apply_updates(p, u), s, loss
+
+    p2 = params
+    for _ in range(5):
+        p2, state, _ = step(p2, state)
+    sd = hf_compat.export_gpt2_state_dict(p2, gpt.config)
+    model2 = _tiny_hf_gpt2(seed=7)
+    model2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}, strict=False)
+    with torch.no_grad():
+        want = model2(torch.from_numpy(np.asarray(toks))).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(p2, toks))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
