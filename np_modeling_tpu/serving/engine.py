@@ -154,6 +154,8 @@ class GenerationEngine:
 
     def _release(self, pages, free, refs) -> None:
         for p in pages:
+            if p not in refs:
+                continue   # trash placeholder (window-reclaimed position)
             refs[p] -= 1
             if refs[p] == 0:
                 del refs[p]
@@ -288,7 +290,8 @@ class GenerationEngine:
             parent_pages = seq_pages[parent_id]
             shared = parent_pages[:full]
             for p in shared:
-                refs[p] += 1
+                if p in refs:      # trash placeholders aren't refcounted
+                    refs[p] += 1
             child = list(shared)
             if partial:
                 dst = self._alloc(1, free, refs)[0]
@@ -330,6 +333,46 @@ class GenerationEngine:
 
         return fork_lane
 
+    # ---- sliding-window page reclamation (streaming serving) --------------
+
+    def _reclaim_window_pages(self) -> None:
+        """Free pages that fell entirely out of a sliding-window model's
+        attention span (positions < length - window). For a window-trained
+        model this BOUNDS per-sequence KV memory at ~window tokens no
+        matter how long it decodes — the streaming-serving memory model.
+
+        Safe because expired positions are never *used*: the paged kernel
+        masks by ``pos >= length - window`` (and skips whole blocks below
+        the band), so a reclaimed-and-reused page is at worst DMA'd and
+        discarded. Freed table slots point at the trash page; fork's
+        refcounts are respected (a shared page frees when its last owner
+        expires it)."""
+        lanes = [(self.gpt, self._free, self._refs, self._seq_pages,
+                  "_state", self._trash)]
+        if self.draft_gpt is not None:
+            lanes.append((self.draft_gpt, self._dfree, self._drefs,
+                          self._dseq_pages, "_dstate", self._dtrash))
+        for gpt, free, refs, seq_pages, attr, trash in lanes:
+            w = gpt.config.attention_window
+            if w is None:
+                continue
+            upd_slots, upd_poss = [], []
+            for seq_id, slot in self._slots.items():
+                expired = (self._host_len[seq_id] - w) // self.page_size
+                pages = seq_pages[seq_id]
+                for pos in range(min(expired, len(pages))):
+                    if pages[pos] == trash:
+                        continue            # already reclaimed
+                    self._release([pages[pos]], free, refs)
+                    pages[pos] = trash
+                    upd_slots.append(slot)
+                    upd_poss.append(pos)
+            if upd_slots:
+                st = dict(getattr(self, attr))
+                st["table"] = st["table"].at[
+                    jnp.asarray(upd_slots), jnp.asarray(upd_poss)].set(trash)
+                setattr(self, attr, st)
+
     # ---- decode step (host wrapper: page growth + one jit dispatch) ------
 
     def _grow_tables(self, n: int):
@@ -342,6 +385,7 @@ class GenerationEngine:
         recorded host-side but absent from the device table, silently
         corrupting another sequence's cache on the retry).
         Returns the (possibly updated) device state."""
+        self._reclaim_window_pages()
         lanes = [(self._free, self._seq_pages, "_state", self._refs)]
         if self.draft_gpt is not None:
             lanes.append((self._dfree, self._dseq_pages, "_dstate",

@@ -231,3 +231,56 @@ def test_engine_bf16_kv_matches_dense():
                            kv_dtype=jnp.bfloat16)
     toks = [eng.add_request(0, prompt[0])] + eng.step_many(3)[0]
     np.testing.assert_array_equal(np.asarray(toks), dense)
+
+
+class TestWindowReclamation:
+    def test_window_pages_reclaimed_and_tokens_exact(self):
+        """A sliding-window model's per-sequence page usage stays bounded
+        at ~window tokens during a long decode, with an unchanged token
+        stream (expired positions are never attended)."""
+        cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=64, max_len=512,
+                               attention_window=16)
+        gpt = models.GPT(cfg)
+        params = gpt.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8), jnp.int32))
+        prompt = jnp.asarray(rng.integers(0, 64, 24))
+
+        # Reference stream: dense-cache generate (window-masked).
+        want = np.asarray(gpt.generate(params, prompt[None], steps=60))[0]
+
+        eng = GenerationEngine(gpt, params, total_pages=64, page_size=8)
+        free0 = eng.free_pages
+        got = [eng.add_request(0, prompt)]
+        peak_used = 0
+        for _ in range(59):
+            got.append(eng.step()[0])
+            peak_used = max(peak_used, free0 - eng.free_pages)
+        assert got == [int(t) for t in want]
+        # Live pages bounded: ~(window + page_size + lookahead) tokens of
+        # pages, NOT the full 84-token context.
+        assert peak_used <= 6, peak_used   # 84 tokens would need 11 pages
+        eng.finish(0)
+        assert eng.free_pages == free0
+
+    def test_reclamation_with_fork(self):
+        cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                               num_layers=1, hidden_units=64, max_len=256,
+                               attention_window=8)
+        gpt = models.GPT(cfg)
+        params = gpt.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8), jnp.int32))
+        eng = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                               max_seqs=4)
+        free0 = eng.free_pages
+        t = eng.add_request(0, jnp.asarray(rng.integers(0, 64, 20)))
+        eng.fork(0, 1)
+        d = {0: [t], 1: [t]}
+        for _ in range(30):
+            step = eng.step()
+            d[0].append(step[0])
+            d[1].append(step[1])
+        assert d[0] == d[1]                  # greedy twins
+        eng.finish(0)
+        eng.finish(1)
+        assert eng.free_pages == free0       # all pages home again
