@@ -76,6 +76,7 @@ def _reset_index(caches, new_index):
 def speculative_generate(target, target_params, draft, draft_params,
                          prompt_tokens, steps: int, gamma: int = 4,
                          key=None, temperature: float = 0.0,
+                         top_k=None, top_p=None,
                          return_stats: bool = False):
     """Decode ``steps`` tokens from ``target`` using ``draft`` proposals.
 
@@ -105,10 +106,13 @@ def speculative_generate(target, target_params, draft, draft_params,
                               caches=d_caches, decode=True,
                               logits_last_only=True)
 
+    from np_modeling_tpu.models.transformer_lm import filter_logits
+
     def sample(logits, k):
         if greedy:
             return jnp.argmax(logits, axis=-1)
-        return jax.random.categorical(k, logits / temperature, axis=-1)
+        return jax.random.categorical(
+            k, filter_logits(logits / temperature, top_k, top_p), axis=-1)
 
     cur = sample(t_logits[:, -1], jax.random.fold_in(key, 0))
 
@@ -152,8 +156,10 @@ def speculative_generate(target, target_params, draft, draft_params,
             n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1))
             nxt = t_choice[0, n_acc][None]
         else:
-            p_t = jax.nn.softmax(t_logits / temperature, axis=-1)
-            p_d = jax.nn.softmax(d_logits / temperature, axis=-1)
+            p_t = jax.nn.softmax(filter_logits(t_logits / temperature,
+                                               top_k, top_p), axis=-1)
+            p_d = jax.nn.softmax(filter_logits(d_logits / temperature,
+                                               top_k, top_p), axis=-1)
             n_acc_v, nxt = speculative_accept(
                 p_t, p_d, drafts, jax.random.fold_in(key, 7777))
             n_acc = n_acc_v[0]

@@ -307,21 +307,29 @@ class GPT(Module):
     def _sample(logits, key, temperature, salt, top_k=None, top_p=None):
         if temperature == 0.0 or key is None:
             return jnp.argmax(logits, axis=-1)
-        lg = logits / temperature
-        if top_k is not None:
-            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
-        if top_p is not None:
-            # Nucleus: keep the smallest prefix of the sorted distribution
-            # with cumulative probability >= top_p (the top token always
-            # survives).
-            sorted_lg = jnp.sort(lg, axis=-1)[..., ::-1]
-            probs = jax.nn.softmax(sorted_lg, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            keep_sorted = cum - probs < top_p
-            # Cutoff = the SMALLEST kept logit; everything below it drops.
-            cutoff = jnp.min(jnp.where(keep_sorted, sorted_lg, jnp.inf),
-                             axis=-1, keepdims=True)
-            lg = jnp.where(lg < cutoff, -jnp.inf, lg)
+        lg = filter_logits(logits / temperature, top_k, top_p)
         key = jax.random.fold_in(key, salt)
         return jax.random.categorical(key, lg, axis=-1)
+
+
+def filter_logits(lg, top_k=None, top_p=None):
+    """Apply top-k and/or nucleus (top-p) filtering: logits outside the
+    keep-set become -inf. ``softmax(filter_logits(logits/T))`` is the
+    exact distribution ``GPT._sample`` draws from — speculative decoding
+    uses it for the filtered accept ratio."""
+    if top_k is not None:
+        kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    if top_p is not None:
+        # Nucleus: keep the smallest prefix of the sorted distribution
+        # with cumulative probability >= top_p (the top token always
+        # survives).
+        sorted_lg = jnp.sort(lg, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_lg, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = cum - probs < top_p
+        # Cutoff = the SMALLEST kept logit; everything below it drops.
+        cutoff = jnp.min(jnp.where(keep_sorted, sorted_lg, jnp.inf),
+                         axis=-1, keepdims=True)
+        lg = jnp.where(lg < cutoff, -jnp.inf, lg)
+    return lg

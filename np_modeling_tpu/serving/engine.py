@@ -483,8 +483,9 @@ class GenerationEngine:
         ``temperature > 0``: speculative SAMPLING (Leviathan et al.) —
         accept draft token d with probability ``min(1, p_t(d)/p_d(d))``,
         resample rejects from ``norm(max(0, p_t - p_d))`` — the output
-        DISTRIBUTION equals target-only sampling (temperature-only;
-        top_k/top_p are not supported in speculative mode).
+        DISTRIBUTION equals target-only sampling. top_k/top_p compose:
+        both sides use the same filtered-renormalized distributions (the
+        accept/reject theorem holds for any distribution pair).
 
         Rollback is free: rejected tokens' K/V stay in the pages as stale
         entries beyond ``lengths`` — masked by the length check and
@@ -493,8 +494,6 @@ class GenerationEngine:
         assert self.draft_gpt is not None, (
             "construct the engine with draft_gpt=/draft_params= to use "
             "speculative decoding")
-        assert self.top_k is None and self.top_p is None, (
-            "speculative sampling supports temperature only")
         if not self._slots:
             return {}
         self._grow_tables(gamma + 1)   # worst case: all gamma+1 committed
@@ -522,7 +521,6 @@ class GenerationEngine:
         single round, so scanning rounds is what makes speculative decoding
         actually pay. Returns ``{seq_id: [tokens]}`` (ragged)."""
         assert self.draft_gpt is not None
-        assert self.top_k is None and self.top_p is None
         if not self._slots:
             return {}
         self._grow_tables(rounds * (gamma + 1))
@@ -602,8 +600,12 @@ class GenerationEngine:
             nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
         else:
             from np_modeling_tpu.models.speculative import speculative_accept
-            p_t = jax.nn.softmax(logits / self.temperature, axis=-1)
-            p_d = jax.nn.softmax(d_logits / self.temperature, axis=-1)
+            from np_modeling_tpu.models.transformer_lm import filter_logits
+            p_t = jax.nn.softmax(filter_logits(
+                logits / self.temperature, self.top_k, self.top_p), axis=-1)
+            p_d = jax.nn.softmax(filter_logits(
+                d_logits / self.temperature, self.top_k, self.top_p),
+                axis=-1)
             n_acc, nxt = speculative_accept(
                 p_t, p_d, drafts, jax.random.fold_in(key, 7777))
         produced = jnp.where(active, n_acc + 1, 0)

@@ -234,3 +234,59 @@ def test_sampling_distribution_matches_target():
         p1 += p0[t0] * np.asarray(jax.nn.softmax(lg))
     freq = np.bincount([t for _, t in draws], minlength=13) / n
     np.testing.assert_allclose(freq, p1, atol=0.075)  # ~3.3 sigma at n=500
+
+
+def test_sampling_topk_distribution_matches_filtered_target():
+    """Speculative sampling with top_k reproduces the target's FILTERED
+    next-token distribution (mixture oracle over the prefill token)."""
+    from np_modeling_tpu.models.transformer_lm import filter_logits
+    cfg = models.GPTConfig(vocab_size=13, d_model=16, num_heads=2,
+                           num_layers=1, hidden_units=32, max_len=32)
+    gpt = models.GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(21), jnp.zeros((1, 4), jnp.int32))
+    dcfg = models.GPTConfig(vocab_size=13, d_model=8, num_heads=2,
+                            num_layers=1, hidden_units=16, max_len=32)
+    draft = models.GPT(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(22), jnp.zeros((1, 4),
+                                                           jnp.int32))
+    prompt = jnp.asarray([4, 5, 6], jnp.int32)
+    K = 4
+
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                           max_seqs=2, draft_gpt=draft,
+                           draft_params=dparams, temperature=1.0, top_k=K,
+                           seed=0)
+    n = 400
+    draws = []
+    for _ in range(n):
+        t0 = eng.add_request(0, prompt)
+        tok = eng.step_speculative(gamma=2)[0][0]
+        draws.append((t0, tok))
+        eng.finish(0)
+
+    def fprobs(logits):
+        return np.asarray(jax.nn.softmax(filter_logits(
+            jnp.asarray(logits), top_k=K)))
+
+    logits0 = gpt.apply(params, prompt[None])[0, -1]
+    p0 = fprobs(logits0)
+    p1 = np.zeros(13)
+    for t0 in range(13):
+        if p0[t0] == 0:
+            continue
+        ctx = jnp.concatenate([prompt, jnp.asarray([t0], jnp.int32)])[None]
+        p1 += p0[t0] * fprobs(gpt.apply(params, ctx)[0, -1])
+    freq = np.bincount([t for _, t in draws], minlength=13) / n
+    # Tokens outside every reachable top-K set must never appear.
+    assert freq[p1 == 0].sum() == 0
+    np.testing.assert_allclose(freq, p1, atol=0.085)
+
+
+def test_sampling_topk_self_draft_accepts(stack):
+    gpt, params, _, _ = stack
+    prompt = rng.integers(0, 64, 6)
+    spec = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                            draft_gpt=gpt, draft_params=params,
+                            temperature=0.8, top_k=8, top_p=0.95, seed=2)
+    spec.add_request(0, prompt)
+    assert len(spec.step_speculative(gamma=3)[0]) == 4  # identical dists
