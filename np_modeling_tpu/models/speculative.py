@@ -61,6 +61,19 @@ def speculative_accept(p_t, p_d, drafts, key):
     return n_acc, nxt
 
 
+def speculative_accept_logits(t_logits, d_logits, drafts, key, temperature,
+                              top_k=None, top_p=None):
+    """:func:`speculative_accept` on raw logits: both sides go through the
+    SAME temperature + top-k/top-p filtering (GPT._sample's distribution),
+    which is what makes filtered speculative sampling distribution-exact."""
+    from np_modeling_tpu.models.transformer_lm import filter_logits
+    p_t = jax.nn.softmax(filter_logits(t_logits / temperature, top_k,
+                                       top_p), axis=-1)
+    p_d = jax.nn.softmax(filter_logits(d_logits / temperature, top_k,
+                                       top_p), axis=-1)
+    return speculative_accept(p_t, p_d, drafts, key)
+
+
 def _reset_index(caches, new_index):
     """Roll a cache pytree's write positions back to ``new_index``.
 
@@ -156,12 +169,9 @@ def speculative_generate(target, target_params, draft, draft_params,
             n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1))
             nxt = t_choice[0, n_acc][None]
         else:
-            p_t = jax.nn.softmax(filter_logits(t_logits / temperature,
-                                               top_k, top_p), axis=-1)
-            p_d = jax.nn.softmax(filter_logits(d_logits / temperature,
-                                               top_k, top_p), axis=-1)
-            n_acc_v, nxt = speculative_accept(
-                p_t, p_d, drafts, jax.random.fold_in(key, 7777))
+            n_acc_v, nxt = speculative_accept_logits(
+                t_logits, d_logits, drafts, jax.random.fold_in(key, 7777),
+                temperature, top_k, top_p)
             n_acc = n_acc_v[0]
 
         # ---- commit: write tokens, roll back rejected cache suffix ------

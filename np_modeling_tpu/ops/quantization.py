@@ -116,11 +116,14 @@ _QKEYS = frozenset(("int8", "scale"))
 def quantize_params_int8(params, match: str = WEIGHT_QUANT_TARGETS):
     """Replace matched weight leaves with ``{"int8", "scale"}`` dicts.
 
-    Scales reduce over axis 0 only (the canonical contraction axis), so a
-    2-D weight [in, out] gets true per-output-column scales [1, out] and a
-    3-D attention projection [d, heads, dk] keeps per-(head, dk) ranges
-    [1, heads, dk] — a small head never shares the largest head's range.
-    Halves
+    Scales reduce over axis 0 only: a 2-D weight [in, out] gets true
+    per-output-column scales [1, out], and a 3-D qkv projection
+    [d, heads, dk] keeps per-(head, dk) ranges — a small head never shares
+    the largest head's range. NOTE: for wo [heads, dk, d] the contraction
+    is (heads, dk), so the [1, dk, d] scale varies ALONG a contraction
+    axis — fine for the explicit dequantize-then-matmul path used here,
+    but NOT factorable out of a fused int8 matmul; an int8-compute path
+    would need per-output-only scales. Halves
     the at-rest bytes of the matched weights vs bf16 (4x vs fp32);
     :func:`dequantize_params` restores a compute pytree inside jit.
 

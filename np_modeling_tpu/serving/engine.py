@@ -105,6 +105,7 @@ class GenerationEngine:
         self._trash = self.total_pages - 1
         self._free = list(range(self.total_pages - 2, -1, -1))
         self._refs: dict[int, int] = {}         # page -> refcount (fork)
+        self._reclaim_mark: dict[int, int] = {}  # window-reclaim watermark
         self._slots: dict[int, int] = {}        # seq_id -> slot
         self._host_len: dict[int, int] = {}     # authoritative lengths
         self._seq_pages: dict[int, list[int]] = {}
@@ -127,6 +128,7 @@ class GenerationEngine:
             self._dtrash = self._d_total - 1
             self._dfree = list(range(self._d_total - 2, -1, -1))
             self._drefs: dict[int, int] = {}
+            self._dreclaim_mark: dict[int, int] = {}
             self._dseq_pages: dict[int, list[int]] = {}
             self._jit_dprefill: dict[int, object] = {}
             self._jit_spec: dict[int, object] = {}   # gamma -> jitted step
@@ -246,6 +248,9 @@ class GenerationEngine:
     def finish(self, seq_id: int) -> None:
         slot = self._slots.pop(seq_id)
         del self._host_len[seq_id]
+        self._reclaim_mark.pop(seq_id, None)
+        if self.draft_gpt is not None:
+            self._dreclaim_mark.pop(seq_id, None)
         self._release(self._seq_pages.pop(seq_id), self._free, self._refs)
         st = jax.tree_util.tree_map(lambda x: x, self._state)
         st["active"] = st["active"].at[slot].set(False)
@@ -314,6 +319,12 @@ class GenerationEngine:
                  self._dtrash)
         self._slots[new_id] = slot
         self._host_len[new_id] = plen
+        # The child inherits the parent's reclamation watermark (its page
+        # list shares the parent's trash placeholders below it).
+        if parent_id in self._reclaim_mark:
+            self._reclaim_mark[new_id] = self._reclaim_mark[parent_id]
+        if self.draft_gpt is not None and parent_id in self._dreclaim_mark:
+            self._dreclaim_mark[new_id] = self._dreclaim_mark[parent_id]
 
     def _make_fork(self):
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -348,11 +359,12 @@ class GenerationEngine:
         refcounts are respected (a shared page frees when its last owner
         expires it)."""
         lanes = [(self.gpt, self._free, self._refs, self._seq_pages,
-                  "_state", self._trash)]
+                  "_state", self._trash, self._reclaim_mark)]
         if self.draft_gpt is not None:
             lanes.append((self.draft_gpt, self._dfree, self._drefs,
-                          self._dseq_pages, "_dstate", self._dtrash))
-        for gpt, free, refs, seq_pages, attr, trash in lanes:
+                          self._dseq_pages, "_dstate", self._dtrash,
+                          self._dreclaim_mark))
+        for gpt, free, refs, seq_pages, attr, trash, marks in lanes:
             w = gpt.config.attention_window
             if w is None:
                 continue
@@ -360,13 +372,15 @@ class GenerationEngine:
             for seq_id, slot in self._slots.items():
                 expired = (self._host_len[seq_id] - w) // self.page_size
                 pages = seq_pages[seq_id]
-                for pos in range(min(expired, len(pages))):
+                start = marks.get(seq_id, 0)   # watermark: O(L) total work
+                for pos in range(start, min(expired, len(pages))):
                     if pages[pos] == trash:
-                        continue            # already reclaimed
+                        continue            # already reclaimed (fork share)
                     self._release([pages[pos]], free, refs)
                     pages[pos] = trash
                     upd_slots.append(slot)
                     upd_poss.append(pos)
+                marks[seq_id] = max(start, min(expired, len(pages)))
             if upd_slots:
                 st = dict(getattr(self, attr))
                 st["table"] = st["table"].at[
@@ -378,6 +392,8 @@ class GenerationEngine:
     def _grow_tables(self, n: int):
         """Ensure every live sequence's page table covers ``n`` more tokens.
 
+        Window-page reclamation runs FIRST (an independent, always-valid
+        state transition that can only free pages). The GROWTH itself is
         ALL-OR-NOTHING: allocation needs are computed first and the free
         list / host bookkeeping / device table are only mutated once the
         whole growth is known to fit — an OutOfPagesError here leaves the
@@ -565,16 +581,9 @@ class GenerationEngine:
         # 1. Draft proposes gamma tokens (sequential small steps), keeping
         # its per-step logits for the sampling-mode accept ratio.
         def dbody(dstate, i):
-            d_active = dstate["active"]
-            dstate, lg = self._forward_tokens(
-                dstate, dparams, dstate["last_tok"][:, None],
-                self.draft_gpt, self._dtrash)
-            lg = lg[:, 0]
-            tok = self._sample(lg, jax.random.fold_in(key, i))
-            dstate["last_tok"] = jnp.where(d_active, tok,
-                                           dstate["last_tok"])
-            dstate["lengths"] = (dstate["lengths"]
-                                 + d_active.astype(jnp.int32))
+            dstate, _tok, lg = self._device_step(
+                dstate, dparams, jax.random.fold_in(key, i),
+                self.draft_gpt, self._dtrash, return_logits=True)
             return dstate, (dstate["last_tok"], lg)
 
         dstate, (drafts, d_logits) = jax.lax.scan(dbody, dstate,
@@ -599,15 +608,11 @@ class GenerationEngine:
             n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # [S] in [0,g]
             nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
         else:
-            from np_modeling_tpu.models.speculative import speculative_accept
-            from np_modeling_tpu.models.transformer_lm import filter_logits
-            p_t = jax.nn.softmax(filter_logits(
-                logits / self.temperature, self.top_k, self.top_p), axis=-1)
-            p_d = jax.nn.softmax(filter_logits(
-                d_logits / self.temperature, self.top_k, self.top_p),
-                axis=-1)
-            n_acc, nxt = speculative_accept(
-                p_t, p_d, drafts, jax.random.fold_in(key, 7777))
+            from np_modeling_tpu.models.speculative import (
+                speculative_accept_logits)
+            n_acc, nxt = speculative_accept_logits(
+                logits, d_logits, drafts, jax.random.fold_in(key, 7777),
+                self.temperature, self.top_k, self.top_p)
         produced = jnp.where(active, n_acc + 1, 0)
 
         i = jnp.arange(gamma + 1)[None]
@@ -656,7 +661,8 @@ class GenerationEngine:
             logits = gpt.lm_head.apply(params["lm_head"], x)
         return state, logits.astype(jnp.float32)
 
-    def _device_step(self, state, params, key, gpt=None, trash=None):
+    def _device_step(self, state, params, key, gpt=None, trash=None,
+                     return_logits=False):
         gpt = gpt if gpt is not None else self.gpt
         trash = self._trash if trash is None else trash
         active = state["active"]
@@ -666,7 +672,10 @@ class GenerationEngine:
         new_tok = self._sample(logits[:, 0], key)
         state["last_tok"] = jnp.where(active, new_tok, state["last_tok"])
         state["lengths"] = state["lengths"] + active.astype(jnp.int32)
-        return state, jnp.where(active, new_tok, -1)
+        out = jnp.where(active, new_tok, -1)
+        if return_logits:
+            return state, out, logits[:, 0]
+        return state, out
 
     def _sample(self, logits, key):
         """Greedy (temperature=0) or in-graph temperature/top-k/top-p

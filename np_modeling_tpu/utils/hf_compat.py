@@ -129,6 +129,11 @@ def export_gpt2_state_dict(params, config) -> dict:
     c = config
     assert c.norm_first and c.tie_embeddings, "GPT-2 is pre-norm and tied"
     assert c.positional == "learned" and c.activation == "gelu"
+    assert c.attention_window is None, (
+        "GPT-2 has no sliding window — exporting would silently change "
+        "attention semantics under torch")
+    assert (c.num_kv_heads or c.num_heads) == c.num_heads, (
+        "GPT-2 has no GQA (num_kv_heads must equal num_heads)")
     d = c.d_model
     sd = {
         "transformer.wte.weight": _np(params["embedding"]["table"]),
