@@ -43,8 +43,12 @@ class GPTConfig:
     positional: str = "learned"   # "learned" | "rope"
     activation: str = "relu"      # FFN activation ("relu" | "gelu" | "silu";
                                   # "gelu" is the tanh form = HF "gelu_new")
-    ln_eps: float = 1e-3          # LayerNorm epsilon (reference default;
-                                  # GPT-2 uses 1e-5)
+    ln_eps: float = 1e-3          # LayerNorm/RMSNorm epsilon (reference
+                                  # default; GPT-2 1e-5, LLaMA 1e-5/1e-6)
+    norm: str = "layer"           # "layer" | "rms" (LLaMA-style)
+    ffn: str = "mlp"              # "mlp" | "swiglu" (LLaMA-style)
+    use_bias: bool = True         # False: biasless attention/FFN (LLaMA)
+    rope_base: float = 10000.0    # RoPE theta (LLaMA-3 uses 500000)
     attention_window: int | None = None   # sliding-window (local) attention
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
                                   # never materialized (tied embeddings
@@ -70,8 +74,12 @@ class GPT(Module):
             moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
             rope=(c.positional == "rope"),
             window=c.attention_window, activation=c.activation,
-            ln_eps=c.ln_eps)
-        self.final_norm = LayerNorm(epsilon=c.ln_eps)
+            ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias)
+        if c.positional == "rope":
+            self.block.attn.rope_base = c.rope_base
+        from np_modeling_tpu.nn import RMSNorm
+        self.final_norm = (RMSNorm(epsilon=c.ln_eps) if c.norm == "rms"
+                           else LayerNorm(epsilon=c.ln_eps))
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
             self.lm_head = Linear(c.vocab_size, use_bias=False, dtype=c.dtype)

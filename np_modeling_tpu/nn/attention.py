@@ -47,6 +47,7 @@ class MultiHeadAttention(Module):
     window: Optional[int] = None         # sliding-window width (causal only)
     rope: bool = False                   # rotary position embeddings on q/k
     rope_base: float = 10000.0
+    use_bias: bool = True                # False: LLaMA-style biasless q/k/v/o
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
@@ -66,16 +67,20 @@ class MultiHeadAttention(Module):
         d_kv = kv_src.shape[-1]
         hq, hkv, dk = self._dims(d_q)
         ks = jax.random.split(key, 8)
-        return {
+        params = {
             "wq": self.kernel_init(ks[0], (d_q, hq, dk)),
             "wk": self.kernel_init(ks[1], (d_kv, hkv, dk)),
             "wv": self.kernel_init(ks[2], (d_kv, hkv, dk)),
             "wo": self.kernel_init(ks[3], (hq, dk, d_q)),
-            "bq": self.bias_init(ks[4], (hq, dk)),
-            "bk": self.bias_init(ks[5], (hkv, dk)),
-            "bv": self.bias_init(ks[6], (hkv, dk)),
-            "bo": self.bias_init(ks[7], (d_q,)),
         }
+        if self.use_bias:
+            params.update({
+                "bq": self.bias_init(ks[4], (hq, dk)),
+                "bk": self.bias_init(ks[5], (hkv, dk)),
+                "bv": self.bias_init(ks[6], (hkv, dk)),
+                "bo": self.bias_init(ks[7], (d_q,)),
+            })
+        return params
 
     def _project_qkv(self, x, params):
         """Fused self-attention projection: [b,s,d] @ [d, (hq+2*hkv)*dk]."""
@@ -98,7 +103,8 @@ class MultiHeadAttention(Module):
         # on the flattened head dims, so the MXU matmul kernel is reused.
         x, w, b = (maybe_cast(a, self.dtype) for a in (x, w, b))
         d, h, dk = w.shape
-        y = ops.linear(x, w.reshape(d, h * dk), b.reshape(h * dk))
+        y = ops.linear(x, w.reshape(d, h * dk),
+                       b.reshape(h * dk) if b is not None else None)
         y = y.reshape(*x.shape[:-1], h, dk)
         return jnp.swapaxes(y, -3, -2)
 
@@ -118,9 +124,9 @@ class MultiHeadAttention(Module):
             # weight concat folds into the gemm) instead of three.
             q, k, v = self._project_qkv(query, params)
         else:
-            q = self._project(query, params["wq"], params["bq"])
-            k = self._project(key, params["wk"], params["bk"])
-            v = self._project(value, params["wv"], params["bv"])
+            q = self._project(query, params["wq"], params.get("bq"))
+            k = self._project(key, params["wk"], params.get("bk"))
+            v = self._project(value, params["wv"], params.get("bv"))
 
         if self.rope:
             from np_modeling_tpu.ops.rope import apply_rope
@@ -146,7 +152,7 @@ class MultiHeadAttention(Module):
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)
         wo = maybe_cast(params["wo"], self.dtype)
-        bo = maybe_cast(params["bo"], self.dtype)
+        bo = maybe_cast(params.get("bo"), self.dtype)
         hq, dk, d_out = wo.shape
         o = o.reshape(*o.shape[:-2], hq * dk)
         out = ops.linear(o, wo.reshape(hq * dk, d_out), bo)

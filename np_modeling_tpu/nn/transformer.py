@@ -38,25 +38,35 @@ class TransformerEncoderBlock(Module):
     rope: bool = False              # rotary position embeddings
     window: Optional[int] = None    # sliding-window attention (causal only)
     activation: object = "relu"     # FFN activation (reference default ReLU)
-    ln_eps: float = 1e-3            # LayerNorm epsilon
+    ln_eps: float = 1e-3            # LayerNorm/RMSNorm epsilon
+    norm: str = "layer"             # "layer" | "rms" (LLaMA-style)
+    ffn: str = "mlp"                # "mlp" (Dense->Linear) | "swiglu"
+    use_bias: bool = True           # False: biasless attention + FFN
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
                                        causal=self.causal, dtype=self.dtype,
-                                       rope=self.rope, window=self.window)
-        self.norm1 = LayerNorm(epsilon=self.ln_eps)
-        self.norm2 = LayerNorm(epsilon=self.ln_eps)
+                                       rope=self.rope, window=self.window,
+                                       use_bias=self.use_bias)
+        from np_modeling_tpu.nn.linear import RMSNorm
+        norm_cls = (RMSNorm if self.norm == "rms"
+                    else LayerNorm)
+        self.norm1 = norm_cls(epsilon=self.ln_eps)
+        self.norm2 = norm_cls(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
             self.moe = MoE(self.moe_experts, self.hidden_units,
                            router_top_k=self.moe_top_k)
-        else:
+        elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
-                                activation=self.activation)
+                                activation=self.activation,
+                                use_bias=self.use_bias)
+        else:
+            assert self.ffn == "swiglu", self.ffn
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, x):
-        ks = jax.random.split(key, 5)
+        ks = jax.random.split(key, 6)
         params = {
             "self_attention": self.attn.init(ks[0], x),
             "norm1": self.norm1.init(ks[1], x),
@@ -64,20 +74,46 @@ class TransformerEncoderBlock(Module):
         }
         if self.moe_experts:
             params["moe"] = self.moe.init(ks[3], x)
+        elif self.ffn == "swiglu":
+            from np_modeling_tpu.nn import initializers
+            d, h = x.shape[-1], self.hidden_units
+            params["swiglu"] = {
+                "w_gate": initializers.lecun_normal(ks[3], (d, h)),
+                "w_up": initializers.lecun_normal(ks[4], (d, h)),
+                "w_down": initializers.lecun_normal(ks[5], (h, d)),
+            }
         else:
             h1 = self.dense1.init(ks[3], x)
             features = x.shape[-1]
-            dense2 = Linear(features, dtype=self.dtype)  # lazily sized
+            dense2 = Linear(features, dtype=self.dtype,
+                            use_bias=self.use_bias)  # lazily sized
             hidden = self.dense1.apply(h1, x)
             params["dense1"] = h1
             params["dense2"] = dense2.init(ks[4], hidden)
         return params
 
+    def _ffn(self, params, y, features):
+        """The feed-forward sub-block (mlp / swiglu; LLaMA uses swiglu:
+        ``w_down @ (silu(x @ w_gate) * (x @ w_up))``, biasless)."""
+        from np_modeling_tpu import ops
+        from np_modeling_tpu.nn.module import maybe_cast
+        if self.ffn == "swiglu":
+            sp = params["swiglu"]
+            yc = maybe_cast(y, self.dtype)
+            gate = ops.silu(ops.linear(yc, maybe_cast(sp["w_gate"],
+                                                      self.dtype), None))
+            up = ops.linear(yc, maybe_cast(sp["w_up"], self.dtype), None)
+            return ops.linear(gate * up, maybe_cast(sp["w_down"],
+                                                    self.dtype), None)
+        y = self.dense1.apply(params["dense1"], y)
+        dense2 = Linear(features, dtype=self.dtype,
+                        use_bias=self.use_bias)
+        return dense2.apply(params["dense2"], y)
+
     def apply(self, params, x, mask=None, training=False, rngs=None,
               cache=None, decode=False, collect_kv=False,
               collect_aux=False, segment_ids=None, positions=None):
-        if not self.moe_experts:
-            dense2 = Linear(x.shape[-1], dtype=self.dtype)
+        features = x.shape[-1]
         new_cache = None
         kv = None
         aux = jnp.zeros((), jnp.float32)
@@ -108,8 +144,7 @@ class TransformerEncoderBlock(Module):
         if self.moe_experts:
             y, aux = self.moe.apply_with_aux(params["moe"], y)
         else:
-            y = self.dense1.apply(params["dense1"], y)
-            y = dense2.apply(params["dense2"], y)
+            y = self._ffn(params, y, features)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=2)

@@ -718,9 +718,9 @@ class GenerationEngine:
         skip = x
         y = block.norm1.apply(bp["norm1"], x) if block.norm_first else x
         ap = bp["self_attention"]
-        q = attn._project(y, ap["wq"], ap["bq"])            # [S, hq, t, dk]
-        k = attn._project(y, ap["wk"], ap["bk"])
-        v = attn._project(y, ap["wv"], ap["bv"])
+        q = attn._project(y, ap["wq"], ap.get("bq"))        # [S, hq, t, dk]
+        k = attn._project(y, ap["wk"], ap.get("bk"))
+        v = attn._project(y, ap["wv"], ap.get("bv"))
         if attn.rope:
             from np_modeling_tpu.ops.rope import apply_rope
             pos = lengths[:, None] + jnp.arange(t)          # [S, t]
@@ -753,8 +753,9 @@ class GenerationEngine:
                                 window=c.attention_window, **kwargs)
         hq, dk, d_out = ap["wo"].shape
         o = o.reshape(x.shape[0], t, hq * dk).astype(x.dtype)
+        bo = ap.get("bo")
         y = ops.linear(o, ap["wo"].reshape(hq * dk, d_out).astype(x.dtype),
-                       ap["bo"].astype(x.dtype))
+                       bo.astype(x.dtype) if bo is not None else None)
         y = y + skip
         if not block.norm_first:
             y = block.norm1.apply(bp["norm1"], y)
@@ -764,9 +765,7 @@ class GenerationEngine:
         if c.moe_experts:
             z, _ = block.moe.apply_with_aux(bp["moe"], z)
         else:
-            z = block.dense1.apply(bp["dense1"], z)
-            z = ops.linear(z, bp["dense2"]["w"].astype(x.dtype),
-                           bp["dense2"]["b"].astype(x.dtype))
+            z = block._ffn(bp, z, x.shape[-1]).astype(x.dtype)
         z = z + skip
         if not block.norm_first:
             z = block.norm2.apply(bp["norm2"], z)

@@ -165,3 +165,100 @@ def export_gpt2_state_dict(params, config) -> dict:
             f"{p}.mlp.c_proj.bias": _np(lp["dense2"]["b"]),
         })
     return sd
+
+
+# ---------------------------------------------------------------------------
+# LLaMA (HF LlamaForCausalLM) import: RMSNorm + SwiGLU + RoPE + GQA, no bias
+# ---------------------------------------------------------------------------
+
+
+def llama_config(hf_config, **overrides):
+    """``transformers.LlamaConfig`` -> :class:`GPTConfig`."""
+    from np_modeling_tpu.models import GPTConfig
+
+    kw = dict(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=hf_config.num_key_value_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        max_len=hf_config.max_position_embeddings,
+        drop_rate=0.0,
+        norm_first=True,
+        tie_embeddings=bool(hf_config.tie_word_embeddings),
+        positional="rope",
+        rope_base=float(hf_config.rope_theta),
+        norm="rms",
+        ffn="swiglu",
+        use_bias=False,
+        ln_eps=hf_config.rms_norm_eps,
+    )
+    kw.update(overrides)
+    return GPTConfig(**kw)
+
+
+def _rope_perm(dk: int):
+    """HF LLaMA applies RoPE to half-split pairs (i, i + dk/2); our kernel
+    rotates interleaved pairs (2i, 2i+1) with the SAME angles. Permuting
+    the q/k projections' output features converts exactly (scores are
+    invariant to a common feature permutation of q and k)."""
+    half = np.arange(dk // 2)
+    return np.ravel(np.column_stack([half, half + dk // 2]))
+
+
+def llama_params(state_dict, config) -> dict:
+    """LlamaForCausalLM state dict -> GPT params pytree."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    c = config
+    d = c.d_model
+    hq = c.num_heads
+    hkv = c.num_kv_heads or hq
+    dk = d // hq
+    perm = _rope_perm(dk)
+
+    def heads(prefix, h):
+        w = _np(sd[f"{prefix}.weight"]).T.reshape(d, h, dk)  # torch: [out,in]
+        return w[..., perm]                                  # rope pairing
+
+    def gamma(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"])}
+
+    params = {
+        "embedding": {"table": _np(sd["embed_tokens.weight"])},
+        "final_norm": gamma("norm"),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = {"w": _np(state_dict["lm_head.weight"]).T}
+    for i in range(c.num_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": heads(f"{p}.self_attn.q_proj", hq),
+                "wk": heads(f"{p}.self_attn.k_proj", hkv),
+                "wv": _np(sd[f"{p}.self_attn.v_proj.weight"]).T.reshape(
+                    d, hkv, dk),
+                "wo": _np(sd[f"{p}.self_attn.o_proj.weight"]).T.reshape(
+                    hq, dk, d),
+            },
+            "norm1": gamma(f"{p}.input_layernorm"),
+            "norm2": gamma(f"{p}.post_attention_layernorm"),
+            "swiglu": {
+                "w_gate": _np(sd[f"{p}.mlp.gate_proj.weight"]).T,
+                "w_up": _np(sd[f"{p}.mlp.up_proj.weight"]).T,
+                "w_down": _np(sd[f"{p}.mlp.down_proj.weight"]).T,
+            },
+        }
+    return params
+
+
+def import_llama(model, **config_overrides):
+    """``transformers.LlamaForCausalLM`` -> (GPTConfig, params).
+
+    Covers the LLaMA-architecture family (RMSNorm, SwiGLU, RoPE, GQA, no
+    biases) — the de-facto open-model standard. RoPE pairing is converted
+    from HF's half-split to our interleaved form by permuting the q/k
+    projection features (see :func:`_rope_perm`).
+    """
+    cfg = llama_config(model.config, **config_overrides)
+    return cfg, llama_params(model.state_dict(), cfg)

@@ -141,3 +141,73 @@ def test_export_after_training(hf_and_ours):
     with jax.default_matmul_precision("highest"):
         got = np.asarray(gpt.apply(p2, toks))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# LLaMA import
+# ---------------------------------------------------------------------------
+
+
+def _tiny_llama(seed=0, tie=False, kv_heads=2):
+    cfg = transformers.LlamaConfig(
+        vocab_size=89, hidden_size=32, intermediate_size=56,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=kv_heads, max_position_embeddings=64,
+        rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=tie,
+        attention_dropout=0.0)
+    torch.manual_seed(seed)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2])
+def test_llama_logits_match_torch(kv_heads):
+    model = _tiny_llama(kv_heads=kv_heads)
+    cfg, params = hf_compat.import_llama(model)
+    gpt = models.GPT(cfg)
+    assert cfg.norm == "rms" and cfg.ffn == "swiglu" and not cfg.use_bias
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 89, size=(2, 15))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_llama_kv_cache_decode_matches_torch():
+    model = _tiny_llama(seed=3)
+    cfg, params = hf_compat.import_llama(model)
+    gpt = models.GPT(cfg)
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, 89, size=(1, 8))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        caches = gpt.init_cache(1, 8)
+        toks = jnp.asarray(tokens, jnp.int32)
+        logits, caches = gpt.apply(params, toks[:, :4], caches=caches,
+                                   decode=True)
+        steps = [np.asarray(logits)[:, i] for i in range(4)]
+        for i in range(4, 8):
+            logits, caches = gpt.apply(params, toks[:, i:i + 1],
+                                       caches=caches, decode=True)
+            steps.append(np.asarray(logits)[:, 0])
+    got = np.stack(steps, axis=1)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_llama_serves_in_engine():
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_llama(seed=5)
+    cfg, params = hf_compat.import_llama(model)
+    gpt = models.GPT(cfg)
+    prompt = np.random.default_rng(4).integers(0, 89, 10)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    got = [eng.add_request(0, prompt)]
+    for _ in range(7):
+        got.append(eng.step()[0])
+    assert got == [int(t) for t in want]
