@@ -27,6 +27,9 @@ TRANSFORMER_RULES: Sequence[tuple[str, P]] = (
     (r".*dense1/linear/w$", P(None, "tp")),
     (r".*dense1/linear/b$", P("tp",)),
     (r".*dense2/w$", P("tp", None)),
+    # SwiGLU (LLaMA-style) FFN: gate/up columns on tp, down rows on tp.
+    (r".*swiglu/w_(gate|up)$", P(None, "tp")),
+    (r".*swiglu/w_down$", P("tp", None)),
     # Embedding/vocab-head: shard features.
     (r".*embedding/table$", P(None, "tp")),
     (r".*lm_head/w$", P(None, "tp")),

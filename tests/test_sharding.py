@@ -172,3 +172,34 @@ class TestShardedCheckpoint:
         for a, b in zip(jax.tree_util.tree_leaves(p_ref),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_llama_style_sharded_grads_match_single_device():
+    """SwiGLU/RMSNorm/no-bias/RoPE/GQA GPT: TP-sharded gradients (incl. the
+    swiglu rules) equal single-device gradients."""
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_kv_heads=2, num_layers=2, hidden_units=64,
+                           max_len=32, positional="rope", norm="rms",
+                           ffn="swiglu", use_bias=False,
+                           tie_embeddings=False)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (4, 16)))
+    params = gpt.init(jax.random.PRNGKey(3), tokens)
+
+    mesh = parallel.make_mesh({"dp": 2, "tp": 4})
+    ps = parallel.shard_params(params, mesh, TRANSFORMER_RULES)
+    # The swiglu weights must actually be tp-sharded (not replicated).
+    specs = parallel.partition_specs(params, TRANSFORMER_RULES, mesh)
+    sg = specs["layer_0"]["swiglu"]
+    assert "tp" in str(sg["w_gate"]) and "tp" in str(sg["w_down"])
+    ts = parallel.shard_batch(tokens, mesh)
+
+    grad_fn = jax.jit(jax.grad(lambda p, t: gpt.loss(p, t)))
+    g_single = grad_fn(params, tokens)
+    g_shard = grad_fn(ps, ts)
+    assert_allclose(g_shard["layer_0"]["swiglu"]["w_gate"],
+                    g_single["layer_0"]["swiglu"]["w_gate"],
+                    rtol=1e-4, atol=1e-5)
+    assert_allclose(g_shard["layer_0"]["self_attention"]["wq"],
+                    g_single["layer_0"]["self_attention"]["wq"],
+                    rtol=1e-4, atol=1e-5)
