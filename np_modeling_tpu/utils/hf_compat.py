@@ -262,3 +262,54 @@ def import_llama(model, **config_overrides):
     """
     cfg = llama_config(model.config, **config_overrides)
     return cfg, llama_params(model.state_dict(), cfg)
+
+
+def export_llama_state_dict(params, config) -> dict:
+    """GPT params pytree -> a HuggingFace LlamaForCausalLM state dict.
+
+    Inverse of :func:`llama_params` (q/k features un-permuted back to HF's
+    half-split RoPE pairing)."""
+    c = config
+    assert c.norm == "rms" and c.ffn == "swiglu" and not c.use_bias
+    assert c.positional == "rope"
+    d = c.d_model
+    hq = c.num_heads
+    hkv = c.num_kv_heads or hq
+    dk = d // hq
+    inv = np.argsort(_rope_perm(dk))
+
+    def proj(w, h):                      # [d, h, dk] -> torch [h*dk, d]
+        return np.ascontiguousarray(_np(w).reshape(d, h * dk).T)
+
+    sd = {
+        "model.embed_tokens.weight": _np(params["embedding"]["table"]),
+        "model.norm.weight": _np(params["final_norm"]["gamma"]),
+    }
+    if not c.tie_embeddings:
+        sd["lm_head.weight"] = np.ascontiguousarray(
+            _np(params["lm_head"]["w"]).T)
+    else:
+        sd["lm_head.weight"] = _np(params["embedding"]["table"])
+    for i in range(c.num_layers):
+        lp = params[f"layer_{i}"]
+        ap = lp["self_attention"]
+        sp = lp["swiglu"]
+        p = f"model.layers.{i}"
+        sd.update({
+            f"{p}.self_attn.q_proj.weight": proj(_np(ap["wq"])[..., inv],
+                                                 hq),
+            f"{p}.self_attn.k_proj.weight": proj(_np(ap["wk"])[..., inv],
+                                                 hkv),
+            f"{p}.self_attn.v_proj.weight": proj(ap["wv"], hkv),
+            f"{p}.self_attn.o_proj.weight": np.ascontiguousarray(
+                _np(ap["wo"]).reshape(hq * dk, d).T),
+            f"{p}.input_layernorm.weight": _np(lp["norm1"]["gamma"]),
+            f"{p}.post_attention_layernorm.weight": _np(lp["norm2"]["gamma"]),
+            f"{p}.mlp.gate_proj.weight": np.ascontiguousarray(
+                _np(sp["w_gate"]).T),
+            f"{p}.mlp.up_proj.weight": np.ascontiguousarray(
+                _np(sp["w_up"]).T),
+            f"{p}.mlp.down_proj.weight": np.ascontiguousarray(
+                _np(sp["w_down"]).T),
+        })
+    return sd

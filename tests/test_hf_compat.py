@@ -211,3 +211,21 @@ def test_llama_serves_in_engine():
     for _ in range(7):
         got.append(eng.step()[0])
     assert got == [int(t) for t in want]
+
+
+def test_llama_export_roundtrip():
+    """export(import(model)) reloads into torch and reproduces logits."""
+    model = _tiny_llama(seed=9)
+    cfg, params = hf_compat.import_llama(model)
+    sd = hf_compat.export_llama_state_dict(params, cfg)
+    model2 = _tiny_llama(seed=31)
+    missing, unexpected = model2.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+    assert not [m for m in missing if "rotary" not in m], missing
+    assert not unexpected
+    rng2 = np.random.default_rng(8)
+    tokens = rng2.integers(0, 89, size=(2, 11))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+        got = model2(torch.from_numpy(tokens)).logits.numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
