@@ -313,3 +313,18 @@ def export_llama_state_dict(params, config) -> dict:
                 _np(sp["w_down"]).T),
         })
     return sd
+
+
+def import_mistral(model, **config_overrides):
+    """``transformers.MistralForCausalLM`` -> (GPTConfig, params).
+
+    Mistral is the LLaMA architecture plus sliding-window attention: the
+    weight layout converts identically (:func:`llama_params`), and
+    ``sliding_window`` maps onto ``GPTConfig.attention_window`` (our
+    window semantics — attend to the last W positions inclusive — match
+    HF's). ``sliding_window=None`` (e.g. later Mistral variants) imports
+    as full attention."""
+    hc = model.config
+    window = getattr(hc, "sliding_window", None)
+    cfg = llama_config(hc, attention_window=window, **config_overrides)
+    return cfg, llama_params(model.state_dict(), cfg)

@@ -229,3 +229,27 @@ def test_llama_export_roundtrip():
         want = model(torch.from_numpy(tokens)).logits.numpy()
         got = model2(torch.from_numpy(tokens)).logits.numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mistral_logits_match_torch():
+    """Mistral = LLaMA + sliding window; prompt longer than the window so
+    the window mask is actually exercised."""
+    cfg = transformers.MistralConfig(
+        vocab_size=73, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=6, rms_norm_eps=1e-6,
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    model = transformers.MistralForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_mistral(model)
+    assert ours_cfg.attention_window == 6
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(1)
+    tokens = rng2.integers(0, 73, size=(2, 16))      # 16 > window 6
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens),
+                     attention_mask=None).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
