@@ -611,3 +611,73 @@ class TestExp2Variant:
         assert_allclose(out, oracle(q, k, v, bias), rtol=2e-5, atol=2e-5)
         for g, w in zip(got, want):
             assert_allclose(g, w, rtol=3e-5, atol=3e-5)
+
+
+class TestRandomizedKernelSweep:
+    """Seeded random sweep over kernel configurations (shape x GQA x causal
+    x window x segments x bias): every draw must match the jnp oracle in
+    forward AND all gradients. Catches interaction bugs no single
+    hand-picked case covers."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_config_matches_oracle(self, seed):
+        r = np.random.default_rng(1000 + seed)
+        b = int(r.integers(1, 3))
+        hkv = int(r.choice([1, 2]))
+        g = int(r.choice([1, 2, 4]))
+        hq = hkv * g
+        d = int(r.choice([8, 16, 32]))
+        blk = 32
+        sq = blk * int(r.integers(1, 4))
+        causal = bool(r.integers(0, 2))
+        skv = sq if causal else blk * int(r.integers(1, 4))
+        window = (int(r.integers(1, sq + 16))
+                  if causal and r.integers(0, 2) else None)
+        use_bias = bool(r.integers(0, 2))
+        use_segs = bool(r.integers(0, 2)) and sq == skv
+
+        q = jnp.asarray(rand(b, hq, sq, d, rng=r))
+        k = jnp.asarray(rand(b, hkv, skv, d, rng=r))
+        v = jnp.asarray(rand(b, hkv, skv, d, rng=r))
+        bias = (jnp.asarray(rand(1, 1, sq, skv, rng=r))
+                if use_bias else None)
+        segs = None
+        if use_segs:
+            bounds = np.sort(r.integers(1, sq, size=(b, 2)), axis=1)
+            s_ids = np.zeros((b, sq), np.int32)
+            for i in range(b):
+                s_ids[i, bounds[i, 0]:] = 1
+                s_ids[i, bounds[i, 1]:] = 2
+            segs = jnp.asarray(s_ids)
+        t = jnp.asarray(rand(b, hq, sq, d, rng=r))
+
+        def oracle(q, k, v, bias):
+            import math
+            kk = jnp.repeat(k, g, 1) if g > 1 else k
+            vv = jnp.repeat(v, g, 1) if g > 1 else v
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, kk) / math.sqrt(d)
+            if bias is not None:
+                s = s + bias
+            from np_modeling_tpu.ops.attention import (DEFAULT_MASK_VALUE,
+                                                       _apply_masks)
+            s = _apply_masks(s, None, causal, window)
+            if segs is not None:
+                same = segs[:, None, :, None] == segs[:, None, None, :]
+                s = jnp.where(same, s, DEFAULT_MASK_VALUE)
+            p = jax.nn.softmax(s, -1)
+            return ops.mse(jnp.einsum("bhqk,bhkd->bhqd", p, vv), t)
+
+        def ours(q, k, v, bias):
+            return ops.mse(ops.flash_attention(
+                q, k, v, bias=bias, segment_ids=segs, causal=causal,
+                window=window, block_q=blk, block_kv=blk), t)
+
+        args = (q, k, v, bias)
+        argnums = (0, 1, 2, 3) if use_bias else (0, 1, 2)
+        want = jax.grad(oracle, argnums=argnums)(*args)
+        with dispatch.force_pallas(True, interpret=True):
+            out = ours(*args)
+            got = jax.grad(ours, argnums=argnums)(*args)
+        assert_allclose(out, oracle(*args), rtol=3e-5, atol=3e-5)
+        for gg, ww in zip(got, want):
+            assert_allclose(gg, ww, rtol=5e-5, atol=5e-5)
