@@ -48,6 +48,7 @@ class GPTConfig:
     norm: str = "layer"           # "layer" | "rms" (LLaMA-style)
     ffn: str = "mlp"              # "mlp" | "swiglu" (LLaMA-style)
     use_bias: bool = True         # False: biasless attention/FFN (LLaMA)
+    qkv_bias: bool | None = None  # override q/k/v bias only (Qwen2-style)
     rope_base: float = 10000.0    # RoPE theta (LLaMA-3 uses 500000)
     attention_window: int | None = None   # sliding-window (local) attention
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
@@ -74,7 +75,8 @@ class GPT(Module):
             moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
             rope=(c.positional == "rope"),
             window=c.attention_window, activation=c.activation,
-            ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias)
+            ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,
+            qkv_bias=c.qkv_bias)
         if c.positional == "rope":
             self.block.attn.rope_base = c.rope_base
         from np_modeling_tpu.nn import RMSNorm

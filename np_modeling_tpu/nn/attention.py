@@ -48,6 +48,8 @@ class MultiHeadAttention(Module):
     rope: bool = False                   # rotary position embeddings on q/k
     rope_base: float = 10000.0
     use_bias: bool = True                # False: LLaMA-style biasless q/k/v/o
+    qkv_bias: object = None              # override for q/k/v only (Qwen2:
+                                         # qkv biased, o/FFN biasless)
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
@@ -73,13 +75,16 @@ class MultiHeadAttention(Module):
             "wv": self.kernel_init(ks[2], (d_kv, hkv, dk)),
             "wo": self.kernel_init(ks[3], (hq, dk, d_q)),
         }
-        if self.use_bias:
+        qkv_bias = (self.use_bias if self.qkv_bias is None
+                    else self.qkv_bias)
+        if qkv_bias:
             params.update({
                 "bq": self.bias_init(ks[4], (hq, dk)),
                 "bk": self.bias_init(ks[5], (hkv, dk)),
                 "bv": self.bias_init(ks[6], (hkv, dk)),
-                "bo": self.bias_init(ks[7], (d_q,)),
             })
+        if self.use_bias:
+            params["bo"] = self.bias_init(ks[7], (d_q,))
         return params
 
     def _project_qkv(self, x, params):

@@ -42,12 +42,14 @@ class TransformerEncoderBlock(Module):
     norm: str = "layer"             # "layer" | "rms" (LLaMA-style)
     ffn: str = "mlp"                # "mlp" (Dense->Linear) | "swiglu"
     use_bias: bool = True           # False: biasless attention + FFN
+    qkv_bias: object = None         # override q/k/v bias only (Qwen2)
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
                                        causal=self.causal, dtype=self.dtype,
                                        rope=self.rope, window=self.window,
-                                       use_bias=self.use_bias)
+                                       use_bias=self.use_bias,
+                                       qkv_bias=self.qkv_bias)
         from np_modeling_tpu.nn.linear import RMSNorm
         norm_cls = (RMSNorm if self.norm == "rms"
                     else LayerNorm)

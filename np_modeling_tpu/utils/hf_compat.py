@@ -328,3 +328,31 @@ def import_mistral(model, **config_overrides):
     window = getattr(hc, "sliding_window", None)
     cfg = llama_config(hc, attention_window=window, **config_overrides)
     return cfg, llama_params(model.state_dict(), cfg)
+
+
+def import_qwen2(model, **config_overrides):
+    """``transformers.Qwen2ForCausalLM`` -> (GPTConfig, params).
+
+    Qwen2 is the LLaMA architecture with BIASED q/k/v projections (o and
+    the FFN stay biasless): ``qkv_bias=True`` on the config, and the bias
+    vectors get the same RoPE feature permutation as the weights (the
+    bias adds before rotation)."""
+    hc = model.config
+    cfg = llama_config(hc, qkv_bias=True,
+                       attention_window=(hc.sliding_window
+                                         if getattr(hc, "use_sliding_window",
+                                                    False) else None),
+                       **config_overrides)
+    params = llama_params(model.state_dict(), cfg)
+    sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
+    hq = cfg.num_heads
+    hkv = cfg.num_kv_heads or hq
+    dk = cfg.d_model // hq
+    perm = _rope_perm(dk)
+    for i in range(cfg.num_layers):
+        ap = params[f"layer_{i}"]["self_attention"]
+        p = f"layers.{i}.self_attn"
+        ap["bq"] = _np(sd[f"{p}.q_proj.bias"]).reshape(hq, dk)[:, perm]
+        ap["bk"] = _np(sd[f"{p}.k_proj.bias"]).reshape(hkv, dk)[:, perm]
+        ap["bv"] = _np(sd[f"{p}.v_proj.bias"]).reshape(hkv, dk)
+    return cfg, params

@@ -253,3 +253,42 @@ def test_mistral_logits_match_torch():
     with jax.default_matmul_precision("highest"):
         got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_qwen2_logits_match_torch():
+    """Qwen2 = LLaMA + biased q/k/v projections (qkv_bias knob)."""
+    cfg = transformers.Qwen2Config(
+        vocab_size=71, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, tie_word_embeddings=False)
+    torch.manual_seed(2)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_qwen2(model)
+    assert ours_cfg.qkv_bias and not ours_cfg.use_bias
+    assert "bq" in params["layer_0"]["self_attention"]
+    assert "bo" not in params["layer_0"]["self_attention"]
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(3)
+    tokens = rng2.integers(0, 71, size=(2, 14))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_qkv_bias_knob_trains():
+    cfg = models.GPTConfig(vocab_size=41, d_model=32, num_heads=4,
+                           num_layers=1, hidden_units=64, max_len=32,
+                           norm="rms", ffn="swiglu", use_bias=False,
+                           qkv_bias=True, positional="rope")
+    gpt = models.GPT(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 0, 41)
+    params = gpt.init(jax.random.PRNGKey(1), toks)
+    ap = params["layer_0"]["self_attention"]
+    assert "bq" in ap and "bo" not in ap
+    g = jax.grad(lambda p: gpt.loss(p, toks))(params)
+    assert float(jnp.linalg.norm(
+        g["layer_0"]["self_attention"]["bq"])) > 0
