@@ -57,6 +57,9 @@ class TransformerEncoderBlock(Module):
         self.norm2 = norm_cls(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
+            assert self.ffn == "mlp", (
+                "moe_experts replaces the FFN entirely; ffn='swiglu' would "
+                "be silently ignored — pick one")
             self.moe = MoE(self.moe_experts, self.hidden_units,
                            router_top_k=self.moe_top_k)
         elif self.ffn == "mlp":

@@ -96,3 +96,37 @@ def test_bf16_gqa_rope_packed_training():
     for g in jax.tree_util.tree_leaves(grads):
         assert g.dtype == jnp.float32
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_full_feature_gpt_grads_match_finite_differences():
+    """Integration-grade gradient defense: the end-to-end loss gradient of
+    a GPT with rms+swiglu+rope+GQA+window+packed-segments (every manual
+    VJP in one graph) matches a central finite difference along a random
+    direction."""
+    cfg = models.GPTConfig(vocab_size=31, d_model=16, num_heads=4,
+                           num_kv_heads=2, num_layers=2, hidden_units=32,
+                           max_len=32, positional="rope", norm="rms",
+                           ffn="swiglu", use_bias=False,
+                           tie_embeddings=False, attention_window=6)
+    gpt = models.GPT(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 0, 31)
+    segs = jnp.asarray([[0] * 6 + [1] * 6, [0] * 4 + [1] * 8], jnp.int32)
+    params = gpt.init(jax.random.PRNGKey(1), toks)
+
+    def loss(p):
+        return gpt.loss(p, toks, segment_ids=segs)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    direction = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(hash(x.shape) % 997),
+                                    x.shape), params)
+    eps = 1e-3
+    plus = jax.tree_util.tree_map(lambda p, d: p + eps * d, params,
+                                  direction)
+    minus = jax.tree_util.tree_map(lambda p, d: p - eps * d, params,
+                                   direction)
+    fd = (float(loss(plus)) - float(loss(minus))) / (2 * eps)
+    ad = float(sum(jnp.vdot(g, d) for g, d in zip(
+        jax.tree_util.tree_leaves(grads),
+        jax.tree_util.tree_leaves(direction))))
+    assert abs(fd - ad) < 3e-3 * max(1.0, abs(ad)), (fd, ad)
