@@ -21,16 +21,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _tile_cache(caches, beam):
-    """[b, ...] cache leaves -> [b*beam, ...]; scalar leaves untouched."""
+def _tile_cache(caches, beam, batch_axis=0):
+    """Cache leaves -> beam-tiled along the batch axis; leaves with no
+    batch axis (scalar index; per-layer [L] index in the scan layout) are
+    untouched."""
     return jax.tree_util.tree_map(
-        lambda a: a if a.ndim == 0 else jnp.repeat(a, beam, axis=0), caches)
+        lambda a: (a if a.ndim <= batch_axis
+                   else jnp.repeat(a, beam, axis=batch_axis)), caches)
 
 
-def _gather_cache(caches, rows):
+def _gather_cache(caches, rows, batch_axis=0):
     """Reorder cache rows (beam reassignment) by global row indices."""
     return jax.tree_util.tree_map(
-        lambda a: a if a.ndim == 0 else jnp.take(a, rows, axis=0), caches)
+        lambda a: (a if a.ndim <= batch_axis
+                   else jnp.take(a, rows, axis=batch_axis)), caches)
 
 
 def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
@@ -46,11 +50,11 @@ def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
     b, plen = prompt_tokens.shape
     beam = beam_size
     cfg = getattr(model, "config", None)
-    if cfg is not None and getattr(cfg, "scan_layers", False):
-        raise NotImplementedError(
-            "beam_search tiles/gathers cache leaves along axis 0 (batch); "
-            "scan_layers caches are stacked [num_layers, batch, ...] — "
-            "build the model with scan_layers=False for decoding")
+    # scan_layers caches are stacked [num_layers, batch, ...]: the batch
+    # axis to tile/gather is 1 (and the [num_layers] index leaf, ndim 1,
+    # is correctly left alone by the <= batch_axis guard).
+    batch_axis = (1 if cfg is not None
+                  and getattr(cfg, "scan_layers", False) else 0)
 
     caches = model.init_cache(b, plen + steps)
     logits, caches = model.apply(params, prompt_tokens, caches=caches,
@@ -68,7 +72,7 @@ def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
         scores = jnp.pad(scores, ((0, 0), (0, pad)),
                          constant_values=NEG_INF)
         first = jnp.pad(first, ((0, 0), (0, pad)))
-    caches = _tile_cache(caches, beam)
+    caches = _tile_cache(caches, beam, batch_axis)
 
     seqs = jnp.zeros((b, beam, steps), jnp.int32)
     seqs = seqs.at[:, :, 0].set(first)
@@ -96,7 +100,7 @@ def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
         token = idx % vocab
 
         rows = (batch_base + parent).reshape(-1)             # [b*beam]
-        caches = _gather_cache(new_caches, rows)
+        caches = _gather_cache(new_caches, rows, batch_axis)
         seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
         seqs = seqs.at[:, :, t].set(token)
         finished = jnp.take_along_axis(finished, parent, axis=1)

@@ -109,12 +109,29 @@ def test_eos_freezes_hypothesis(tiny):
     assert np.isfinite(np.asarray(scores)).all()
 
 
-def test_scan_layers_rejected_with_clear_error():
+def test_scan_layers_beam_matches_loop_layout():
+    """Stacked (scan_layers) caches tile/gather on axis 1: results equal
+    the same weights run through the loop-layout model."""
     cfg = models.GPTConfig(vocab_size=V, d_model=16, num_heads=2,
-                           num_layers=2, hidden_units=32, max_len=32,
-                           scan_layers=True)
+                           num_layers=2, hidden_units=32, max_len=32)
     gpt = models.GPT(cfg)
-    prompt = jnp.zeros((1, 4), jnp.int32)
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
     params = gpt.init(jax.random.PRNGKey(0), prompt)
-    with pytest.raises(NotImplementedError, match="scan_layers"):
-        models.beam_search(gpt, params, prompt, steps=3, beam_size=2)
+    want_s, want_sc = models.beam_search(gpt, params, prompt, steps=4,
+                                         beam_size=3)
+
+    scfg = models.GPTConfig(vocab_size=V, d_model=16, num_heads=2,
+                            num_layers=2, hidden_units=32, max_len=32,
+                            scan_layers=True)
+    sgpt = models.GPT(scfg)
+    # Stack the loop-layout params into the scan layout.
+    stacked = dict(params)
+    stacked["layers"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[params[f"layer_{i}"] for i in range(2)])
+    del stacked["layer_0"], stacked["layer_1"]
+    got_s, got_sc = models.beam_search(sgpt, stacked, prompt, steps=4,
+                                       beam_size=3)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+    np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
+                               rtol=1e-5, atol=1e-6)
