@@ -19,9 +19,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from np_modeling_tpu import ops
+from np_modeling_tpu.nn import initializers
 from np_modeling_tpu.nn.attention import MultiHeadAttention
-from np_modeling_tpu.nn.linear import Dense, Dropout, LayerNorm, Linear
-from np_modeling_tpu.nn.module import Module, split_rngs
+from np_modeling_tpu.nn.linear import (Dense, Dropout, LayerNorm, Linear,
+                                       RMSNorm)
+from np_modeling_tpu.nn.module import Module, maybe_cast, split_rngs
 
 
 @dataclasses.dataclass
@@ -50,9 +53,7 @@ class TransformerEncoderBlock(Module):
                                        rope=self.rope, window=self.window,
                                        use_bias=self.use_bias,
                                        qkv_bias=self.qkv_bias)
-        from np_modeling_tpu.nn.linear import RMSNorm
-        norm_cls = (RMSNorm if self.norm == "rms"
-                    else LayerNorm)
+        norm_cls = RMSNorm if self.norm == "rms" else LayerNorm
         self.norm1 = norm_cls(epsilon=self.ln_eps)
         self.norm2 = norm_cls(epsilon=self.ln_eps)
         if self.moe_experts:
@@ -80,7 +81,6 @@ class TransformerEncoderBlock(Module):
         if self.moe_experts:
             params["moe"] = self.moe.init(ks[3], x)
         elif self.ffn == "swiglu":
-            from np_modeling_tpu.nn import initializers
             d, h = x.shape[-1], self.hidden_units
             params["swiglu"] = {
                 "w_gate": initializers.lecun_normal(ks[3], (d, h)),
@@ -100,8 +100,6 @@ class TransformerEncoderBlock(Module):
     def _ffn(self, params, y, features):
         """The feed-forward sub-block (mlp / swiglu; LLaMA uses swiglu:
         ``w_down @ (silu(x @ w_gate) * (x @ w_up))``, biasless)."""
-        from np_modeling_tpu import ops
-        from np_modeling_tpu.nn.module import maybe_cast
         if self.ffn == "swiglu":
             sp = params["swiglu"]
             yc = maybe_cast(y, self.dtype)

@@ -9,6 +9,7 @@ scale = absmax/127 over the last axis.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple
 
 import jax
@@ -134,8 +135,6 @@ def quantize_params_int8(params, match: str = WEIGHT_QUANT_TARGETS):
     dequant VPU work, so int8 weights are a speed win for decode as well
     as a 2x (vs bf16) memory win.
     """
-    import re
-
     from np_modeling_tpu.parallel.sharding import _path_str
     pat = re.compile(match)
 

@@ -143,6 +143,27 @@ class GenerationEngine:
     def free_pages(self) -> int:
         return len(self._free)
 
+    class _Lane:
+        """Page-management view of one model lane (target or draft)."""
+
+        __slots__ = ("gpt", "attr", "free", "refs", "seq_pages", "marks",
+                     "trash")
+
+        def __init__(self, gpt, attr, free, refs, seq_pages, marks, trash):
+            self.gpt, self.attr = gpt, attr
+            self.free, self.refs = free, refs
+            self.seq_pages, self.marks, self.trash = seq_pages, marks, trash
+
+    def _lanes(self):
+        lanes = [self._Lane(self.gpt, "_state", self._free, self._refs,
+                            self._seq_pages, self._reclaim_mark,
+                            self._trash)]
+        if self.draft_gpt is not None:
+            lanes.append(self._Lane(self.draft_gpt, "_dstate", self._dfree,
+                                    self._drefs, self._dseq_pages,
+                                    self._dreclaim_mark, self._dtrash))
+        return lanes
+
     def _alloc(self, n: int, free=None, refs=None) -> list[int]:
         free = self._free if free is None else free
         refs = self._refs if refs is None else refs
@@ -248,21 +269,13 @@ class GenerationEngine:
     def finish(self, seq_id: int) -> None:
         slot = self._slots.pop(seq_id)
         del self._host_len[seq_id]
-        self._reclaim_mark.pop(seq_id, None)
-        if self.draft_gpt is not None:
-            self._dreclaim_mark.pop(seq_id, None)
-        self._release(self._seq_pages.pop(seq_id), self._free, self._refs)
-        st = jax.tree_util.tree_map(lambda x: x, self._state)
-        st["active"] = st["active"].at[slot].set(False)
-        st["lengths"] = st["lengths"].at[slot].set(0)
-        self._state = st
-        if self.draft_gpt is not None:
-            self._release(self._dseq_pages.pop(seq_id), self._dfree,
-                          self._drefs)
-            dst = jax.tree_util.tree_map(lambda x: x, self._dstate)
-            dst["active"] = dst["active"].at[slot].set(False)
-            dst["lengths"] = dst["lengths"].at[slot].set(0)
-            self._dstate = dst
+        for ln in self._lanes():
+            ln.marks.pop(seq_id, None)
+            self._release(ln.seq_pages.pop(seq_id), ln.free, ln.refs)
+            st = dict(getattr(self, ln.attr))
+            st["active"] = st["active"].at[slot].set(False)
+            st["lengths"] = st["lengths"].at[slot].set(0)
+            setattr(self, ln.attr, st)
 
     # ---- fork: prefix caching via refcounted page sharing -----------------
 
@@ -285,46 +298,38 @@ class GenerationEngine:
         plen = self._host_len[parent_id]
         full, partial = divmod(plen, self.page_size)
         need = 1 if partial else 0
-        if len(self._free) < need or (
-                self.draft_gpt is not None and len(self._dfree) < need):
+        if any(len(ln.free) < need for ln in self._lanes()):
             raise OutOfPagesError("out of KV pages for fork")
         if not hasattr(self, "_jit_fork"):
             self._jit_fork = self._make_fork()
 
-        def lane(attr, free, refs, seq_pages, trash):
-            parent_pages = seq_pages[parent_id]
+        for ln in self._lanes():
+            parent_pages = ln.seq_pages[parent_id]
             shared = parent_pages[:full]
             for p in shared:
-                if p in refs:      # trash placeholders aren't refcounted
-                    refs[p] += 1
+                if p in ln.refs:   # trash placeholders aren't refcounted
+                    ln.refs[p] += 1
             child = list(shared)
             if partial:
-                dst = self._alloc(1, free, refs)[0]
+                dst = self._alloc(1, ln.free, ln.refs)[0]
                 src = parent_pages[full]
                 child.append(dst)
             else:
-                src = dst = trash     # copy trash -> trash: harmless no-op
+                src = dst = ln.trash  # copy trash -> trash: harmless no-op
             row = np.zeros((self.max_pages,), np.int32)
             row[:len(child)] = child
-            st = self._jit_fork(getattr(self, attr), jnp.asarray(row),
+            st = self._jit_fork(getattr(self, ln.attr), jnp.asarray(row),
                                 jnp.int32(slot), jnp.int32(pslot),
                                 jnp.int32(plen), jnp.int32(src),
                                 jnp.int32(dst))
-            setattr(self, attr, st)
-            seq_pages[new_id] = child
-
-        lane("_state", self._free, self._refs, self._seq_pages, self._trash)
-        if self.draft_gpt is not None:
-            lane("_dstate", self._dfree, self._drefs, self._dseq_pages,
-                 self._dtrash)
+            setattr(self, ln.attr, st)
+            ln.seq_pages[new_id] = child
+            # The child inherits the parent's reclamation watermark (its
+            # page list shares the parent's trash placeholders below it).
+            if parent_id in ln.marks:
+                ln.marks[new_id] = ln.marks[parent_id]
         self._slots[new_id] = slot
         self._host_len[new_id] = plen
-        # The child inherits the parent's reclamation watermark (its page
-        # list shares the parent's trash placeholders below it).
-        if parent_id in self._reclaim_mark:
-            self._reclaim_mark[new_id] = self._reclaim_mark[parent_id]
-        if self.draft_gpt is not None and parent_id in self._dreclaim_mark:
-            self._dreclaim_mark[new_id] = self._dreclaim_mark[parent_id]
 
     def _make_fork(self):
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -358,34 +363,29 @@ class GenerationEngine:
         discarded. Freed table slots point at the trash page; fork's
         refcounts are respected (a shared page frees when its last owner
         expires it)."""
-        lanes = [(self.gpt, self._free, self._refs, self._seq_pages,
-                  "_state", self._trash, self._reclaim_mark)]
-        if self.draft_gpt is not None:
-            lanes.append((self.draft_gpt, self._dfree, self._drefs,
-                          self._dseq_pages, "_dstate", self._dtrash,
-                          self._dreclaim_mark))
-        for gpt, free, refs, seq_pages, attr, trash, marks in lanes:
-            w = gpt.config.attention_window
+        for ln in self._lanes():
+            w = ln.gpt.config.attention_window
             if w is None:
                 continue
             upd_slots, upd_poss = [], []
             for seq_id, slot in self._slots.items():
                 expired = (self._host_len[seq_id] - w) // self.page_size
-                pages = seq_pages[seq_id]
-                start = marks.get(seq_id, 0)   # watermark: O(L) total work
+                pages = ln.seq_pages[seq_id]
+                start = ln.marks.get(seq_id, 0)  # watermark: O(L) total
                 for pos in range(start, min(expired, len(pages))):
-                    if pages[pos] == trash:
+                    if pages[pos] == ln.trash:
                         continue            # already reclaimed (fork share)
-                    self._release([pages[pos]], free, refs)
-                    pages[pos] = trash
+                    self._release([pages[pos]], ln.free, ln.refs)
+                    pages[pos] = ln.trash
                     upd_slots.append(slot)
                     upd_poss.append(pos)
-                marks[seq_id] = max(start, min(expired, len(pages)))
+                ln.marks[seq_id] = max(start, min(expired, len(pages)))
             if upd_slots:
-                st = dict(getattr(self, attr))
+                st = dict(getattr(self, ln.attr))
                 st["table"] = st["table"].at[
-                    jnp.asarray(upd_slots), jnp.asarray(upd_poss)].set(trash)
-                setattr(self, attr, st)
+                    jnp.asarray(upd_slots),
+                    jnp.asarray(upd_poss)].set(ln.trash)
+                setattr(self, ln.attr, st)
 
     # ---- decode step (host wrapper: page growth + one jit dispatch) ------
 
@@ -402,44 +402,40 @@ class GenerationEngine:
         corrupting another sequence's cache on the retry).
         Returns the (possibly updated) device state."""
         self._reclaim_window_pages()
-        lanes = [(self._free, self._seq_pages, "_state", self._refs)]
-        if self.draft_gpt is not None:
-            lanes.append((self._dfree, self._dseq_pages, "_dstate",
-                          self._drefs))
         plans = []
-        for free, seq_pages, attr, refs in lanes:
+        for lane in self._lanes():
             needs = []                        # (seq_id, slot, n_new_pages)
             total = 0
             for seq_id, slot in self._slots.items():
-                ln = self._host_len[seq_id]
-                if ln + n > self._max_tokens:
+                ln_len = self._host_len[seq_id]
+                if ln_len + n > self._max_tokens:
                     raise OutOfPagesError(
                         f"sequence {seq_id} would exceed the "
                         f"{self._max_tokens}-token capacity (model max_len)")
-                need = -(-(ln + n) // self.page_size)
-                extra = need - len(seq_pages[seq_id])
+                need = -(-(ln_len + n) // self.page_size)
+                extra = need - len(lane.seq_pages[seq_id])
                 if extra > 0:
                     needs.append((seq_id, slot, extra))
                     total += extra
-            if len(free) < total:
+            if len(lane.free) < total:
                 raise OutOfPagesError(
                     f"out of KV pages ({self.total_pages} total; "
-                    f"need {total}, free {len(free)})")
-            plans.append((free, seq_pages, attr, refs, needs))
-        for free, seq_pages, attr, refs, needs in plans:
+                    f"need {total}, free {len(lane.free)})")
+            plans.append((lane, needs))
+        for lane, needs in plans:
             if not needs:
                 continue
             upd = []                          # (slot, page_pos, new_page)
             for seq_id, slot, extra in needs:
                 for _ in range(extra):
-                    pg = free.pop()
-                    refs[pg] = 1
-                    seq_pages[seq_id].append(pg)
-                    upd.append((slot, len(seq_pages[seq_id]) - 1, pg))
+                    pg = lane.free.pop()
+                    lane.refs[pg] = 1
+                    lane.seq_pages[seq_id].append(pg)
+                    upd.append((slot, len(lane.seq_pages[seq_id]) - 1, pg))
             slots, poss, pgs = (jnp.asarray(u, jnp.int32) for u in zip(*upd))
-            st = dict(getattr(self, attr))
+            st = dict(getattr(self, lane.attr))
             st["table"] = st["table"].at[slots, poss].set(pgs)
-            setattr(self, attr, st)
+            setattr(self, lane.attr, st)
         return self._state
 
     def step(self) -> dict:

@@ -343,8 +343,9 @@ def import_qwen2(model, **config_overrides):
                                          if getattr(hc, "use_sliding_window",
                                                     False) else None),
                        **config_overrides)
-    params = llama_params(model.state_dict(), cfg)
-    sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
+    state_dict = model.state_dict()
+    params = llama_params(state_dict, cfg)
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     hq = cfg.num_heads
     hkv = cfg.num_kv_heads or hq
     dk = cfg.d_model // hq
