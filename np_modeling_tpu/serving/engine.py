@@ -61,6 +61,12 @@ class GenerationEngine:
     draft_gpt: object = None     # optional draft model -> step_speculative
     draft_params: dict = None
     draft_total_pages: Optional[int] = None   # default: total_pages
+    prefill_chunk_size: Optional[int] = None  # paged CHUNKED prefill: the
+                                 # prompt streams through the multi-token
+                                 # paged path in fixed chunks — O(chunk)
+                                 # activation memory for any prompt length,
+                                 # and ONE compile per chunk size (the
+                                 # dense prefill buckets by page count)
 
     def _make_lane_state(self, gpt, total_pages):
         c = gpt.config
@@ -113,6 +119,7 @@ class GenerationEngine:
         self._jit_step = jax.jit(self._device_step, donate_argnums=(0,))
         self._jit_multi: dict[int, object] = {}   # n -> jitted n-step scan
         self._jit_prefill: dict[int, object] = {}  # n_pages -> jitted prefill
+        self._jit_chunk: dict = {}      # (chunk, lane) -> jitted chunk fn
         # ---- optional draft lane (speculative decoding) -----------------
         if self.draft_gpt is not None:
             dc = self.draft_gpt.config
@@ -200,6 +207,8 @@ class GenerationEngine:
             raise OutOfPagesError(
                 f"prompt length {plen} >= the {self._max_tokens}-token "
                 "per-sequence capacity (model max_len / page table)")
+        if self.prefill_chunk_size:
+            return self._add_request_chunked(seq_id, slot, prompt[0], plen)
 
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True,
                                      logits_last_only=True)
@@ -234,6 +243,84 @@ class GenerationEngine:
         self._host_len[seq_id] = plen
         self._seq_pages[seq_id] = pages
         return tok
+
+    def _add_request_chunked(self, seq_id, slot, prompt, plen) -> int:
+        """Paged chunked prefill: stream the prompt through the normal
+        multi-token decode path in fixed-size chunks. The per-row causal
+        mask (query token i attends to pos <= base + i) makes the padded
+        tail chunk exact without any special-casing, and the jitted chunk
+        function is compiled ONCE per chunk size, not per prompt length."""
+        chunk = self.prefill_chunk_size
+        n_pages = -(-plen // self.page_size)
+        lanes = self._lanes()
+        for ln in lanes:                       # atomic across lanes
+            if len(ln.free) < n_pages:
+                raise OutOfPagesError("out of KV pages for chunked prefill")
+        params_of = {"_state": self.params, "_dstate": self.draft_params}
+        for ln in lanes:
+            pages = self._alloc(n_pages, ln.free, ln.refs)
+            ln.seq_pages[seq_id] = pages
+            st = dict(getattr(self, ln.attr))
+            # Tail entries -> trash: a padded final chunk's appends beyond
+            # the allocated pages must not land on page 0 (growth later
+            # overwrites these entries with real pages as needed).
+            st["table"] = st["table"].at[slot, :].set(ln.trash)
+            st["table"] = st["table"].at[slot, :n_pages].set(
+                jnp.asarray(pages, jnp.int32))
+            setattr(self, ln.attr, st)
+
+        n_chunks = -(-plen // chunk)
+        padded = np.zeros((n_chunks * chunk,), np.int32)
+        padded[:plen] = np.asarray(prompt)
+        last_logits = None
+        for ln in lanes:
+            key = (chunk, ln.attr)
+            if key not in self._jit_chunk:
+                self._jit_chunk[key] = self._make_prefill_chunk(
+                    chunk, ln.gpt, ln.trash)
+            fn = self._jit_chunk[key]
+            st = getattr(self, ln.attr)
+            for ci in range(n_chunks):
+                n_valid = min(chunk, plen - ci * chunk)
+                st, lg = fn(st, params_of[ln.attr],
+                            jnp.asarray(padded[ci * chunk:(ci + 1) * chunk]),
+                            jnp.int32(slot), jnp.int32(ci * chunk),
+                            jnp.int32(n_valid))
+            setattr(self, ln.attr, st)
+            if ln.attr == "_state":
+                last_logits = lg                 # final chunk's next-token
+
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(self._sample(last_logits[None], sub)[0])
+        for ln in lanes:
+            st = dict(getattr(self, ln.attr))
+            st["lengths"] = st["lengths"].at[slot].set(plen)
+            st["last_tok"] = st["last_tok"].at[slot].set(tok)
+            st["active"] = st["active"].at[slot].set(True)
+            setattr(self, ln.attr, st)
+        self._slots[seq_id] = slot
+        self._host_len[seq_id] = plen
+        return tok
+
+    def _make_prefill_chunk(self, chunk, gpt, trash):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(state, params, toks_row, slot, base_len, n_valid):
+            # Run the forward with ONLY this slot active (others would
+            # append garbage to their pages); restore the real masks after.
+            real_active = state["active"]
+            real_lengths = state["lengths"]
+            state["active"] = jnp.zeros_like(real_active).at[slot].set(True)
+            state["lengths"] = jnp.zeros_like(real_lengths).at[slot].set(
+                base_len)
+            tokens = jnp.zeros((self.max_seqs, chunk),
+                               jnp.int32).at[slot].set(toks_row)
+            state, logits = self._forward_tokens(state, params, tokens,
+                                                 gpt, trash)
+            state["active"] = real_active
+            state["lengths"] = real_lengths
+            return state, logits[slot, n_valid - 1].astype(jnp.float32)
+
+        return run
 
     def _pad_kvs(self, kvs, n_pages, plen):
         """Pad collected per-layer K/V to whole pages (compile buckets by
