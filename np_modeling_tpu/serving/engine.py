@@ -61,12 +61,18 @@ class GenerationEngine:
     draft_gpt: object = None     # optional draft model -> step_speculative
     draft_params: dict = None
     draft_total_pages: Optional[int] = None   # default: total_pages
-    prefill_chunk_size: Optional[int] = None  # paged CHUNKED prefill: the
-                                 # prompt streams through the multi-token
-                                 # paged path in fixed chunks — O(chunk)
-                                 # activation memory for any prompt length,
-                                 # and ONE compile per chunk size (the
-                                 # dense prefill buckets by page count)
+    prefill_chunk_size: Optional[int] = 256   # paged CHUNKED prefill (the
+                                 # default): the prompt streams through the
+                                 # multi-token paged path in fixed chunks —
+                                 # O(chunk) activation memory for any prompt
+                                 # length, ONE compile per chunk size, and
+                                 # every chunk is one jitted dispatch.
+                                 # MEASURED (4L/d1024, 1536-token prompt,
+                                 # warm): 188 ms vs 9507 ms for the legacy
+                                 # dense prefill (whose collect_kv forward
+                                 # runs eagerly — dispatch-bound, ~50x
+                                 # slower through this machine's TPU
+                                 # tunnel). None selects the dense path.
 
     def _make_lane_state(self, gpt, total_pages):
         c = gpt.config

@@ -24,7 +24,8 @@ def _gpt(**kw):
 def test_chunked_prefill_token_exact(plen, chunk):
     gpt, params = _gpt()
     prompt = rng.integers(0, 64, plen)
-    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8)
+    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                         prefill_chunk_size=None)
     want = [dense.add_request(0, prompt)]
     for _ in range(6):
         want.append(dense.step()[0])
@@ -44,7 +45,8 @@ def test_chunked_prefill_does_not_disturb_live_sequences():
     p1 = rng.integers(0, 64, 10)
     p2 = rng.integers(0, 64, 19)
 
-    solo = GenerationEngine(gpt, params, total_pages=64, page_size=8)
+    solo = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                            prefill_chunk_size=None)
     ref1 = [solo.add_request(0, p1)] + [solo.step()[0] for _ in range(8)]
 
     eng = GenerationEngine(gpt, params, total_pages=64, page_size=8,
@@ -62,7 +64,8 @@ def test_chunked_prefill_rope_window_gqa():
     gpt, params = _gpt(positional="rope", attention_window=8,
                        num_kv_heads=2)
     prompt = rng.integers(0, 64, 17)
-    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8)
+    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                         prefill_chunk_size=None)
     want = [dense.add_request(0, prompt)] + [dense.step()[0]
                                              for _ in range(5)]
     eng = GenerationEngine(gpt, params, total_pages=64, page_size=8,
@@ -79,7 +82,8 @@ def test_chunked_prefill_with_speculative_lane():
     dparams = draft.init(jax.random.PRNGKey(3), jnp.zeros((1, 8), jnp.int32))
     prompt = rng.integers(0, 64, 12)
 
-    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8)
+    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                         prefill_chunk_size=None)
     want = [dense.add_request(0, prompt)] + [dense.step()[0]
                                              for _ in range(8)]
     eng = GenerationEngine(gpt, params, total_pages=96, page_size=8,
