@@ -46,7 +46,14 @@ class GPTConfig:
     ln_eps: float = 1e-3          # LayerNorm/RMSNorm epsilon (reference
                                   # default; GPT-2 1e-5, LLaMA 1e-5/1e-6)
     norm: str = "layer"           # "layer" | "rms" (LLaMA-style)
-    ffn: str = "mlp"              # "mlp" | "swiglu" (LLaMA-style)
+    rms_offset: bool = False      # RMSNorm scales by (1 + w) (Gemma-style
+                                  # zero-centered weight)
+    ffn: str = "mlp"              # "mlp" | "swiglu" (LLaMA) | "geglu"
+                                  # (Gemma: gelu-gated)
+    head_dim: int | None = None   # attention head dim (Gemma decouples it
+                                  # from d_model // num_heads)
+    embed_scale: bool = False     # multiply embeddings by sqrt(d_model)
+                                  # (Gemma)
     use_bias: bool = True         # False: biasless attention/FFN (LLaMA)
     qkv_bias: bool | None = None  # override q/k/v bias only (Qwen2-style)
     rope_base: float = 10000.0    # RoPE theta (LLaMA-3 uses 500000)
@@ -76,11 +83,13 @@ class GPT(Module):
             rope=(c.positional == "rope"),
             window=c.attention_window, activation=c.activation,
             ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,
-            qkv_bias=c.qkv_bias)
+            qkv_bias=c.qkv_bias, rms_offset=c.rms_offset,
+            head_dim=c.head_dim)
         if c.positional == "rope":
             self.block.attn.rope_base = c.rope_base
         from np_modeling_tpu.nn import RMSNorm
-        self.final_norm = (RMSNorm(epsilon=c.ln_eps) if c.norm == "rms"
+        self.final_norm = (RMSNorm(epsilon=c.ln_eps, offset=c.rms_offset)
+                           if c.norm == "rms"
                            else LayerNorm(epsilon=c.ln_eps))
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
@@ -131,6 +140,8 @@ class GPT(Module):
                     start = 0
                 positions = start + jnp.arange(tokens.shape[-1])
             x = x + self.pos_embed.apply(params["pos_embedding"], positions)
+        if c.embed_scale:
+            x = x * jnp.asarray(c.d_model ** 0.5, x.dtype)
         if c.dtype is not None:
             x = x.astype(c.dtype)
         x = self.drop.apply({}, x, training, rngs, salt=1000)

@@ -151,10 +151,13 @@ class LayerNorm(Module):
 @dataclasses.dataclass
 class RMSNorm(Module):
     epsilon: float = 1e-6
+    offset: bool = False   # Gemma-style: scale by (1 + w), w zero-init
 
     def init(self, key, x):
-        return {"gamma": initializers.ones(key, (x.shape[-1],))}
+        init = initializers.zeros if self.offset else initializers.ones
+        return {"gamma": init(key, (x.shape[-1],))}
 
     def apply(self, params, x, training=False, rngs=None):
         del training, rngs
-        return ops.rms_norm(x, params["gamma"], self.epsilon)
+        g = params["gamma"] + 1.0 if self.offset else params["gamma"]
+        return ops.rms_norm(x, g, self.epsilon)

@@ -44,18 +44,27 @@ class TransformerEncoderBlock(Module):
     ln_eps: float = 1e-3            # LayerNorm/RMSNorm epsilon
     norm: str = "layer"             # "layer" | "rms" (LLaMA-style)
     ffn: str = "mlp"                # "mlp" (Dense->Linear) | "swiglu"
+                                    # (silu-gated) | "geglu" (gelu-gated)
     use_bias: bool = True           # False: biasless attention + FFN
     qkv_bias: object = None         # override q/k/v bias only (Qwen2)
+    rms_offset: bool = False        # RMSNorm scales by (1 + w) (Gemma)
+    head_dim: Optional[int] = None  # decouple from d_model // num_heads
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
+                                       head_dim=self.head_dim,
                                        causal=self.causal, dtype=self.dtype,
                                        rope=self.rope, window=self.window,
                                        use_bias=self.use_bias,
                                        qkv_bias=self.qkv_bias)
-        norm_cls = RMSNorm if self.norm == "rms" else LayerNorm
-        self.norm1 = norm_cls(epsilon=self.ln_eps)
-        self.norm2 = norm_cls(epsilon=self.ln_eps)
+        if self.norm == "rms":
+            self.norm1 = RMSNorm(epsilon=self.ln_eps,
+                                 offset=self.rms_offset)
+            self.norm2 = RMSNorm(epsilon=self.ln_eps,
+                                 offset=self.rms_offset)
+        else:
+            self.norm1 = LayerNorm(epsilon=self.ln_eps)
+            self.norm2 = LayerNorm(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
             assert self.ffn == "mlp", (
@@ -68,7 +77,7 @@ class TransformerEncoderBlock(Module):
                                 activation=self.activation,
                                 use_bias=self.use_bias)
         else:
-            assert self.ffn == "swiglu", self.ffn
+            assert self.ffn in ("swiglu", "geglu"), self.ffn
         self.drop = Dropout(self.drop_rate)
 
     def init(self, key, x):
@@ -80,7 +89,7 @@ class TransformerEncoderBlock(Module):
         }
         if self.moe_experts:
             params["moe"] = self.moe.init(ks[3], x)
-        elif self.ffn == "swiglu":
+        elif self.ffn in ("swiglu", "geglu"):
             d, h = x.shape[-1], self.hidden_units
             params["swiglu"] = {
                 "w_gate": initializers.lecun_normal(ks[3], (d, h)),
@@ -100,11 +109,12 @@ class TransformerEncoderBlock(Module):
     def _ffn(self, params, y, features):
         """The feed-forward sub-block (mlp / swiglu; LLaMA uses swiglu:
         ``w_down @ (silu(x @ w_gate) * (x @ w_up))``, biasless)."""
-        if self.ffn == "swiglu":
+        if self.ffn in ("swiglu", "geglu"):
+            act = ops.silu if self.ffn == "swiglu" else ops.gelu
             sp = params["swiglu"]
             yc = maybe_cast(y, self.dtype)
-            gate = ops.silu(ops.linear(yc, maybe_cast(sp["w_gate"],
-                                                      self.dtype), None))
+            gate = act(ops.linear(yc, maybe_cast(sp["w_gate"],
+                                                 self.dtype), None))
             up = ops.linear(yc, maybe_cast(sp["w_up"], self.dtype), None)
             return ops.linear(gate * up, maybe_cast(sp["w_down"],
                                                     self.dtype), None)

@@ -181,6 +181,7 @@ def llama_config(hf_config, **overrides):
         d_model=hf_config.hidden_size,
         num_heads=hf_config.num_attention_heads,
         num_kv_heads=hf_config.num_key_value_heads,
+        head_dim=getattr(hf_config, "head_dim", None),
         num_layers=hf_config.num_hidden_layers,
         hidden_units=hf_config.intermediate_size,
         max_len=hf_config.max_position_embeddings,
@@ -214,7 +215,7 @@ def llama_params(state_dict, config) -> dict:
     d = c.d_model
     hq = c.num_heads
     hkv = c.num_kv_heads or hq
-    dk = d // hq
+    dk = c.head_dim or d // hq     # Gemma decouples head_dim from d // hq
     perm = _rope_perm(dk)
 
     def heads(prefix, h):
@@ -357,3 +358,17 @@ def import_qwen2(model, **config_overrides):
         ap["bk"] = _np(sd[f"{p}.k_proj.bias"]).reshape(hkv, dk)[:, perm]
         ap["bv"] = _np(sd[f"{p}.v_proj.bias"]).reshape(hkv, dk)
     return cfg, params
+
+
+def import_gemma(model, **config_overrides):
+    """``transformers.GemmaForCausalLM`` -> (GPTConfig, params).
+
+    Gemma = LLaMA layout plus: zero-centered RMSNorm ``(1 + w)`` scaling
+    (``rms_offset``), a gelu-gated FFN (``ffn="geglu"``), embeddings
+    scaled by sqrt(d_model) (``embed_scale``), a decoupled ``head_dim``,
+    and tied embeddings. The weight conversion is :func:`llama_params`
+    unchanged."""
+    hc = model.config
+    cfg = llama_config(hc, rms_offset=True, ffn="geglu", embed_scale=True,
+                       **config_overrides)
+    return cfg, llama_params(model.state_dict(), cfg)

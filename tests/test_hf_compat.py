@@ -292,3 +292,28 @@ def test_qkv_bias_knob_trains():
     g = jax.grad(lambda p: gpt.loss(p, toks))(params)
     assert float(jnp.linalg.norm(
         g["layer_0"]["self_attention"]["bq"])) > 0
+
+
+def test_gemma_logits_match_torch():
+    """Gemma: zero-centered RMSNorm, geglu FFN, embed scaling, decoupled
+    head_dim, tied embeddings."""
+    cfg = transformers.GemmaConfig(
+        vocab_size=83, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0)
+    torch.manual_seed(4)
+    model = transformers.GemmaForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_gemma(model)
+    assert (ours_cfg.rms_offset and ours_cfg.ffn == "geglu"
+            and ours_cfg.embed_scale and ours_cfg.head_dim == 16
+            and ours_cfg.tie_embeddings)
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(6)
+    tokens = rng2.integers(0, 83, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
