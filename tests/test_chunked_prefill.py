@@ -93,3 +93,50 @@ def test_chunked_prefill_with_speculative_lane():
     while len(got) < len(want):
         got.extend(eng.step_speculative(2)[0])
     assert got[:len(want)] == want
+
+
+def test_everything_at_once_serving():
+    """All serving features in ONE engine: windowed GQA+RoPE model, bf16
+    KV pages, chunked prefill, fork, speculative draft lane, window page
+    reclamation, mid-stream join/finish — greedy streams must equal the
+    plain per-sequence reference."""
+    gpt, params = _gpt(positional="rope", attention_window=12,
+                       num_kv_heads=2)
+    dcfg = models.GPTConfig(vocab_size=64, d_model=16, num_heads=2,
+                            num_layers=1, hidden_units=32, max_len=128,
+                            positional="rope", attention_window=12)
+    draft = models.GPT(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(9), jnp.zeros((1, 8), jnp.int32))
+    p1 = rng.integers(0, 64, 21)
+    p2 = rng.integers(0, 64, 9)
+
+    def reference(prompt, n):
+        e = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                             prefill_chunk_size=None)
+        out = [e.add_request(0, prompt)]
+        for _ in range(n):
+            out.append(e.step()[0])
+        return out
+
+    ref1, ref2 = reference(p1, 16), reference(p2, 16)
+
+    eng = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                           max_seqs=6, kv_dtype=None,
+                           draft_gpt=draft, draft_params=dparams,
+                           prefill_chunk_size=8)
+    f0, d0 = eng.free_pages, len(eng._dfree)
+    got = {0: [eng.add_request(0, p1)]}
+    got[0].extend(eng.step_speculative(2)[0])
+    got[1] = [eng.add_request(1, p2)]            # chunked join mid-stream
+    eng.fork(0, 2)
+    got[2] = list(got[0])
+    while min(len(v) for v in got.values()) < 17:
+        d = eng.step_speculative_many(2, gamma=2)
+        for sid in (0, 1, 2):
+            got[sid].extend(d[sid])
+    assert got[0][:17] == ref1[:17]
+    assert got[2][:17] == ref1[:17]              # forked twin
+    assert got[1][:17] == ref2[:17]
+    for sid in (0, 1, 2):
+        eng.finish(sid)
+    assert eng.free_pages == f0 and len(eng._dfree) == d0
