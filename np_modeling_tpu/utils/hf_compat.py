@@ -273,6 +273,14 @@ def export_llama_state_dict(params, config) -> dict:
     c = config
     assert c.norm == "rms" and c.ffn == "swiglu" and not c.use_bias
     assert c.positional == "rope"
+    assert c.attention_window is None, (
+        "LlamaConfig has no sliding window — exporting a window model "
+        "would silently change attention semantics under torch")
+    assert not c.rms_offset and not c.embed_scale, (
+        "Gemma-style knobs have no LLaMA state-dict representation")
+    assert c.head_dim in (None, c.d_model // c.num_heads), (
+        "a decoupled head_dim has no LLaMA state-dict representation")
+    assert not c.qkv_bias, "Qwen2-style qkv biases are not LLaMA weights"
     d = c.d_model
     hq = c.num_heads
     hkv = c.num_kv_heads or hq
