@@ -131,6 +131,10 @@ class GPT(Module):
         skips a [b, s, vocab] materialization)."""
         c = self.config
         x = self.embed.apply(params["embedding"], tokens)
+        if c.embed_scale:
+            # Scale the TOKEN embedding only (Gemma / original-Transformer
+            # semantics) — positions add unscaled.
+            x = x * jnp.asarray(c.d_model ** 0.5, x.dtype)
         if c.positional == "learned":
             if positions is None:
                 if decode:
@@ -140,8 +144,6 @@ class GPT(Module):
                     start = 0
                 positions = start + jnp.arange(tokens.shape[-1])
             x = x + self.pos_embed.apply(params["pos_embedding"], positions)
-        if c.embed_scale:
-            x = x * jnp.asarray(c.d_model ** 0.5, x.dtype)
         if c.dtype is not None:
             x = x.astype(c.dtype)
         x = self.drop.apply({}, x, training, rngs, salt=1000)

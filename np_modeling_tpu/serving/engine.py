@@ -213,7 +213,10 @@ class GenerationEngine:
             raise OutOfPagesError(
                 f"prompt length {plen} >= the {self._max_tokens}-token "
                 "per-sequence capacity (model max_len / page table)")
-        if self.prefill_chunk_size:
+        # MoE routing capacity depends on the token population, so a
+        # chunk-by-chunk prefill cannot reproduce the full-prompt routing
+        # exactly — MoE models use the dense prefill.
+        if self.prefill_chunk_size and not self.gpt.config.moe_experts:
             return self._add_request_chunked(seq_id, slot, prompt[0], plen)
 
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True,
@@ -275,6 +278,13 @@ class GenerationEngine:
                 jnp.asarray(pages, jnp.int32))
             setattr(self, ln.attr, st)
 
+        # Commit slot bookkeeping first: a mid-prefill failure (OOM,
+        # interrupt) then leaves a sequence that finish() can reclaim.
+        # (Donated buffers may still be invalidated by an aborted dispatch
+        # — the same exposure every donated step has.)
+        self._slots[seq_id] = slot
+        self._host_len[seq_id] = plen
+
         n_chunks = -(-plen // chunk)
         padded = np.zeros((n_chunks * chunk,), np.int32)
         padded[:plen] = np.asarray(prompt)
@@ -304,27 +314,32 @@ class GenerationEngine:
             st["last_tok"] = st["last_tok"].at[slot].set(tok)
             st["active"] = st["active"].at[slot].set(True)
             setattr(self, ln.attr, st)
-        self._slots[seq_id] = slot
-        self._host_len[seq_id] = plen
         return tok
 
     def _make_prefill_chunk(self, chunk, gpt, trash):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run(state, params, toks_row, slot, base_len, n_valid):
-            # Run the forward with ONLY this slot active (others would
-            # append garbage to their pages); restore the real masks after.
-            real_active = state["active"]
-            real_lengths = state["lengths"]
-            state["active"] = jnp.zeros_like(real_active).at[slot].set(True)
-            state["lengths"] = jnp.zeros_like(real_lengths).at[slot].set(
-                base_len)
-            tokens = jnp.zeros((self.max_seqs, chunk),
-                               jnp.int32).at[slot].set(toks_row)
-            state, logits = self._forward_tokens(state, params, tokens,
-                                                 gpt, trash)
-            state["active"] = real_active
-            state["lengths"] = real_lengths
-            return state, logits[slot, n_valid - 1].astype(jnp.float32)
+            # Batch-1 view of the lane: the chunk forward touches only this
+            # slot's table row (1/max_seqs of the FLOPs) and the LM head
+            # runs on a single position instead of [max_seqs, chunk, vocab].
+            view = dict(state)
+            view["table"] = jax.lax.dynamic_slice_in_dim(
+                state["table"], slot, 1, axis=0)
+            view["lengths"] = base_len[None]
+            view["active"] = jnp.ones((1,), bool)
+            view["last_tok"] = jnp.zeros((1,), jnp.int32)
+            view, hidden = self._forward_tokens(view, params,
+                                                toks_row[None], gpt, trash,
+                                                return_hidden=True)
+            # Page/scale buffers were appended through the view; table/
+            # lengths/active are untouched by _forward_tokens.
+            for key in ("k_pages", "v_pages", "k_scales", "v_scales"):
+                if key in state:
+                    state[key] = view[key]
+            last = jax.lax.dynamic_slice_in_dim(hidden, n_valid - 1, 1,
+                                                axis=1)
+            logits = self._lm_head(params, last, gpt)
+            return state, logits[0, 0]
 
         return run
 
@@ -721,14 +736,19 @@ class GenerationEngine:
 
     # ---- the jitted device step ------------------------------------------
 
-    def _forward_tokens(self, state, params, tokens, gpt, trash):
+    def _forward_tokens(self, state, params, tokens, gpt, trash,
+                        return_hidden=False):
         """Run ``gpt`` over ``tokens`` [S, t], appending their K/V to this
-        lane's pages. Returns (state, logits [S, t, vocab]). Does NOT touch
-        lengths/last_tok — bookkeeping belongs to the caller."""
+        lane's pages. Returns (state, logits [S, t, vocab]) — or the
+        final-norm hidden states with ``return_hidden=True`` (chunked
+        prefill computes the LM head for one position only). Does NOT
+        touch lengths/last_tok — bookkeeping belongs to the caller."""
         c = gpt.config
         t = tokens.shape[1]
         lengths = state["lengths"]
         x = ops.embedding_lookup(params["embedding"]["table"], tokens)
+        if c.embed_scale:
+            x = x * jnp.asarray(c.d_model ** 0.5, x.dtype)
         if c.positional == "learned":
             pos = jnp.clip(lengths[:, None] + jnp.arange(t), 0,
                            c.max_len - 1)
@@ -742,13 +762,19 @@ class GenerationEngine:
                                         gpt, trash)
 
         x = gpt.final_norm.apply(params["final_norm"], x)
-        if c.tie_embeddings:
+        if return_hidden:
+            return state, x
+        return state, self._lm_head(params, x, gpt)
+
+    @staticmethod
+    def _lm_head(params, x, gpt):
+        if gpt.config.tie_embeddings:
             table = params["embedding"]["table"]
             logits = jnp.einsum("bsd,vd->bsv", x, table.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
         else:
             logits = gpt.lm_head.apply(params["lm_head"], x)
-        return state, logits.astype(jnp.float32)
+        return logits.astype(jnp.float32)
 
     def _device_step(self, state, params, key, gpt=None, trash=None,
                      return_logits=False):

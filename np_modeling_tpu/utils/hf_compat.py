@@ -129,6 +129,10 @@ def export_gpt2_state_dict(params, config) -> dict:
     c = config
     assert c.norm_first and c.tie_embeddings, "GPT-2 is pre-norm and tied"
     assert c.positional == "learned" and c.activation == "gelu"
+    assert c.norm == "layer" and c.ffn == "mlp", "GPT-2 is LN + MLP"
+    assert not c.embed_scale and not c.qkv_bias, (
+        "embed_scale / qkv_bias have no GPT-2 state-dict representation")
+    assert c.attention_window is None, "GPT-2 has no sliding window"
     assert c.attention_window is None, (
         "GPT-2 has no sliding window — exporting would silently change "
         "attention semantics under torch")
@@ -357,7 +361,7 @@ def import_qwen2(model, **config_overrides):
     sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     hq = cfg.num_heads
     hkv = cfg.num_kv_heads or hq
-    dk = cfg.d_model // hq
+    dk = cfg.head_dim or cfg.d_model // hq
     perm = _rope_perm(dk)
     for i in range(cfg.num_layers):
         ap = params[f"layer_{i}"]["self_attention"]
@@ -377,6 +381,11 @@ def import_gemma(model, **config_overrides):
     and tied embeddings. The weight conversion is :func:`llama_params`
     unchanged."""
     hc = model.config
+    act = getattr(hc, "hidden_activation", None) or getattr(
+        hc, "hidden_act", None)
+    assert act in (None, "gelu_pytorch_tanh"), (
+        f"unsupported Gemma activation {act!r} (ops.gelu is the tanh form; "
+        "the exact-erf 'gelu' checkpoints would silently drift)")
     cfg = llama_config(hc, rms_offset=True, ffn="geglu", embed_scale=True,
                        **config_overrides)
     return cfg, llama_params(model.state_dict(), cfg)

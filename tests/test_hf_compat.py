@@ -317,3 +317,28 @@ def test_gemma_logits_match_torch():
     with jax.default_matmul_precision("highest"):
         got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+
+def test_gemma_serves_in_engine():
+    """Regression: the engine's _forward_tokens must apply embed_scale —
+    an imported Gemma previously decoded silently wrong tokens."""
+    from np_modeling_tpu.serving import GenerationEngine
+    cfg = transformers.GemmaConfig(
+        vocab_size=83, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, attention_dropout=0.0)
+    torch.manual_seed(4)
+    model = transformers.GemmaForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_gemma(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(8).integers(0, 83, 11)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    for chunk in (None, 4):
+        eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                               prefill_chunk_size=chunk)
+        got = [eng.add_request(0, prompt)]
+        for _ in range(7):
+            got.append(eng.step()[0])
+        assert got == [int(t) for t in want], chunk
