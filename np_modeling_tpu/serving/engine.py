@@ -68,11 +68,15 @@ class GenerationEngine:
                                  # length, ONE compile per chunk size, and
                                  # every chunk is one jitted dispatch.
                                  # MEASURED (4L/d1024, 1536-token prompt,
-                                 # warm): 188 ms vs 9507 ms for the legacy
-                                 # dense prefill (whose collect_kv forward
-                                 # runs eagerly — dispatch-bound, ~50x
-                                 # slower through this machine's TPU
-                                 # tunnel). None selects the dense path.
+                                 # warm, single-row chunks): 113 ms vs
+                                 # 5989 ms for the legacy dense prefill
+                                 # (whose collect_kv forward runs eagerly —
+                                 # dispatch-bound, ~53x slower through this
+                                 # machine's TPU tunnel). None selects the
+                                 # dense path (and MoE models always use
+                                 # it: routing capacity is population-
+                                 # coupled, so chunked routing cannot be
+                                 # exact).
 
     def _make_lane_state(self, gpt, total_pages):
         c = gpt.config
