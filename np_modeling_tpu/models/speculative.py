@@ -16,11 +16,12 @@ Chen et al. 2023):
   sampling.
 
 KV-cache rollback: both models keep dense caches; a rejected suffix is
-"erased" by resetting the cache's ``index`` scalar — stale k/v beyond the
-index are masked by the decode mask and overwritten by later writes (see
-nn/attention.py ``_update_cache``). The whole loop is one jittable
-``lax.while_loop``; batch size 1 (per-row acceptance lengths diverge, which
-a shared dense cache index cannot represent — serve batches as lanes).
+"erased" by resetting the cache's write index — stale k/v beyond the index
+are masked by the decode mask and overwritten by later writes (see
+nn/attention.py ``_update_cache``). Batched: per-row acceptance lengths
+diverge, so the caches carry PER-ROW ``[b]`` write indices (rows roll back
+independently); finished rows idle until the slowest row completes. The
+whole loop is one jittable ``lax.while_loop``.
 """
 
 from __future__ import annotations
@@ -77,12 +78,25 @@ def speculative_accept_logits(t_logits, d_logits, drafts, key, temperature,
 def _reset_index(caches, new_index):
     """Roll a cache pytree's write positions back to ``new_index``.
 
-    ``full_like`` keeps the index leaf's shape: scalar for the list cache
-    layout, ``[num_layers]`` for the scan_layers stacked layout (a scalar
-    here would change the while_loop carry type and fail to trace)."""
+    Broadcasting keeps the index leaf's shape: scalar / ``[b]`` per-row for
+    the list cache layout, ``[num_layers]`` / ``[num_layers, b]`` for the
+    scan_layers stacked layout (a shape change would alter the while_loop
+    carry type and fail to trace). ``new_index`` may be scalar or ``[b]``."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: (jnp.full_like(leaf, new_index)
-                            if path[-1].key == "index" else leaf),
+        lambda path, leaf: (
+            jnp.broadcast_to(new_index, leaf.shape).astype(leaf.dtype)
+            if path[-1].key == "index" else leaf),
+        caches, is_leaf=None)
+
+
+def _per_row_index(caches, batch):
+    """Convert a cache pytree's shared scalar write positions to per-row
+    ``[b]`` indices (rows may then commit different lengths per round —
+    see nn/attention.py ``_update_cache``)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            jnp.broadcast_to(leaf[..., None], (*leaf.shape, batch))
+            if path[-1].key == "index" else leaf),
         caches, is_leaf=None)
 
 
@@ -95,13 +109,16 @@ def speculative_generate(target, target_params, draft, draft_params,
 
     ``target``/``draft``: GPT instances (may differ in size/config; they
     only need to share the vocab). ``temperature=0`` or ``key=None`` is
-    greedy (token-exact vs ``target.generate``); otherwise speculative
-    sampling. Returns ``[1, steps]`` tokens (plus ``(accepted, rounds)``
-    totals if ``return_stats`` — ``accepted / (rounds * gamma)`` is the
-    draft acceptance rate).
+    greedy (token-exact vs ``target.generate``, every row); otherwise
+    speculative sampling. ``prompt_tokens`` may be ANY batch size — rows
+    accept different draft lengths per round, tracked with per-row cache
+    write indices (nn/attention.py ``_update_cache``); rows that reach
+    ``steps`` idle (produce 0) until the slowest row finishes. Returns
+    ``[b, steps]`` tokens (plus ``(accepted, rounds)`` totals if
+    ``return_stats`` — ``accepted / (active_rows * gamma)`` summed over
+    rounds gives the draft acceptance rate).
     """
     b, plen = prompt_tokens.shape
-    assert b == 1, "speculative decoding is per-sequence (batch==1)"
     greedy = temperature == 0.0 or key is None
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -111,13 +128,16 @@ def speculative_generate(target, target_params, draft, draft_params,
     d_caches = draft.init_cache(b, max_len)
 
     # Invariant: before each round, both caches hold exactly the tokens
-    # BEFORE cur_tok (after prefill: the prompt).
+    # BEFORE cur_tok for every row (after prefill: the prompt).
     t_logits, t_caches = target.apply(target_params, prompt_tokens,
                                       caches=t_caches, decode=True,
                                       logits_last_only=True)
     _, d_caches = draft.apply(draft_params, prompt_tokens,
                               caches=d_caches, decode=True,
                               logits_last_only=True)
+    # Rows commit different lengths per round: per-row write indices.
+    t_caches = _per_row_index(t_caches, b)
+    d_caches = _per_row_index(d_caches, b)
 
     from np_modeling_tpu.models.transformer_lm import filter_logits
 
@@ -134,11 +154,12 @@ def speculative_generate(target, target_params, draft, draft_params,
     out = jnp.zeros((b, steps + gamma + 1), jnp.int32)
 
     def cond(state):
-        return state[0] < steps
+        return jnp.min(state[0]) < steps
 
     def body(state):
         n, cur, out, t_caches, d_caches, key, acc_total, rounds = state
         key = jax.random.fold_in(key, rounds + 1)
+        done = n >= steps                                     # [b]
 
         # ---- draft proposes gamma tokens (sequential, cheap model) ------
         def d_body(carry, i):
@@ -151,40 +172,47 @@ def speculative_generate(target, target_params, draft, draft_params,
 
         (_, d_caches), (drafts, d_logits) = jax.lax.scan(
             d_body, (cur, d_caches), jnp.arange(gamma))
-        drafts = drafts.T                   # [1, gamma]
-        d_logits = jnp.swapaxes(d_logits, 0, 1)  # [1, gamma, vocab]
+        drafts = drafts.T                   # [b, gamma]
+        d_logits = jnp.swapaxes(d_logits, 0, 1)  # [b, gamma, vocab]
         # Write the last proposal's k/v too, so a fully-accepted round
         # leaves the draft cache complete (logits discarded).
         _, d_caches = draft.apply(draft_params, drafts[:, -1:],
                                   caches=d_caches, decode=True)
 
         # ---- target verifies all gamma+1 positions in one pass ----------
-        block = jnp.concatenate([cur[:, None], drafts], axis=1)  # [1, g+1]
+        block = jnp.concatenate([cur[:, None], drafts], axis=1)  # [b, g+1]
         t_logits, t_caches = target.apply(target_params, block,
                                           caches=t_caches, decode=True)
 
         if greedy:
-            t_choice = jnp.argmax(t_logits, axis=-1)        # [1, g+1]
-            ok = drafts == t_choice[:, :-1]                  # [1, g]
-            n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1))
-            nxt = t_choice[0, n_acc][None]
+            t_choice = jnp.argmax(t_logits, axis=-1)        # [b, g+1]
+            ok = drafts == t_choice[:, :-1]                  # [b, g]
+            n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
+                            axis=1)                          # [b]
+            nxt = jnp.take_along_axis(t_choice, n_acc[:, None],
+                                      axis=1)[:, 0]
         else:
-            n_acc_v, nxt = speculative_accept_logits(
+            n_acc, nxt = speculative_accept_logits(
                 t_logits, d_logits, drafts, jax.random.fold_in(key, 7777),
                 temperature, top_k, top_p)
-            n_acc = n_acc_v[0]
 
         # ---- commit: write tokens, roll back rejected cache suffix ------
-        out = jax.lax.dynamic_update_slice(out, block, (0, n))
-        produced = n_acc + 1                 # cur + accepted drafts
+        # Per-row write at offset n[row]; finished rows keep their output
+        # (the clamped write below them is discarded by the where).
+        out_new = jax.vmap(lambda o, blk, p: jax.lax.dynamic_update_slice(
+            o, blk, (p,)))(out, block, n)
+        out = jnp.where(done[:, None], out, out_new)
+        produced = jnp.where(done, 0, n_acc + 1)  # cur + accepted drafts;
+                                                  # idle rows commit nothing
         base_t = _cache_index(target, t_caches) - (gamma + 1)
         base_d = _cache_index(draft, d_caches) - (gamma + 1)
         t_caches = _reset_index(t_caches, base_t + produced)
         d_caches = _reset_index(d_caches, base_d + produced)
-        return (n + produced, nxt, out, t_caches, d_caches, key,
-                acc_total + n_acc, rounds + 1)
+        cur = jnp.where(done, cur, nxt)
+        return (n + produced, cur, out, t_caches, d_caches, key,
+                acc_total + jnp.sum(jnp.where(done, 0, n_acc)), rounds + 1)
 
-    state = (jnp.zeros((), jnp.int32), cur, out, t_caches, d_caches, key,
+    state = (jnp.zeros((b,), jnp.int32), cur, out, t_caches, d_caches, key,
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     n, cur, out, *_, acc_total, rounds = jax.lax.while_loop(cond, body,
                                                             state)

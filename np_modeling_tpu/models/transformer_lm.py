@@ -59,8 +59,8 @@ class GPTConfig:
     rope_base: float = 10000.0    # RoPE theta (LLaMA-3 uses 500000)
     attention_window: int | None = None   # sliding-window (local) attention
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
-                                  # never materialized (tied embeddings
-                                  # only). Measured v32k/b8/s2048: 0.82x
+                                  # never materialized (tied AND untied
+                                  # heads). Measured v32k/b8/s2048: 0.82x
                                   # step time, -2.14 GiB temp memory —
                                   # enable when activation memory binds
 
@@ -71,9 +71,6 @@ class GPT(Module):
 
     def __post_init__(self):
         c = self.config
-        assert not (c.fused_loss and not c.tie_embeddings), (
-            "fused_loss requires tie_embeddings=True (the chunked CE reads "
-            "the embedding table as the LM head)")
         self.embed = Embedding(c.vocab_size, c.d_model)
         self.pos_embed = Embedding(c.max_len, c.d_model)
         self.block = TransformerEncoderBlock(
@@ -140,6 +137,8 @@ class GPT(Module):
                 if decode:
                     start = (caches["index"][0] if c.scan_layers
                              else caches[0]["index"])
+                    if start.ndim:    # per-row cache index -> [b, s]
+                        start = start[:, None]
                 else:
                     start = 0
                 positions = start + jnp.arange(tokens.shape[-1])
@@ -280,8 +279,13 @@ class GPT(Module):
             valid = (segment_ids[..., 1:]
                      == segment_ids[..., :-1]).astype(jnp.float32)
         if fused:
-            ce_mean = ops.fused_lm_head_loss(
-                out, params["embedding"]["table"], targets, valid=valid)
+            if c.tie_embeddings:
+                ce_mean = ops.fused_lm_head_loss(
+                    out, params["embedding"]["table"], targets, valid=valid)
+            else:
+                ce_mean = ops.fused_lm_head_loss(
+                    out, params["lm_head"]["w"], targets, valid=valid,
+                    table_layout="dv")
             return ce_mean + c.moe_aux_weight * aux
         ce = ops.softmax_cross_entropy_with_integer_labels(out, targets)
         if valid is not None:

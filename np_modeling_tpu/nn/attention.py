@@ -94,8 +94,13 @@ class MultiHeadAttention(Module):
                        params["wq"].shape[2])
         w = jnp.concatenate([params[n].reshape(d, -1)
                              for n in ("wq", "wk", "wv")], axis=1)
-        b = jnp.concatenate([params[n].reshape(-1)
-                             for n in ("bq", "bk", "bv")])
+        # Biasless configs (use_bias=False / qkv_bias=False) have no bq/bk/bv
+        # at all — mirror _project's params.get(...) handling.
+        if all(params.get(n) is not None for n in ("bq", "bk", "bv")):
+            b = jnp.concatenate([params[n].reshape(-1)
+                                 for n in ("bq", "bk", "bv")])
+        else:
+            b = None
         x, w, b = (maybe_cast(a, self.dtype) for a in (x, w, b))
         y = ops.linear(x, w, b)
         qf, kf, vf = jnp.split(y, [hq * dk, (hq + hkv) * dk], axis=-1)
@@ -136,7 +141,11 @@ class MultiHeadAttention(Module):
         if self.rope:
             from np_modeling_tpu.ops.rope import apply_rope
             if decode:
-                positions = cache["index"] + jnp.arange(q.shape[2])
+                idx = cache["index"]
+                if idx.ndim:          # per-row write positions -> [b, s]
+                    positions = idx[:, None] + jnp.arange(q.shape[2])
+                else:
+                    positions = idx + jnp.arange(q.shape[2])
             elif positions is None:
                 positions = jnp.arange(q.shape[2])
             q = apply_rope(q, positions, self.rope_base)
@@ -178,20 +187,36 @@ class MultiHeadAttention(Module):
         }
 
     def _update_cache(self, cache, k_new, v_new):
-        """Insert the step's k/v at cache['index']; mask future positions."""
+        """Insert the step's k/v at cache['index']; mask future positions.
+
+        ``index`` may be a scalar (all rows share one write position — the
+        standard generate/beam path) or per-row ``[b]`` (rows at divergent
+        lengths — batched speculative decoding's per-row rollback)."""
         idx = cache["index"]
         s_new = k_new.shape[2]
-        k = jax.lax.dynamic_update_slice(cache["k"], k_new.astype(cache["k"].dtype),
-                                         (0, 0, idx, 0))
-        v = jax.lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype),
-                                         (0, 0, idx, 0))
         max_len = cache["k"].shape[2]
-        # Query position i (of this step) may attend to cache slots <= idx+i.
-        q_pos = idx + jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 0)
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 0)
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 1)
-        keep = kv_pos <= q_pos
-        if self.window is not None:
-            keep = keep & (kv_pos > q_pos - self.window)
-        mask = keep[None, None]
+        if idx.ndim == 0:
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k_new.astype(cache["k"].dtype), (0, 0, idx, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_new.astype(cache["v"].dtype), (0, 0, idx, 0))
+            # Query position i (of this step) attends to slots <= idx+i.
+            q_pos = idx + q_iota
+            keep = kv_pos <= q_pos
+            if self.window is not None:
+                keep = keep & (kv_pos > q_pos - self.window)
+            mask = keep[None, None]                       # [1, 1, s, L]
+        else:
+            upd = lambda c, n, i: jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype), (0, i, 0))
+            k = jax.vmap(upd)(cache["k"], k_new, idx)     # per-row offset
+            v = jax.vmap(upd)(cache["v"], v_new, idx)
+            q_pos = idx[:, None, None] + q_iota[None]     # [b, s, L]
+            keep = kv_pos[None] <= q_pos
+            if self.window is not None:
+                keep = keep & (kv_pos[None] > q_pos - self.window)
+            mask = keep[:, None]                          # [b, 1, s, L]
         new_cache = {"k": k, "v": v, "index": idx + s_new}
         return k, v, mask, new_cache

@@ -98,11 +98,47 @@ def _sxe_bwd(res, g):
 softmax_cross_entropy.defvjp(_sxe_fwd, _sxe_bwd)
 
 
+@jax.custom_vjp
 def softmax_cross_entropy_with_integer_labels(logits: jax.Array,
                                               labels: jax.Array) -> jax.Array:
-    """CE from logits with int class labels (one-hot-free convenience)."""
-    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
-    return softmax_cross_entropy(logits, onehot)
+    """CE from logits with int class labels, one-hot-free END TO END.
+
+    Forward gathers the correct-class logit (``take_along_axis``) instead of
+    one-hotting to [.., vocab]; the manual VJP scatters ``-g`` into the
+    softmax rather than materializing ``onehot`` or a wasted ``dlabels``
+    (labels are integers — no cotangent). At v=32k this removes a full
+    [batch, seq, vocab] fp32 temp from the default (non-fused) GPT.loss
+    path. Returns fp32 per-example CE, shape ``logits.shape[:-1]``.
+    """
+    return _sxe_int_impl(logits, labels)[0]
+
+
+def _sxe_int_impl(logits, labels):
+    lf = logits.astype(jnp.float32)
+    m = jnp.max(lf, axis=-1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(lf - m), axis=-1)) + jnp.squeeze(m, -1)
+    correct = jnp.take_along_axis(lf, labels[..., None], axis=-1)[..., 0]
+    return lse - correct, lse
+
+
+def _sxe_int_fwd(logits, labels):
+    ce, lse = _sxe_int_impl(logits, labels)
+    return ce, (logits, labels, lse)
+
+
+def _sxe_int_bwd(res, g):
+    logits, labels, lse = res
+    v = logits.shape[-1]
+    n = int(np.prod(logits.shape[:-1])) if logits.ndim > 1 else 1
+    p = jnp.exp(logits.reshape(n, v).astype(jnp.float32)
+                - lse.reshape(n, 1))
+    gf = g.reshape(n).astype(jnp.float32)
+    d = p * gf[:, None]
+    d = d.at[jnp.arange(n), labels.reshape(n)].add(-gf)
+    return d.reshape(logits.shape).astype(logits.dtype), None
+
+
+softmax_cross_entropy_with_integer_labels.defvjp(_sxe_int_fwd, _sxe_int_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -113,28 +149,55 @@ def softmax_cross_entropy_with_integer_labels(logits: jax.Array,
 
 
 def fused_lm_head_loss(x: jax.Array, table: jax.Array, labels: jax.Array,
-                       *, chunk: int = 512, valid=None) -> jax.Array:
-    """mean CE of ``softmax(x @ table.T)`` against integer labels.
+                       *, chunk: int = 512, valid=None,
+                       table_layout: str = "vd") -> jax.Array:
+    """mean CE of ``softmax(x @ head)`` against integer labels.
 
-    ``x``: [..., d] final hidden states; ``table``: [vocab, d] (tied
-    embedding / LM head, fp32 master); ``labels``: [...] int. ``valid``:
-    optional [...] 0/1 weights (packed-sequence boundary masking) — the
-    mean is over valid positions. Logits for each ``chunk`` of positions
-    are computed, reduced to (lse, correct-logit), and discarded; the
-    backward recomputes per-chunk softmax and accumulates dx and dtable.
-    Peak memory is O(chunk * vocab) instead of O(N * vocab).
+    ``x``: [..., d] final hidden states; ``table``: the LM head — either
+    a tied embedding table [vocab, d] (``table_layout="vd"``, default) or
+    an untied Linear head weight [d, vocab] (``table_layout="dv"``), fp32
+    master; ``labels``: [...] int. ``valid``: optional [...] 0/1 weights
+    (packed-sequence boundary masking) — the mean is over valid positions.
+    Logits for each ``chunk`` of positions are computed, reduced to
+    (lse, correct-logit), and discarded; the backward recomputes per-chunk
+    softmax and accumulates dx and dtable. Peak memory is O(chunk * vocab)
+    instead of O(N * vocab).
 
     Measured (v5e, GPT-4L d1024 v32k b8 s2048, same-process A/B): 0.82x
     step time (the backward recomputes the logits matmul) for -2.14 GiB
     temp memory — a time/memory trade for when activations bind.
     """
+    assert table_layout in ("vd", "dv"), table_layout
     d = x.shape[-1]
     n_total = int(np.prod(x.shape[:-1]))
     xf = x.reshape(n_total, d)
     lf = labels.reshape(n_total)
     vf = (jnp.ones(n_total, jnp.float32) if valid is None
           else valid.reshape(n_total).astype(jnp.float32))
+    if table_layout == "dv":
+        # Normalize to [vocab, d] internally; the transpose is a layout
+        # change XLA folds into the chunk matmuls' dimension numbers.
+        return _fused_lm_loss_dv(xf, table, lf, vf, chunk)
     return _fused_lm_loss(xf, table, lf, vf, chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_lm_loss_dv(x, head, labels, valid, chunk):
+    loss, _ = _fused_lm_fwd_impl(x, head.T, labels, valid, chunk)
+    return loss
+
+
+def _fused_lm_dv_fwd(x, head, labels, valid, chunk):
+    loss, res = _fused_lm_fwd(x, head.T, labels, valid, chunk)
+    return loss, res
+
+
+def _fused_lm_dv_bwd(chunk, res, dy):
+    dx, dtable, _, _ = _fused_lm_bwd(chunk, res, dy)
+    return dx, dtable.T, None, None
+
+
+_fused_lm_loss_dv.defvjp(_fused_lm_dv_fwd, _fused_lm_dv_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

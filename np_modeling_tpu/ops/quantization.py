@@ -105,11 +105,13 @@ def quantize_int8_stochastic(x: jax.Array, seed: jax.Array) -> QuantizedTensor:
 # Weight-only int8 params (serving: weights at rest in int8, dequant in-graph)
 # ---------------------------------------------------------------------------
 
-# Matmul weights of the transformer stack (attention projections, FFN,
+# Matmul weights of the transformer stack (attention projections, FFN —
+# both mlp-style dense1/dense2 and swiglu/geglu w_gate/w_up/w_down —
 # untied LM head). Embeddings are excluded by default: the lookup path
 # gathers rows (per-column scales don't apply) and tied LM heads share them.
 WEIGHT_QUANT_TARGETS = (
-    r".*(/w[qkvo]|dense1/linear/w|dense2/w|lm_head/w|mlm_transform/w)$")
+    r".*(/w[qkvo]|dense1/linear/w|dense2/w|swiglu/w_(gate|up|down)"
+    r"|lm_head/w|mlm_transform/w)$")
 
 _QKEYS = frozenset(("int8", "scale"))
 

@@ -12,8 +12,16 @@ objects, /root/reference/layers/mlp.py:18; SURVEY.md §5). Two formats:
   intersect it (``jax.make_array_from_callback``) — placement comes from
   the template's shardings, nothing is replicated through host memory,
   and restoring onto a DIFFERENT mesh/sharding than was saved works
-  (shard intersection assembly). Single-process scope: all shards are
-  addressable (multi-host would need per-host manifests).
+  (shard intersection assembly).
+
+MULTI-HOST: each process writes only its addressable replica-0 shards
+plus a PER-HOST manifest (``manifest.p00000.msgpack``); a barrier orders
+data files before manifests. Restore merges every per-host manifest
+(shard lists union per leaf) and assembles only the reader's addressable
+shards — a checkpoint saved by N processes restores on M processes or on
+a different mesh, provided the directory is on a filesystem all hosts
+can read (the standard pod setup). Proven end-to-end by the 2-process
+dryrun (``parallel/_multihost_dryrun.py``).
 """
 
 from __future__ import annotations
@@ -69,48 +77,61 @@ def _bounds(index, shape):
 def save_checkpoint_sharded(path: str, tree) -> None:
     """Write a pytree to directory ``path``, one file per unique shard.
 
-    Replicated leaves (or plain numpy leaves) are written once as a single
-    full-array file. The manifest is written last — its presence marks a
-    complete checkpoint."""
+    Each process writes only the shards it owns as REPLICA 0 (global
+    dedup: replicated copies — across devices or hosts — are saved
+    exactly once cluster-wide). Plain numpy leaves are written by process
+    0 as a single full-array file. The manifest is written last — its
+    presence marks a complete checkpoint; multi-process runs write one
+    manifest per process (``manifest.pNNNNN.msgpack``) after a barrier
+    that orders every host's data files before any manifest."""
     os.makedirs(path, exist_ok=True)
+    pid = jax.process_index()
+    multi = jax.process_count() > 1
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     manifest = {}
     for i, (kp, leaf) in enumerate(flat):
         key = jax.tree_util.keystr(kp)
         entries = []
-        if isinstance(leaf, jax.Array) and leaf.sharding.num_devices > 1:
-            seen = set()
+        if isinstance(leaf, jax.Array):
             for sh in leaf.addressable_shards:
-                b = _bounds(sh.index, leaf.shape)
-                tb = tuple(map(tuple, b))
-                if tb in seen:          # replicated copies: save once
+                if sh.replica_id != 0:   # replicated copies: save once
                     continue
-                seen.add(tb)
-                fname = f"leaf{i:05d}_shard{len(entries):03d}.npy"
+                b = _bounds(sh.index, leaf.shape)
+                fname = (f"leaf{i:05d}_p{pid:05d}"
+                         f"_shard{len(entries):03d}.npy")
                 np.save(os.path.join(path, fname), np.asarray(sh.data),
                         allow_pickle=False)
                 entries.append({"index": b, "file": fname})
+            dtype = str(np.asarray(leaf.addressable_shards[0].data).dtype) \
+                if leaf.addressable_shards else str(leaf.dtype)
         else:
-            fname = f"leaf{i:05d}_full.npy"
             arr = np.asarray(leaf)
-            np.save(os.path.join(path, fname), arr, allow_pickle=False)
-            entries.append({"index": _bounds((slice(None),) * arr.ndim,
-                                             arr.shape),
-                            "file": fname})
-        arr_like = np.asarray(leaf.addressable_shards[0].data) \
-            if isinstance(leaf, jax.Array) else np.asarray(leaf)
+            dtype = str(arr.dtype)
+            if pid == 0:
+                fname = f"leaf{i:05d}_full.npy"
+                np.save(os.path.join(path, fname), arr, allow_pickle=False)
+                entries.append({"index": _bounds(
+                    (slice(None),) * arr.ndim, arr.shape), "file": fname})
         manifest[key] = {"shape": list(np.shape(leaf)),
-                         "dtype": str(arr_like.dtype),
+                         "dtype": dtype,
                          "shards": entries}
+    if multi:
+        # All data files exist before ANY manifest appears.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ckpt_data_files")
     data = serialization.msgpack_serialize(manifest)
+    name = f"manifest.p{pid:05d}.msgpack" if multi else _MANIFEST
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
-        os.replace(tmp, os.path.join(path, _MANIFEST))
+        os.replace(tmp, os.path.join(path, name))
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+    if multi:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ckpt_manifests")
 
 
 def _assemble(req, meta, path, cache):
@@ -139,14 +160,39 @@ def _assemble(req, meta, path, cache):
     return out
 
 
+def _read_manifest(path: str):
+    """The single-process manifest, or all per-host manifests merged
+    (shard lists unioned per leaf key)."""
+    single = os.path.join(path, _MANIFEST)
+    if os.path.exists(single):
+        with open(single, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    import glob
+    parts = sorted(glob.glob(os.path.join(path, "manifest.p*.msgpack")))
+    if not parts:
+        raise FileNotFoundError(f"no manifest in checkpoint dir {path!r}")
+    manifest = {}
+    for p in parts:
+        with open(p, "rb") as f:
+            part = serialization.msgpack_restore(f.read())
+        for key, meta in part.items():
+            if key in manifest:
+                manifest[key]["shards"] = (list(manifest[key]["shards"])
+                                           + list(meta["shards"]))
+            else:
+                manifest[key] = dict(meta, shards=list(meta["shards"]))
+    return manifest
+
+
 def load_checkpoint_sharded(path: str, target):
     """Restore into ``target``'s structure AND shardings.
 
     Template leaves that are jax.Arrays keep their sharding: each device's
     shard is assembled straight from the intersecting files (works across
-    mesh/sharding changes). Plain array leaves load fully."""
-    with open(os.path.join(path, _MANIFEST), "rb") as f:
-        manifest = serialization.msgpack_restore(f.read())
+    mesh/sharding changes, and across a different process count than
+    saved — only the reader's addressable shards are assembled). Plain
+    array leaves load fully."""
+    manifest = _read_manifest(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(target)
     out = []
     for kp, tmpl in flat:

@@ -25,8 +25,10 @@ from np_modeling_tpu.parallel.sharding import _path_str
 
 # Attention projections — the standard LoRA target set for transformers.
 ATTENTION_TARGETS = r".*/w[qkvo]$"
-# Attention + both FFN matmuls.
-ALL_LINEAR_TARGETS = r".*(/w[qkvo]|dense1/linear/w|dense2/w)$"
+# Attention + all FFN matmuls (mlp dense1/dense2 and swiglu/geglu
+# w_gate/w_up/w_down — LLaMA-family imports get full-coverage adapters).
+ALL_LINEAR_TARGETS = (
+    r".*(/w[qkvo]|dense1/linear/w|dense2/w|swiglu/w_(gate|up|down))$")
 
 
 def lora_init(key, params, rank: int, match: str = ATTENTION_TARGETS):

@@ -119,17 +119,23 @@ class Trainer:
         return self.model.init(sub, x)
 
     def fit(self, params, inputs, targets, steps: int,
-            optimizer: Optimizer | None = None, log_every: int = 0):
+            optimizer: Optimizer | None = None, log_every: int = 0,
+            opt_state=None):
         """Run ``steps`` full-batch steps; returns (params, opt_state, losses).
 
         Full-batch semantics match the reference (train.py:20-39); for real
         workloads call the jitted step yourself with minibatches.
+
+        Pass the returned ``opt_state`` back in to CONTINUE training (Adam
+        moments etc. are preserved); omitting it starts from fresh optimizer
+        state.
         """
         opt = optimizer or self.optimizer
         assert opt is not None, "provide an optimizer"
         if self._train_step is None:
             self._train_step = make_train_step(self.model.apply, self.loss, opt)
-        opt_state = opt.init(params)
+        if opt_state is None:
+            opt_state = opt.init(params)
         losses = []
         for i in range(steps):
             self._rng, sub = jax.random.split(self._rng)

@@ -91,3 +91,26 @@ def test_checkpoint_roundtrip(tmp_path, gpt_and_params):
     for k in lora:
         np.testing.assert_array_equal(np.asarray(back[k]["a"]),
                                       np.asarray(lora[k]["a"]))
+
+
+def test_all_linear_targets_cover_swiglu():
+    # ADVICE r2: ALL_LINEAR_TARGETS must match swiglu FFN weights too, so
+    # LLaMA-family imports don't silently degrade to attention-only LoRA.
+    cfg = models.GPTConfig(vocab_size=67, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=32,
+                           ffn="swiglu", norm="rms", use_bias=False,
+                           positional="rope")
+    gpt = models.GPT(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, 67)
+    params = gpt.init(jax.random.PRNGKey(1), toks)
+    lora = training.lora_init(jax.random.PRNGKey(2), params, rank=2,
+                              match=training.ALL_LINEAR_TARGETS)
+    # 2 layers x (4 attention + 3 swiglu) matmuls.
+    assert len(lora) == 14
+    assert "layer_0/swiglu/w_gate" in lora
+    assert "layer_1/swiglu/w_down" in lora
+    # Zero-init adapters are still an identity on a swiglu model.
+    merged = training.lora_merge(params, lora)
+    np.testing.assert_allclose(np.asarray(gpt.apply(merged, toks)),
+                               np.asarray(gpt.apply(params, toks)),
+                               rtol=1e-6, atol=1e-6)

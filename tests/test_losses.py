@@ -124,3 +124,80 @@ class TestFusedLMHeadLoss:
             for a, b in zip(jax.tree_util.tree_leaves(g2),
                             jax.tree_util.tree_leaves(g1)):
                 assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestGatherIntegerCE:
+    """Gather-based integer-label CE (VERDICT r2 weak #6): no one-hot, no
+    dlabels, grads equal optax."""
+
+    def test_grad_matches_optax(self):
+        logits = jnp.asarray(rand(4, 7, 33, rng=rng))
+        labels = jnp.asarray(rng.integers(0, 33, (4, 7)))
+        f = lambda l: jnp.mean(
+            ops.softmax_cross_entropy_with_integer_labels(l, labels))
+        f_ref = lambda l: jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(l, labels))
+        assert_allclose(f(logits), f_ref(logits))
+        assert_allclose(jax.grad(f)(logits), jax.grad(f_ref)(logits),
+                        rtol=1e-5, atol=2e-5)
+
+    def test_bf16_logits_fp32_stats(self):
+        logits = jnp.asarray(rand(3, 16, rng=rng)).astype(jnp.bfloat16)
+        labels = jnp.asarray(rng.integers(0, 16, (3,)))
+        ce = ops.softmax_cross_entropy_with_integer_labels(logits, labels)
+        assert ce.dtype == jnp.float32
+        ref = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels)
+        assert_allclose(ce, ref, rtol=1e-2, atol=1e-2)
+        g = jax.grad(lambda l: jnp.sum(
+            ops.softmax_cross_entropy_with_integer_labels(l, labels)))(logits)
+        assert g.dtype == jnp.bfloat16
+
+    def test_no_vocab_sized_onehot_temp(self):
+        # The op's jaxpr must not contain a one-hot build: no eq/select over
+        # a broadcast iota of the vocab axis. Structural check: the only
+        # [n, vocab]-shaped intermediates in the BACKWARD are the softmax
+        # and its scatter — count broadcast_in_dim ops producing the full
+        # one-hot from iota (the old implementation's signature).
+        logits = jnp.asarray(rand(8, 129, rng=rng))
+        labels = jnp.asarray(rng.integers(0, 129, (8,)))
+        f = lambda l: jnp.sum(
+            ops.softmax_cross_entropy_with_integer_labels(l, labels))
+        jaxpr = str(jax.make_jaxpr(jax.grad(f))(logits))
+        assert "scatter" in jaxpr          # the gather-CE backward
+        # one_hot lowers to iota+eq+convert; the new path has no eq on the
+        # vocab axis at all.
+        assert " eq " not in jaxpr
+
+
+class TestFusedLMHeadLossUntied:
+    def test_dv_layout_matches_vd(self):
+        x = jnp.asarray(rand(2, 9, 16, rng=rng))
+        table = jnp.asarray(rand(33, 16, rng=rng)) * 0.3
+        labels = jnp.asarray(rng.integers(0, 33, (2, 9)))
+        l_vd = ops.fused_lm_head_loss(x, table, labels, chunk=4)
+        l_dv = ops.fused_lm_head_loss(x, table.T, labels, chunk=4,
+                                      table_layout="dv")
+        assert_allclose(l_dv, l_vd, rtol=1e-6, atol=1e-6)
+        g_vd = jax.grad(lambda x, t: ops.fused_lm_head_loss(
+            x, t, labels, chunk=4), argnums=(0, 1))(x, table)
+        g_dv = jax.grad(lambda x, t: ops.fused_lm_head_loss(
+            x, t, labels, chunk=4, table_layout="dv"),
+            argnums=(0, 1))(x, table.T)
+        assert_allclose(g_dv[0], g_vd[0], rtol=1e-5, atol=1e-6)
+        assert_allclose(g_dv[1], g_vd[1].T, rtol=1e-5, atol=1e-6)
+
+    def test_gpt_untied_fused_loss_matches_plain(self):
+        from np_modeling_tpu import models
+        tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+        kw = dict(vocab_size=50, d_model=32, num_heads=4, num_layers=2,
+                  hidden_units=64, max_len=16, tie_embeddings=False)
+        gpt = models.GPT(models.GPTConfig(**kw))
+        gpt_f = models.GPT(models.GPTConfig(fused_loss=True, **kw))
+        params = gpt.init(jax.random.PRNGKey(0), tokens)
+        l1, g1 = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(params)
+        l2, g2 = jax.value_and_grad(lambda p: gpt_f.loss(p, tokens))(params)
+        assert_allclose(l2, l1, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g2),
+                        jax.tree_util.tree_leaves(g1)):
+            assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -73,3 +73,26 @@ def test_quantized_decode_runs():
     out = gpt.generate(deq, toks[:, :6], steps=4)
     assert out.shape == (2, 4)
     assert (np.asarray(out) < 67).all()
+
+
+def test_swiglu_weights_are_quantized():
+    # ADVICE r2: swiglu/geglu FFN weights (w_gate/w_up/w_down) must match
+    # WEIGHT_QUANT_TARGETS — LLaMA-family imports keep ~2/3 of their
+    # transformer weights in the FFN.
+    cfg = models.GPTConfig(vocab_size=67, d_model=64, num_heads=4,
+                           num_layers=2, hidden_units=128, max_len=32,
+                           ffn="swiglu", norm="rms", use_bias=False,
+                           positional="rope")
+    gpt = models.GPT(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 0, 67)
+    params = gpt.init(jax.random.PRNGKey(1), toks)
+    q = ops.quantize_params_int8(params)
+    for name in ("w_gate", "w_up", "w_down"):
+        leaf = q["layer_0"]["swiglu"][name]
+        assert isinstance(leaf, dict) and leaf["int8"].dtype == jnp.int8, name
+        assert leaf["scale"].shape == (1, params["layer_0"]["swiglu"][name].shape[1])
+    # And the quantized model still runs close to the original.
+    deq = ops.dequantize_params(q, jnp.float32)
+    full = np.asarray(gpt.apply(params, toks))
+    quant = np.asarray(gpt.apply(deq, toks))
+    assert np.abs(full - quant).max() < 0.15 * np.abs(full).max()
