@@ -1,5 +1,6 @@
-"""Parallelism: mesh construction + sharding rules (dp/tp/sp over ICI)."""
+"""Parallelism: mesh + sharding rules (dp/tp/sp over ICI, multihost DCN)."""
 
+from np_modeling_tpu.parallel import multihost
 from np_modeling_tpu.parallel.context import (gather_attention,
                                               make_context_parallel_attention,
                                               ring_attention)
@@ -13,7 +14,7 @@ from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES, constrain,
 __all__ = [
     "TRANSFORMER_RULES", "auto_mesh", "constrain", "gather_attention",
     "make_context_parallel_attention", "make_mesh", "make_pipeline",
-    "partition_specs", "pipeline_apply", "pipeline_gpt", "ring_attention",
-    "shard_batch", "stack_gpt_layers",
+    "multihost", "partition_specs", "pipeline_apply", "pipeline_gpt",
+    "ring_attention", "shard_batch", "stack_gpt_layers",
     "shard_params",
 ]
