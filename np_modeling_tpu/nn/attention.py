@@ -53,6 +53,14 @@ class MultiHeadAttention(Module):
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
+    attn_impl: Optional[Callable] = None  # override the attention core for
+                                          # the non-decode path, e.g. a
+                                          # context-parallel ring:
+                                          # parallel.make_context_parallel_
+                                          # attention(mesh, 'sp', causal=..)
+                                          # — called as f(q, k, v,
+                                          # segment_ids=); causal/window are
+                                          # baked in at construction
 
     def _dims(self, features):
         hq = self.num_heads
@@ -158,6 +166,11 @@ class MultiHeadAttention(Module):
                                  "with init_cache()")
             k, v, mask, new_cache = self._update_cache(cache, k, v)
             o = ops.flash_attention(q, k, v, mask=mask, causal=False)
+        elif self.attn_impl is not None:
+            assert mask is None, (
+                "attn_impl overrides (e.g. ring attention) take structural "
+                "masking at construction; explicit masks are unsupported")
+            o = self.attn_impl(q, k, v, segment_ids=segment_ids)
         else:
             o = ops.flash_attention(q, k, v, mask=mask,
                                     segment_ids=segment_ids,
