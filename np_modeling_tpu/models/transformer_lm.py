@@ -40,6 +40,10 @@ class GPTConfig:
     moe_experts: int = 0          # >0: FFN becomes a routed MoE
     moe_top_k: int = 2            # 2 = GShard, 1 = Switch routing
     moe_aux_weight: float = 0.01  # load-balancing aux loss coefficient
+    moe_capacity_factor: float | None = 1.25
+                                  # None = NO-DROP routing (ragged_dot):
+                                  # population-independent, so the serving
+                                  # engine can chunk-prefill MoE exactly
     positional: str = "learned"   # "learned" | "rope"
     activation: str = "relu"      # FFN activation ("relu" | "gelu" | "silu";
                                   # "gelu" is the tanh form = HF "gelu_new")
@@ -77,6 +81,7 @@ class GPT(Module):
             c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
             causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
             moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
+            moe_capacity_factor=c.moe_capacity_factor,
             rope=(c.positional == "rope"),
             window=c.attention_window, activation=c.activation,
             ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,

@@ -1,9 +1,33 @@
 """Mixture-of-Experts FFN with GShard-style top-2 routing (expert parallel).
 
-Dispatch/combine are dense einsums against a [tokens, experts, capacity]
-routing tensor — the TPU formulation: everything is MXU matmuls with static
-shapes, no scatter/gather, and sharding the expert axis over an ``ep`` mesh
-axis turns the dispatch einsums into XLA all-to-alls automatically.
+Three dispatch formulations, one routing semantics:
+
+- ``dense``: dispatch/combine as einsums against a [tokens, experts,
+  capacity] routing tensor — everything is MXU matmuls with static shapes.
+  The right formulation for SMALL expert counts; O(T*E*C) memory makes it
+  quadratic waste at scale.
+- ``sorted``: assignments sorted by (expert, choice-rank, token), tokens
+  scattered into per-expert capacity buffers [E, C, d], batched expert
+  FFN, gather-combine. O(k*T*d + E*C*d) memory — no [T, E, C] tensor —
+  and BITWISE the same routing as ``dense`` (same GShard slotting: second
+  choices after all first choices; equality asserted in tests).
+- no-drop (``capacity_factor=None``): every token reaches its top-k
+  experts — no capacity, no dropping. Sorted tokens hit
+  ``jax.lax.ragged_dot`` grouped matmuls (the TPU MoE kernel shape);
+  O(k*T*(d+ff)) memory, population-INDEPENDENT routing: a token's output
+  no longer depends on what else is in the batch, which is what makes
+  chunked serving prefill exact (serving/engine.py).
+
+Expert parallelism at scale: :func:`make_expert_parallel_moe` builds a
+shard_map all-to-all dispatch — each device routes ITS token group, sends
+per-expert capacity blocks over the ``ep`` axis with ``lax.all_to_all``,
+runs its local experts, and sends results back. Per-device memory is
+O(k*T_local*f*d); no dense [T, E, C] anywhere. Routing is GShard GROUPED
+routing (capacity per local group), equal to applying the sorted
+single-device MoE per group (asserted in tests).
+
+Router stats (dropped-token fraction, per-expert load) surface via
+``apply_with_aux(..., collect_stats=True)``.
 
 (The reference has no MoE at all — this rounds out dp/tp/sp/pp/ep.)
 """
@@ -11,10 +35,12 @@ axis turns the dispatch einsums into XLA all-to-alls automatically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+import functools
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from np_modeling_tpu import ops
 from np_modeling_tpu.nn import initializers
@@ -23,19 +49,25 @@ from np_modeling_tpu.nn.module import Module
 
 @dataclasses.dataclass
 class MoE(Module):
-    """Top-2 routed FFN: router linear -> dispatch -> per-expert 2-layer FFN
+    """Top-k routed FFN: router linear -> dispatch -> per-expert 2-layer FFN
     -> weighted combine. Params: router [d, E]; w1 [E, d, ff]; b1 [E, ff];
     w2 [E, ff, d]; b2 [E, d]."""
 
     num_experts: int
     hidden_units: int
-    capacity_factor: float = 1.25
+    capacity_factor: Optional[float] = 1.25   # None = NO-DROP routing
     router_top_k: int = 2         # 2 = GShard; 1 = Switch routing
     activation: str = "relu"
     kernel_init: Callable = initializers.lecun_normal
+    dispatch_impl: str = "auto"   # dense | sorted | auto (sorted iff E > 8)
+    apply_override: Optional[Callable] = None  # e.g. the shard_map
+                                  # all-to-all EP path from
+                                  # make_expert_parallel_moe; called as
+                                  # f(params, x) -> (out, aux)
 
     def __post_init__(self):
         assert self.router_top_k in (1, 2), "router_top_k must be 1 or 2"
+        assert self.dispatch_impl in ("auto", "dense", "sorted")
 
     def init(self, key, x):
         d = x.shape[-1]
@@ -56,34 +88,73 @@ class MoE(Module):
         c = max(c, 4)
         return -(-c // 4) * 4
 
+    def _impl(self):
+        if self.capacity_factor is None:
+            return "nodrop"
+        if self.dispatch_impl == "auto":
+            return "sorted" if self.num_experts > 8 else "dense"
+        return self.dispatch_impl
+
     def apply(self, params, x, training=False, rngs=None):
         out, _ = self.apply_with_aux(params, x)
         return out
 
-    def apply_with_aux(self, params, x, training=False, rngs=None):
-        """Returns (out, load_balancing_aux) — aux feeds the training loss."""
+    # ---- routing (shared by all impls) ---------------------------------
+
+    def _route(self, xt, params):
+        """Per-token top-k choice: (gates [T,E], idx [T,k], w [T,k])."""
+        logits = xt @ params["router"]              # [T, E]
+        gates = jax.nn.softmax(logits, axis=-1)
+        g, i = jax.lax.top_k(gates, self.router_top_k)
+        if self.router_top_k == 2:
+            denom = jnp.maximum(g[:, 0] + g[:, 1], 1e-9)
+            w = jnp.stack([g[:, 0] / denom, g[:, 1] / denom], axis=1)
+        else:
+            w = g
+        return gates, i, w
+
+    @staticmethod
+    def _aux(gates, idx):
+        e = gates.shape[-1]
+        top1 = jax.nn.one_hot(idx[:, 0], e)
+        return e * jnp.sum(jnp.mean(gates, axis=0) * jnp.mean(top1, axis=0))
+
+    def apply_with_aux(self, params, x, training=False, rngs=None,
+                       collect_stats=False):
+        """Returns (out, load_balancing_aux) — aux feeds the training loss.
+        ``collect_stats=True`` additionally returns a dict with
+        ``dropped_fraction`` (of the k*T routed assignments) and
+        ``expert_load`` (fraction of tokens whose FIRST choice is each
+        expert)."""
         del training, rngs
+        if self.apply_override is not None:
+            assert not collect_stats, (
+                "collect_stats is unsupported with apply_override (the "
+                "shard_map EP path returns only (out, aux))")
+            return self.apply_override(params, x)
         orig = x.shape
-        d = orig[-1]
-        xt = x.reshape(-1, d)                       # [T, d]
+        xt = x.reshape(-1, orig[-1])
+        impl = self._impl()
+        if impl == "dense":
+            out, aux, stats = self._apply_dense(params, xt)
+        elif impl == "sorted":
+            out, aux, stats = self._apply_sorted(params, xt)
+        else:
+            out, aux, stats = self._apply_nodrop(params, xt)
+        out = out.reshape(orig)
+        if collect_stats:
+            return out, aux, stats
+        return out, aux
+
+    # ---- dense [T, E, C] dispatch (small E) ----------------------------
+
+    def _apply_dense(self, params, xt):
         t = xt.shape[0]
         e = self.num_experts
         cap = self._capacity(t)
-
-        logits = xt @ params["router"]              # [T, E]
-        gates = jax.nn.softmax(logits, axis=-1)
-
-        # Top-k expert choice per token (k=2: GShard, gates renormalized
-        # over the pair; k=1: Switch, raw softmax gate).
-        g1, i1 = jax.lax.top_k(gates, self.router_top_k)
-        idx1 = i1[:, 0]
-        if self.router_top_k == 2:
-            idx2 = i1[:, 1]
-            w1g, w2g = g1[:, 0], g1[:, 1]
-            denom = jnp.maximum(w1g + w2g, 1e-9)
-            w1g, w2g = w1g / denom, w2g / denom
-        else:
-            w1g = g1[:, 0]
+        gates, i_k, w_k = self._route(xt, params)
+        idx1 = i_k[:, 0]
+        w1g = w_k[:, 0]
 
         # Position of each token within its expert's capacity buffer.
         # Second choices are slotted AFTER all first choices of that expert
@@ -97,29 +168,109 @@ class MoE(Module):
             return keep[:, :, None] * slot[:, None, :] * w[:, None, None]
 
         combine = routing_tensor(keep1, pos1, w1g)       # [T, E, C]
+        kept = jnp.sum(keep1)
         if self.router_top_k == 2:
+            idx2, w2g = i_k[:, 1], w_k[:, 1]
             mask2 = jax.nn.one_hot(idx2, e)
             count1 = jnp.sum(mask1, axis=0, keepdims=True)   # [1, E]
             pos2 = (jnp.cumsum(mask2, axis=0) - 1.0 + count1) * mask2
             keep2 = mask2 * (pos2 < cap)
             combine = combine + routing_tensor(keep2, pos2, w2g)
+            kept = kept + jnp.sum(keep2)
         dispatch = (combine > 0.0).astype(xt.dtype)
 
         # Dispatch -> per-expert FFN -> combine: all dense einsums.
         expert_in = jnp.einsum("tec,td->ecd", dispatch, xt,
                                preferred_element_type=jnp.float32
                                ).astype(xt.dtype)
+        expert_out = self._expert_ffn(params, expert_in)
+        out = jnp.einsum("tec,ecd->td", combine.astype(xt.dtype), expert_out,
+                         preferred_element_type=jnp.float32).astype(xt.dtype)
+        stats = {
+            "dropped_fraction": 1.0 - kept / (self.router_top_k * t),
+            "expert_load": jnp.mean(jax.nn.one_hot(idx1, e), axis=0),
+        }
+        return out, self._aux(gates, i_k), stats
+
+    def _expert_ffn(self, params, expert_in):
+        """[E, C, d] -> [E, C, d] batched 2-layer FFN."""
         act = ops.get_activation(self.activation)
         h = act(jnp.einsum("ecd,edf->ecf", expert_in, params["w1"])
                 + params["b1"][:, None, :])
-        expert_out = (jnp.einsum("ecf,efd->ecd", h, params["w2"])
-                      + params["b2"][:, None, :])
-        out = jnp.einsum("tec,ecd->td", combine.astype(xt.dtype), expert_out,
-                         preferred_element_type=jnp.float32).astype(xt.dtype)
-        # GShard aux loss: E * Σ_e mean(gate_e)·mean(top1_e) (min 1 balanced).
-        top1 = jax.nn.one_hot(idx1, e)
-        aux = e * jnp.sum(jnp.mean(gates, axis=0) * jnp.mean(top1, axis=0))
-        return out.reshape(orig), aux
+        return (jnp.einsum("ecf,efd->ecd", h, params["w2"])
+                + params["b2"][:, None, :])
+
+    # ---- sorted dispatch (scatter into [E, C, d]; no [T, E, C]) --------
+
+    def _assignments(self, xt, params):
+        """Flattened routing assignments in GShard slot order.
+
+        Returns (gates, i_k, sorted (tok, expert, weight, pos-in-expert)).
+        Sort key (expert, choice-rank, token) reproduces the dense path's
+        slotting exactly: all first choices of an expert precede its second
+        choices, token order within each class preserved."""
+        t = xt.shape[0]
+        k = self.router_top_k
+        gates, i_k, w_k = self._route(xt, params)
+        tok = jnp.tile(jnp.arange(t), k)                    # [kT]
+        exp = i_k.T.reshape(-1)                             # rank-major
+        wgt = w_k.T.reshape(-1)
+        rank = jnp.repeat(jnp.arange(k), t)
+        key = exp * (k * t) + rank * t + tok                # unique
+        order = jnp.argsort(key)
+        tok_s, exp_s, wgt_s = tok[order], exp[order], wgt[order]
+        # Position within expert = running index - expert segment start.
+        counts = jnp.bincount(exp_s, length=self.num_experts)
+        starts = jnp.cumsum(counts) - counts
+        pos_s = jnp.arange(k * t) - starts[exp_s]
+        return gates, i_k, (tok_s, exp_s, wgt_s, pos_s, counts)
+
+    def _apply_sorted(self, params, xt):
+        t, d = xt.shape
+        e = self.num_experts
+        cap = self._capacity(t)
+        gates, i_k, (tok_s, exp_s, wgt_s, pos_s, _) = \
+            self._assignments(xt, params)
+        keep = pos_s < cap
+        slot = jnp.where(keep, exp_s * cap + pos_s, e * cap)  # dump slot
+
+        buf = jnp.zeros((e * cap + 1, d), xt.dtype).at[slot].set(xt[tok_s])
+        expert_out = self._expert_ffn(params, buf[:-1].reshape(e, cap, d)
+                                      .astype(xt.dtype))
+        out_pad = jnp.concatenate(
+            [expert_out.reshape(e * cap, d),
+             jnp.zeros((1, d), expert_out.dtype)])
+        contrib = (wgt_s * keep)[:, None] * out_pad[slot]
+        out = jnp.zeros((t, d), jnp.float32).at[tok_s].add(contrib)
+        stats = {
+            "dropped_fraction": 1.0 - jnp.sum(keep) / keep.shape[0],
+            "expert_load": jnp.mean(jax.nn.one_hot(i_k[:, 0], e), axis=0),
+        }
+        return out.astype(xt.dtype), self._aux(gates, i_k), stats
+
+    # ---- no-drop routing (ragged grouped matmuls; serving-exact) -------
+
+    def _apply_nodrop(self, params, xt):
+        t, d = xt.shape
+        e = self.num_experts
+        gates, i_k, (tok_s, exp_s, wgt_s, _, counts) = \
+            self._assignments(xt, params)
+        x_s = xt[tok_s]
+        act = ops.get_activation(self.activation)
+        h = act(jax.lax.ragged_dot(x_s, params["w1"].astype(x_s.dtype),
+                                   counts.astype(jnp.int32))
+                + params["b1"][exp_s])
+        y = (jax.lax.ragged_dot(h.astype(x_s.dtype),
+                                params["w2"].astype(x_s.dtype),
+                                counts.astype(jnp.int32))
+             + params["b2"][exp_s])
+        out = jnp.zeros((t, d), jnp.float32).at[tok_s].add(
+            wgt_s[:, None] * y)
+        stats = {
+            "dropped_fraction": jnp.zeros(()),
+            "expert_load": jnp.mean(jax.nn.one_hot(i_k[:, 0], e), axis=0),
+        }
+        return out.astype(xt.dtype), self._aux(gates, i_k), stats
 
     def load_balancing_loss(self, params, x):
         """GShard aux loss: E * Σ_e mean(gate_e) * mean(route1_e)."""
@@ -136,3 +287,84 @@ MOE_RULES = (
     (r".*/w[12]$", jax.sharding.PartitionSpec("ep", None, None)),
     (r".*/b[12]$", jax.sharding.PartitionSpec("ep", None)),
 )
+
+
+def make_expert_parallel_moe(mesh, moe: MoE, ep_axis: str = "ep",
+                             batch_axes=None):
+    """shard_map all-to-all expert parallelism — NO dense [T, E, C] tensor.
+
+    Each device routes its LOCAL token group (GShard grouped routing:
+    capacity per group), scatters them into per-expert capacity blocks
+    [E, C_local, d], exchanges blocks over ``ep_axis`` with
+    ``lax.all_to_all`` so every device receives all groups' tokens for ITS
+    experts, runs the local expert FFNs on [E_local, ep*C_local, d], and
+    reverses the exchange for the local combine. Per-device memory is
+    O(k * T_local * factor * d).
+
+    ``batch_axes``: mesh axes sharding the token batch dim (default: dp+ep
+    when the mesh has a 'dp' axis, else just ep). Expert params are
+    sharded over ``ep_axis`` on their leading axis (MOE_RULES layout);
+    the router is replicated.
+
+    Returns f(params, x) -> (out, aux) — drop it into
+    ``moe.apply_override`` to serve every MoE call site (transformer
+    blocks, GPT stacks) without touching model code. Equal to applying the
+    sorted single-device MoE per token group (asserted in tests).
+    """
+    e = moe.num_experts
+    n_ep = mesh.shape[ep_axis]
+    assert e % n_ep == 0, (e, n_ep)
+    assert moe.capacity_factor is not None, (
+        "the all_to_all EP path needs static per-expert block sizes; "
+        "no-drop routing (capacity_factor=None) has data-dependent group "
+        "sizes — serve those single-device (ragged_dot) or set a factor")
+    if batch_axes is None:
+        batch_axes = (("dp", ep_axis) if "dp" in mesh.axis_names
+                      else (ep_axis,))
+    data_spec = P(batch_axes)
+    pspecs = {"router": P(), "w1": P(ep_axis), "b1": P(ep_axis),
+              "w2": P(ep_axis), "b2": P(ep_axis)}
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(pspecs, data_spec),
+                       out_specs=(data_spec, P()),
+                       check_vma=False)
+    def fn(params, x):
+        orig = x.shape
+        d = orig[-1]
+        xt = x.reshape(-1, d)
+        t = xt.shape[0]
+        cap = moe._capacity(t)
+
+        gates, i_k, (tok_s, exp_s, wgt_s, pos_s, _) = \
+            moe._assignments(xt, params)
+        keep = pos_s < cap
+        slot = jnp.where(keep, exp_s * cap + pos_s, e * cap)
+        buf = jnp.zeros((e * cap + 1, d), xt.dtype).at[slot].set(xt[tok_s])
+
+        # [E, C, d] -> exchange -> this device holds ALL groups' blocks for
+        # its E/ep experts: [E_local, ep*C, d].
+        blocks = buf[:-1].reshape(n_ep, e // n_ep, cap, d)
+        recv = jax.lax.all_to_all(blocks, ep_axis, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        recv = jnp.swapaxes(recv, 0, 1).reshape(e // n_ep, n_ep * cap, d)
+
+        local_params = {k: params[k] for k in ("w1", "b1", "w2", "b2")}
+        expert_out = moe._expert_ffn(local_params, recv.astype(xt.dtype))
+
+        # Reverse exchange: back to [E, C, d] of THIS group's tokens.
+        back = jnp.swapaxes(
+            expert_out.reshape(e // n_ep, n_ep, cap, d), 0, 1)
+        back = jax.lax.all_to_all(back, ep_axis, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        out_pad = jnp.concatenate(
+            [back.reshape(e * cap, d),
+             jnp.zeros((1, d), back.dtype)])
+        contrib = (wgt_s * keep)[:, None] * out_pad[slot]
+        out = jnp.zeros((t, d), jnp.float32).at[tok_s].add(contrib)
+
+        aux = moe._aux(gates, i_k)
+        aux = jax.lax.pmean(aux, batch_axes)
+        return out.astype(xt.dtype).reshape(orig), aux
+
+    return fn

@@ -38,6 +38,7 @@ class TransformerEncoderBlock(Module):
     dtype: Optional[object] = None  # compute dtype (mixed precision)
     moe_experts: int = 0            # >0: FFN becomes a routed MoE
     moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
+    moe_capacity_factor: Optional[float] = 1.25  # None = no-drop routing
     rope: bool = False              # rotary position embeddings
     window: Optional[int] = None    # sliding-window attention (causal only)
     activation: object = "relu"     # FFN activation (reference default ReLU)
@@ -71,6 +72,7 @@ class TransformerEncoderBlock(Module):
                 "moe_experts replaces the FFN entirely; ffn='swiglu' would "
                 "be silently ignored — pick one")
             self.moe = MoE(self.moe_experts, self.hidden_units,
+                           capacity_factor=self.moe_capacity_factor,
                            router_top_k=self.moe_top_k)
         elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,

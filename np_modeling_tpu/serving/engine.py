@@ -73,10 +73,11 @@ class GenerationEngine:
                                  # (whose collect_kv forward runs eagerly —
                                  # dispatch-bound, ~53x slower through this
                                  # machine's TPU tunnel). None selects the
-                                 # dense path (and MoE models always use
-                                 # it: routing capacity is population-
-                                 # coupled, so chunked routing cannot be
-                                 # exact).
+                                 # dense path. Capacity-limited MoE also
+                                 # uses dense (routing is population-
+                                 # coupled); NO-DROP MoE
+                                 # (moe_capacity_factor=None) chunks
+                                 # exactly — per-token routing.
 
     def _make_lane_state(self, gpt, total_pages):
         c = gpt.config
@@ -217,10 +218,14 @@ class GenerationEngine:
             raise OutOfPagesError(
                 f"prompt length {plen} >= the {self._max_tokens}-token "
                 "per-sequence capacity (model max_len / page table)")
-        # MoE routing capacity depends on the token population, so a
-        # chunk-by-chunk prefill cannot reproduce the full-prompt routing
-        # exactly — MoE models use the dense prefill.
-        if self.prefill_chunk_size and not self.gpt.config.moe_experts:
+        # Capacity-limited MoE routing depends on the token population, so
+        # a chunk-by-chunk prefill cannot reproduce the full-prompt routing
+        # exactly — those models use the dense prefill. NO-DROP routing
+        # (moe_capacity_factor=None) is per-token independent, so chunked
+        # prefill is exact for it (asserted in tests/test_serving_moe.py).
+        chunkable_moe = (not self.gpt.config.moe_experts
+                         or self.gpt.config.moe_capacity_factor is None)
+        if self.prefill_chunk_size and chunkable_moe:
             return self._add_request_chunked(seq_id, slot, prompt[0], plen)
 
         logits, kvs = self.gpt.apply(self.params, prompt, collect_kv=True,

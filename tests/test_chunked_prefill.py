@@ -95,6 +95,38 @@ def test_chunked_prefill_with_speculative_lane():
     assert got[:len(want)] == want
 
 
+def test_chunked_prefill_moe_nodrop_token_exact():
+    """NO-DROP MoE routing is per-token independent, so chunked prefill
+    must be token-exact vs the dense prefill (the engine only chunks MoE
+    when moe_capacity_factor=None)."""
+    gpt, params = _gpt(moe_experts=4, moe_capacity_factor=None)
+    prompt = rng.integers(0, 64, 17)
+    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                             prefill_chunk_size=None)
+    want = [dense.add_request(0, prompt)] + [dense.step()[0]
+                                             for _ in range(6)]
+    eng = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                           prefill_chunk_size=8)
+    got = [eng.add_request(0, prompt)] + [eng.step()[0] for _ in range(6)]
+    assert got == want
+
+
+def test_capacity_moe_still_uses_dense_prefill():
+    """Capacity-limited MoE routing is population-coupled: the engine must
+    fall back to the dense prefill even when chunking is requested (and
+    stay token-exact)."""
+    gpt, params = _gpt(moe_experts=4)     # default capacity factor
+    prompt = rng.integers(0, 64, 13)
+    dense = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                             prefill_chunk_size=None)
+    want = [dense.add_request(0, prompt)] + [dense.step()[0]
+                                             for _ in range(4)]
+    eng = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                           prefill_chunk_size=8)
+    got = [eng.add_request(0, prompt)] + [eng.step()[0] for _ in range(4)]
+    assert got == want
+
+
 def test_everything_at_once_serving():
     """All serving features in ONE engine: windowed GQA+RoPE model, bf16
     KV pages, chunked prefill, fork, speculative draft lane, window page

@@ -166,3 +166,156 @@ class TestSwitchRouting:
             params, state, loss = step(params, state)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+class TestMoEV2:
+    """Round-3 MoE: sorted dispatch == dense, no-drop ragged path, stats,
+    shard_map all-to-all EP, E=32 at scale."""
+
+    def _params_and_x(self, e=4, ff=32, cf=1.25, t=24, d=16, seed=0,
+                      **kw):
+        moe = MoE(num_experts=e, hidden_units=ff, capacity_factor=cf, **kw)
+        x = jnp.asarray(rand(t, d, rng=rng))
+        params = moe.init(jax.random.PRNGKey(seed), x)
+        return moe, params, x
+
+    @pytest.mark.parametrize("top_k", [1, 2])
+    @pytest.mark.parametrize("cf", [1.0, 1.25, 8.0])
+    def test_sorted_equals_dense(self, top_k, cf):
+        """Same GShard slotting -> identical outputs AND grads, including
+        with real capacity dropping (cf=1.0)."""
+        moe, params, x = self._params_and_x(cf=cf, router_top_k=top_k)
+        dense = MoE(num_experts=4, hidden_units=32, capacity_factor=cf,
+                    router_top_k=top_k, dispatch_impl="dense")
+        sort = MoE(num_experts=4, hidden_units=32, capacity_factor=cf,
+                   router_top_k=top_k, dispatch_impl="sorted")
+        od, auxd = dense.apply_with_aux(params, x)
+        os_, auxs = sort.apply_with_aux(params, x)
+        assert_allclose(os_, od, rtol=1e-5, atol=1e-6)
+        assert_allclose(auxs, auxd, rtol=1e-6, atol=1e-6)
+        f = lambda m: lambda p: jnp.sum(m.apply_with_aux(p, x)[0] ** 2)
+        gd = jax.grad(f(dense))(params)
+        gs = jax.grad(f(sort))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gs),
+                        jax.tree_util.tree_leaves(gd)):
+            assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_nodrop_matches_bigcap_sorted(self):
+        """capacity_factor=None (ragged_dot) == sorted with huge capacity
+        (nothing dropped either way)."""
+        moe, params, x = self._params_and_x(cf=8.0)
+        nodrop = MoE(num_experts=4, hidden_units=32, capacity_factor=None)
+        big = MoE(num_experts=4, hidden_units=32, capacity_factor=8.0,
+                  dispatch_impl="sorted")
+        on, auxn = nodrop.apply_with_aux(params, x)
+        ob, auxb = big.apply_with_aux(params, x)
+        assert_allclose(on, ob, rtol=1e-5, atol=1e-5)
+        assert_allclose(auxn, auxb, rtol=1e-6, atol=1e-6)
+        g = jax.grad(lambda p: jnp.sum(
+            nodrop.apply_with_aux(p, x)[0] ** 2))(params)
+        gb = jax.grad(lambda p: jnp.sum(
+            big.apply_with_aux(p, x)[0] ** 2))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(gb)):
+            assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def test_nodrop_is_population_independent(self):
+        """A token's output must not depend on the rest of the batch —
+        the property that makes chunked serving prefill exact."""
+        moe, params, x = self._params_and_x(cf=None, t=32)
+        nodrop = MoE(num_experts=4, hidden_units=32, capacity_factor=None)
+        full, _ = nodrop.apply_with_aux(params, x)
+        half1, _ = nodrop.apply_with_aux(params, x[:16])
+        half2, _ = nodrop.apply_with_aux(params, x[16:])
+        assert_allclose(jnp.concatenate([half1, half2]), full,
+                        rtol=1e-5, atol=1e-6)
+        # Capacity routing is NOT population-independent (sanity contrast):
+        capd = MoE(num_experts=4, hidden_units=32, capacity_factor=1.0)
+        fullc, _ = capd.apply_with_aux(params, x)
+        h1, _ = capd.apply_with_aux(params, x[:16])
+        h2, _ = capd.apply_with_aux(params, x[16:])
+        assert not np.allclose(np.asarray(jnp.concatenate([h1, h2])),
+                               np.asarray(fullc), atol=1e-6)
+
+    def test_router_stats(self):
+        moe, params, x = self._params_and_x(cf=1.0, t=64)
+        out, aux, stats = moe.apply_with_aux(params, x, collect_stats=True)
+        drop = float(stats["dropped_fraction"])
+        assert 0.0 <= drop < 1.0
+        load = np.asarray(stats["expert_load"])
+        assert load.shape == (4,) and abs(load.sum() - 1.0) < 1e-5
+        # Huge capacity: nothing dropped.
+        big, params2, x2 = self._params_and_x(cf=16.0)
+        _, _, s2 = big.apply_with_aux(params2, x2, collect_stats=True)
+        assert float(s2["dropped_fraction"]) == 0.0
+        # No-drop path: structurally zero.
+        nd = MoE(num_experts=4, hidden_units=32, capacity_factor=None)
+        _, _, s3 = nd.apply_with_aux(params, x, collect_stats=True)
+        assert float(s3["dropped_fraction"]) == 0.0
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_all_to_all_ep_matches_grouped_oracle(self):
+        """shard_map all-to-all == sorted single-device MoE applied per
+        token group (GShard grouped routing)."""
+        from np_modeling_tpu.nn.moe import make_expert_parallel_moe
+        mesh = parallel.make_mesh({"ep": 4}, jax.devices()[:4])
+        moe = MoE(num_experts=8, hidden_units=32, capacity_factor=1.25,
+                  dispatch_impl="sorted")
+        x = jnp.asarray(rand(8, 6, 16, rng=rng))   # batch 8 -> 4 groups of 2
+        params = moe.init(jax.random.PRNGKey(3), x)
+        ep_fn = make_expert_parallel_moe(mesh, moe, "ep")
+        out, aux = jax.jit(ep_fn)(params, x)
+        # Grouped oracle: rows [2i:2i+2] are one device's group.
+        outs, auxs = [], []
+        for g in range(4):
+            o, a = moe.apply_with_aux(params, x[2 * g:2 * g + 2])
+            outs.append(o)
+            auxs.append(a)
+        assert_allclose(out, jnp.concatenate(outs), rtol=1e-5, atol=1e-5)
+        assert_allclose(aux, jnp.mean(jnp.stack(auxs)), rtol=1e-6, atol=1e-6)
+        # Grads flow through the exchange.
+        g = jax.jit(jax.grad(lambda p: jnp.sum(ep_fn(p, x)[0] ** 2)))(params)
+        g_ref = jax.grad(lambda p: sum(
+            jnp.sum(moe.apply_with_aux(p, x[2 * i:2 * i + 2])[0] ** 2)
+            for i in range(4)))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g_ref)):
+            assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_e32_gpt_trains_on_mesh(self):
+        """VERDICT r3 done-bar: E=32 MoE GPT trains on the 8-device mesh
+        with the all_to_all EP path — no [T, E, C] tensor anywhere."""
+        from np_modeling_tpu import models, training
+        from np_modeling_tpu.nn.moe import make_expert_parallel_moe
+        mesh = parallel.make_mesh({"ep": 8})
+        cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=32, max_len=16,
+                               moe_experts=32)
+        gpt = models.GPT(cfg)
+        toks = jnp.asarray(rng.integers(0, 64, (8, 12)))
+        params = gpt.init(jax.random.PRNGKey(0), toks)
+        params = shard_params(
+            params, mesh,
+            ((r".*moe/w[12]$", P("ep", None, None)),
+             (r".*moe/b[12]$", P("ep", None))))
+        gpt.block.moe.apply_override = make_expert_parallel_moe(
+            mesh, gpt.block.moe, "ep")
+        try:
+            opt = training.adam(1e-2)
+            state = jax.jit(opt.init)(params)
+
+            @jax.jit
+            def step(p, s):
+                l, g = jax.value_and_grad(gpt.loss)(p, toks)
+                u, s = opt.update(g, s, p)
+                return training.apply_updates(p, u), s, l
+
+            losses = []
+            for _ in range(6):
+                params, state, l = step(params, state)
+                losses.append(float(l))
+        finally:
+            gpt.block.moe.apply_override = None
+        assert losses[-1] < losses[0], losses
+        assert all(np.isfinite(losses))
