@@ -15,8 +15,15 @@ Timing: K train steps chained inside ONE jit via lax.scan with a single
 scalar readback (the device tunnel does not block on block_until_ready, so
 per-call wall timing lies; in-jit chaining measures pure device time).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline = flax_step_time / our_step_time (>1.0 = we are faster).
+
+SELF-CERTIFYING (VERDICT r2 #1): the line also records the same-run chip
+probe (bench_probe: plain 8k bf16 matmul chain — the honest ceiling on
+this ~4x-drifting tunneled chip), step MFU vs that probe, and per-kernel
+MFU vs probe (Pallas matmul, flash attention fwd and fwd+bwd at the
+headline shape), so "X% of measured ceiling" is auditable from the
+artifact alone.
 """
 
 from __future__ import annotations
@@ -135,11 +142,82 @@ def bench_flax(tokens):
     return _time_scan_steps(step, params, opt_state, tokens)
 
 
+def kernel_mfu(probe_tf: float) -> dict:
+    """Per-kernel utilization vs the SAME-RUN probe ceiling (chip throughput
+    drifts ~4x across sessions — only same-run ratios are meaningful)."""
+    import bench_probe
+    from np_modeling_tpu import ops
+    from np_modeling_tpu.ops import dispatch
+    from np_modeling_tpu.ops.matmul import matmul
+
+    out = {}
+    n = 8192
+    x = jnp.ones((n, n), jnp.bfloat16)
+    with dispatch.force_pallas(True):
+        t = bench_probe._timed_scan(
+            lambda c: matmul(c, x, out_dtype=jnp.bfloat16, block_m=512,
+                             block_n=1024, block_k=1024), x, n=4)
+    out["matmul"] = round(2 * n**3 / t / 1e12 / probe_tf, 3)
+
+    b, h, s, d = BATCH, HEADS, SEQ, D_MODEL // HEADS
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, s, d),
+                                                 dtype=np.float32)
+                             ).astype(jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    fwd = lambda qc: ops.flash_attention(qc, k, v, causal=True)
+    t = bench_probe._timed_scan(fwd, q, n=4)
+    attn_flops = 4 * b * h * s * s * d * 0.5
+    out["attn_fwd"] = round(attn_flops / t / 1e12 / probe_tf, 3)
+
+    def fwdbwd(qc):
+        # Differentiate wrt q, k, AND v and consume all three grads —
+        # grad-wrt-q-only lets XLA DCE the whole dkv kernel (round-2's
+        # bench_mfu overstated backward MFU this way).
+        g = jax.grad(lambda t: jnp.sum(
+            ops.flash_attention(t[0], t[1], t[2], causal=True
+                                ).astype(jnp.float32) ** 2))((qc, k, v))
+        return (qc + 0.0001 * (g[0] + g[1] + g[2])).astype(jnp.bfloat16)
+    t = bench_probe._timed_scan(fwdbwd, q, n=4)
+    # fwd 4bhs2d + split bwd 10bhs2d (7 matmuls, 2 recomputes), causal half.
+    out["attn_fwdbwd"] = round(14 * b * h * s * s * d * 0.5 / t / 1e12
+                               / probe_tf, 3)
+    return out
+
+
+def serving_tok_per_s() -> float:
+    """Aggregate engine decode throughput (driver-visible serving number,
+    VERDICT r2 #7): 8 live sequences at 512-token context on a 4L/d1024
+    GPT, bf16 KV pages, one jitted step_many dispatch for 64 tokens x all
+    slots. bench_serving.py has the full per-config study."""
+    from np_modeling_tpu import models
+    from np_modeling_tpu.serving import GenerationEngine
+    rng = np.random.default_rng(0)
+    cfg = models.GPTConfig(vocab_size=8192, d_model=1024, num_heads=8,
+                           num_layers=4, hidden_units=4096, max_len=2048,
+                           dtype=jnp.bfloat16)
+    gpt = models.GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(0), jnp.zeros((1, 128), jnp.int32))
+    eng = GenerationEngine(gpt, params, total_pages=128, page_size=64,
+                           max_seqs=8, kv_dtype=jnp.bfloat16)
+    eng.add_requests({s: jnp.asarray(rng.integers(0, 8192, (512,)))
+                      for s in range(8)})
+    n = 64
+    eng.step_many(n)                       # warm the n-step scan compile
+    t0 = time.perf_counter()
+    eng.step_many(n)
+    per = (time.perf_counter() - t0) / n
+    return 8 / per
+
+
 def main():
+    import bench_probe
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(0, VOCAB, (BATCH, SEQ)))
+    probe_tf = bench_probe.probe()       # same-run chip ceiling (TFLOP/s)
     ours = bench_ours(tokens)
     flax_t = bench_flax(tokens)
+    probe_tf = max(probe_tf, bench_probe.probe())   # re-probe after the runs
     tflops = step_flops() / ours / 1e12
     print(json.dumps({
         "metric": f"gpt_4L_d1024_h8_s{SEQ}_b{BATCH}_train_step",
@@ -148,6 +226,10 @@ def main():
         "vs_baseline": round(flax_t / ours, 4),
         "tflops": round(tflops, 1),
         "mfu_vs_197tf_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
+        "probe_tflops": round(probe_tf, 1),
+        "step_mfu_vs_probe": round(tflops / probe_tf, 4),
+        "kernel_mfu_vs_probe": kernel_mfu(probe_tf),
+        "serving_tok_per_s": round(serving_tok_per_s(), 0),
     }))
 
 

@@ -77,10 +77,12 @@ def attention_mfu(peak, causal=True):
                     ).astype(jnp.bfloat16)
 
     def fwdbwd(qc):
-        g = jax.grad(lambda q: jnp.sum(
-            ops.flash_attention(q, k, v, causal=causal).astype(jnp.float32)
-            ** 2))(qc)
-        return (qc + 0.0001 * g).astype(jnp.bfloat16)
+        # grad wrt q, k, AND v (consume all three) — grad-wrt-q-only lets
+        # XLA DCE the dkv kernel and overstates backward MFU.
+        g = jax.grad(lambda t: jnp.sum(
+            ops.flash_attention(t[0], t[1], t[2], causal=causal
+                                ).astype(jnp.float32) ** 2))((qc, k, v))
+        return (qc + 0.0001 * (g[0] + g[1] + g[2])).astype(jnp.bfloat16)
 
     run = _chain(fwdbwd, q)
     t = _time(run, q)

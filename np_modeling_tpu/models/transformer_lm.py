@@ -61,6 +61,14 @@ class GPTConfig:
     use_bias: bool = True         # False: biasless attention/FFN (LLaMA)
     qkv_bias: bool | None = None  # override q/k/v bias only (Qwen2-style)
     rope_base: float = 10000.0    # RoPE theta (LLaMA-3 uses 500000)
+    rope_dim: int | None = None   # partial rotary: rotate only the first
+                                  # rope_dim head features (GPT-NeoX
+                                  # rotary_pct, Phi partial_rotary_factor)
+    parallel_residual: bool = False   # x + attn(n1(x)) + ffn(n2(x))
+                                  # (GPT-J / GPT-NeoX / Phi block form)
+    parallel_shared_norm: bool = False  # Phi: ONE shared LN feeds both the
+                                  # attention and FFN branches (no norm2)
+    lm_head_bias: bool = False    # untied LM head carries a bias (Phi)
     attention_window: int | None = None   # sliding-window (local) attention
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
                                   # never materialized (tied AND untied
@@ -86,16 +94,19 @@ class GPT(Module):
             window=c.attention_window, activation=c.activation,
             ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,
             qkv_bias=c.qkv_bias, rms_offset=c.rms_offset,
-            head_dim=c.head_dim)
+            head_dim=c.head_dim, parallel_residual=c.parallel_residual,
+            parallel_shared_norm=c.parallel_shared_norm)
         if c.positional == "rope":
             self.block.attn.rope_base = c.rope_base
+            self.block.attn.rope_dim = c.rope_dim
         from np_modeling_tpu.nn import RMSNorm
         self.final_norm = (RMSNorm(epsilon=c.ln_eps, offset=c.rms_offset)
                            if c.norm == "rms"
                            else LayerNorm(epsilon=c.ln_eps))
         self.drop = Dropout(c.drop_rate)
         if not c.tie_embeddings:
-            self.lm_head = Linear(c.vocab_size, use_bias=False, dtype=c.dtype)
+            self.lm_head = Linear(c.vocab_size, use_bias=c.lm_head_bias,
+                                  dtype=c.dtype)
 
     def init(self, key, tokens):
         c = self.config

@@ -47,6 +47,7 @@ class MultiHeadAttention(Module):
     window: Optional[int] = None         # sliding-window width (causal only)
     rope: bool = False                   # rotary position embeddings on q/k
     rope_base: float = 10000.0
+    rope_dim: Optional[int] = None       # partial rotary (GPT-NeoX / Phi)
     use_bias: bool = True                # False: LLaMA-style biasless q/k/v/o
     qkv_bias: object = None              # override for q/k/v only (Qwen2:
                                          # qkv biased, o/FFN biasless)
@@ -156,8 +157,8 @@ class MultiHeadAttention(Module):
                     positions = idx + jnp.arange(q.shape[2])
             elif positions is None:
                 positions = jnp.arange(q.shape[2])
-            q = apply_rope(q, positions, self.rope_base)
-            k = apply_rope(k, positions, self.rope_base)
+            q = apply_rope(q, positions, self.rope_base, self.rope_dim)
+            k = apply_rope(k, positions, self.rope_base, self.rope_dim)
 
         new_cache = None
         if decode:

@@ -50,6 +50,9 @@ class TransformerEncoderBlock(Module):
     qkv_bias: object = None         # override q/k/v bias only (Qwen2)
     rms_offset: bool = False        # RMSNorm scales by (1 + w) (Gemma)
     head_dim: Optional[int] = None  # decouple from d_model // num_heads
+    parallel_residual: bool = False     # x + attn(n1(x)) + ffn(n2(x))
+                                    # (GPT-J / GPT-NeoX / Phi form)
+    parallel_shared_norm: bool = False  # Phi: norm1 feeds BOTH branches
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
@@ -58,6 +61,12 @@ class TransformerEncoderBlock(Module):
                                        rope=self.rope, window=self.window,
                                        use_bias=self.use_bias,
                                        qkv_bias=self.qkv_bias)
+        if self.parallel_residual:
+            assert self.norm_first, "parallel residual is a pre-norm form"
+        if self.parallel_shared_norm:
+            assert self.parallel_residual, (
+                "parallel_shared_norm only makes sense with "
+                "parallel_residual (Phi-style block)")
         if self.norm == "rms":
             self.norm1 = RMSNorm(epsilon=self.ln_eps,
                                  offset=self.rms_offset)
@@ -87,8 +96,9 @@ class TransformerEncoderBlock(Module):
         params = {
             "self_attention": self.attn.init(ks[0], x),
             "norm1": self.norm1.init(ks[1], x),
-            "norm2": self.norm2.init(ks[2], x),
         }
+        if not self.parallel_shared_norm:
+            params["norm2"] = self.norm2.init(ks[2], x)
         if self.moe_experts:
             params["moe"] = self.moe.init(ks[3], x)
         elif self.ffn in ("swiglu", "geglu"):
@@ -132,6 +142,39 @@ class TransformerEncoderBlock(Module):
         new_cache = None
         kv = None
         aux = jnp.zeros((), jnp.float32)
+
+        if self.parallel_residual:
+            # GPT-J / GPT-NeoX / Phi form: the attention and FFN branches
+            # both read the BLOCK INPUT and sum into one residual:
+            # out = x + attn(norm1(x)) + ffn(norm2(x))   (NeoX: two norms)
+            # out = x + attn(n(x)) + ffn(n(x))           (Phi: shared norm)
+            h = self.drop.apply({}, x, training, rngs, salt=1)
+            a_in = self.norm1.apply(params["norm1"], h)
+            if decode:
+                y, new_cache = self.attn.apply(params["self_attention"],
+                                               a_in, mask=mask, cache=cache,
+                                               decode=True)
+            elif collect_kv:
+                y, kv = self.attn.apply(params["self_attention"], a_in,
+                                        mask=mask, collect_kv=True)
+            else:
+                y = self.attn.apply(params["self_attention"], a_in,
+                                    mask=mask, segment_ids=segment_ids,
+                                    positions=positions)
+            f_in = (a_in if self.parallel_shared_norm
+                    else self.norm2.apply(params["norm2"], h))
+            if self.moe_experts:
+                z, aux = self.moe.apply_with_aux(params["moe"], f_in)
+            else:
+                z = self._ffn(params, f_in, features)
+            out = x + y + z
+            if decode:
+                return out, new_cache
+            if collect_kv:
+                return out, kv
+            if collect_aux:
+                return out, aux
+            return out
 
         skip = x
         if self.norm_first:

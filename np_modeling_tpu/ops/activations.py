@@ -93,6 +93,36 @@ gelu.defvjp(_gelu_fwd, _gelu_bwd)
 
 
 @jax.custom_vjp
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf-based) GELU: x * Phi(x). HF ``hidden_act="gelu"`` —
+    GPT-NeoX/Pythia use this form; ``gelu`` above is the tanh
+    approximation (HF ``gelu_new``)."""
+    return _gelu_exact_impl(x)
+
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_exact_impl(x):
+    return 0.5 * x * (1.0 + jax.lax.erf(x * _INV_SQRT2))
+
+
+def _gelu_exact_fwd(x):
+    return _gelu_exact_impl(x), x
+
+
+def _gelu_exact_bwd(x, dy):
+    # d/dx [x Phi(x)] = Phi(x) + x phi(x).
+    phi_cdf = 0.5 * (1.0 + jax.lax.erf(x * _INV_SQRT2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+    return (dy * (phi_cdf + x * pdf),)
+
+
+gelu_exact.defvjp(_gelu_exact_fwd, _gelu_exact_bwd)
+
+
+@jax.custom_vjp
 def silu(x: jax.Array) -> jax.Array:
     """x * sigmoid(x) with a hand-written VJP (extension op)."""
     return x * jax.nn.sigmoid(x)
@@ -114,6 +144,7 @@ ACTIVATIONS = {
     "relu": relu,
     "softmax": softmax,
     "gelu": gelu,
+    "gelu_exact": gelu_exact,
     "silu": silu,
     "linear": lambda x: x,
     None: lambda x: x,

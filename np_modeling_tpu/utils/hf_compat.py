@@ -389,3 +389,208 @@ def import_gemma(model, **config_overrides):
     cfg = llama_config(hc, rms_offset=True, ffn="geglu", embed_scale=True,
                        **config_overrides)
     return cfg, llama_params(model.state_dict(), cfg)
+
+
+# ---------------------------------------------------------------------------
+# GPT-NeoX / Pythia import: parallel residual, partial rotary, fused QKV
+# ---------------------------------------------------------------------------
+
+
+def _partial_rope_perm(dk: int, rot: int):
+    """Half-split -> interleaved permutation on the FIRST ``rot`` features
+    only (partial rotary: the pass-through tail keeps its order)."""
+    perm = np.arange(dk)
+    perm[:rot] = _rope_perm(rot)
+    return perm
+
+
+def neox_config(hf_config, **overrides):
+    """``transformers.GPTNeoXConfig`` -> :class:`GPTConfig`."""
+    from np_modeling_tpu.models import GPTConfig
+
+    dk = hf_config.hidden_size // hf_config.num_attention_heads
+    kw = dict(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        max_len=hf_config.max_position_embeddings,
+        drop_rate=0.0,
+        norm_first=True,
+        tie_embeddings=bool(hf_config.tie_word_embeddings),
+        positional="rope",
+        rope_base=float(getattr(hf_config, "rope_theta", None)
+                        or getattr(hf_config, "rotary_emb_base", 10000.0)),
+        rope_dim=int(dk * hf_config.rotary_pct),
+        norm="layer",
+        ffn="mlp",
+        use_bias=True,
+        # HF "gelu" is the exact erf form; "gelu_new" the tanh one (ours).
+        activation=("gelu_exact" if hf_config.hidden_act == "gelu"
+                    else "gelu"),
+        ln_eps=hf_config.layer_norm_eps,
+        parallel_residual=bool(hf_config.use_parallel_residual),
+    )
+    kw.update(overrides)
+    return GPTConfig(**kw)
+
+
+def neox_params(state_dict, config) -> dict:
+    """GPTNeoXForCausalLM state dict -> GPT params pytree.
+
+    NeoX packs q/k/v PER HEAD in one ``query_key_value`` matrix
+    ([..., heads, 3*dk] output layout) and applies rotary to the first
+    ``rotary_pct * dk`` head features (half-split pairing) — unpacked and
+    permuted to our interleaved convention here."""
+    sd = {k.removeprefix("gpt_neox."): v for k, v in state_dict.items()}
+    c = config
+    d, hq = c.d_model, c.num_heads
+    dk = d // hq
+    perm = _partial_rope_perm(dk, c.rope_dim or dk)
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    params = {
+        "embedding": {"table": _np(sd["embed_in.weight"])},
+        "final_norm": ln("final_layer_norm"),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = {"w": _np(state_dict["embed_out.weight"]).T}
+    for i in range(c.num_layers):
+        p = f"layers.{i}"
+        w = _np(sd[f"{p}.attention.query_key_value.weight"])   # [3d, d]
+        b = _np(sd[f"{p}.attention.query_key_value.bias"])     # [3d]
+        w = w.T.reshape(d, hq, 3, dk)
+        b = b.reshape(hq, 3, dk)
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": w[:, :, 0][..., perm], "bq": b[:, 0][..., perm],
+                "wk": w[:, :, 1][..., perm], "bk": b[:, 1][..., perm],
+                "wv": w[:, :, 2], "bv": b[:, 2],
+                "wo": _np(sd[f"{p}.attention.dense.weight"]).T.reshape(
+                    hq, dk, d),
+                "bo": _np(sd[f"{p}.attention.dense.bias"]),
+            },
+            "norm1": ln(f"{p}.input_layernorm"),
+            "norm2": ln(f"{p}.post_attention_layernorm"),
+            "dense1": {"linear": {
+                "w": _np(sd[f"{p}.mlp.dense_h_to_4h.weight"]).T,
+                "b": _np(sd[f"{p}.mlp.dense_h_to_4h.bias"])}},
+            "dense2": {"w": _np(sd[f"{p}.mlp.dense_4h_to_h.weight"]).T,
+                       "b": _np(sd[f"{p}.mlp.dense_4h_to_h.bias"])},
+        }
+    return params
+
+
+def import_gpt_neox(model, **config_overrides):
+    """``transformers.GPTNeoXForCausalLM`` (Pythia family) ->
+    (GPTConfig, params).
+
+    Brings in the PARALLEL-RESIDUAL block form
+    (``x + attn(ln1(x)) + mlp(ln2(x))``, ``use_parallel_residual``) and
+    PARTIAL rotary embeddings (``rotary_pct``) — both first-class GPTConfig
+    knobs (``parallel_residual``, ``rope_dim``)."""
+    cfg = neox_config(model.config, **config_overrides)
+    return cfg, neox_params(model.state_dict(), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Phi import: shared-LN parallel residual, partial rotary, biased everything
+# ---------------------------------------------------------------------------
+
+
+def phi_config(hf_config, **overrides):
+    """``transformers.PhiConfig`` -> :class:`GPTConfig`."""
+    from np_modeling_tpu.models import GPTConfig
+
+    dk = hf_config.hidden_size // hf_config.num_attention_heads
+    assert hf_config.hidden_act == "gelu_new", (
+        f"unsupported Phi activation {hf_config.hidden_act!r}")
+    kw = dict(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=hf_config.num_key_value_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        max_len=hf_config.max_position_embeddings,
+        drop_rate=0.0,
+        norm_first=True,
+        tie_embeddings=False,
+        lm_head_bias=True,
+        positional="rope",
+        rope_base=float(hf_config.rope_theta),
+        rope_dim=int(dk * hf_config.partial_rotary_factor),
+        norm="layer",
+        ffn="mlp",
+        use_bias=True,
+        activation="gelu",            # tanh form == HF "gelu_new"
+        ln_eps=hf_config.layer_norm_eps,
+        parallel_residual=True,
+        parallel_shared_norm=True,    # ONE input_layernorm feeds both
+    )
+    kw.update(overrides)
+    return GPTConfig(**kw)
+
+
+def phi_params(state_dict, config) -> dict:
+    """PhiForCausalLM state dict -> GPT params pytree."""
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    c = config
+    d, hq = c.d_model, c.num_heads
+    hkv = c.num_kv_heads or hq
+    dk = d // hq
+    perm = _partial_rope_perm(dk, c.rope_dim or dk)
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    def heads(prefix, h):
+        w = _np(sd[f"{prefix}.weight"]).T.reshape(d, h, dk)
+        b = _np(sd[f"{prefix}.bias"]).reshape(h, dk)
+        return w[..., perm], b[..., perm]
+
+    params = {
+        "embedding": {"table": _np(sd["embed_tokens.weight"])},
+        "final_norm": ln("final_layernorm"),
+        "lm_head": {"w": _np(state_dict["lm_head.weight"]).T,
+                    "b": _np(state_dict["lm_head.bias"])},
+    }
+    for i in range(c.num_layers):
+        p = f"layers.{i}"
+        wq, bq = heads(f"{p}.self_attn.q_proj", hq)
+        wk, bk = heads(f"{p}.self_attn.k_proj", hkv)
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": wq, "bq": bq, "wk": wk, "bk": bk,
+                "wv": _np(sd[f"{p}.self_attn.v_proj.weight"]).T.reshape(
+                    d, hkv, dk),
+                "bv": _np(sd[f"{p}.self_attn.v_proj.bias"]).reshape(hkv, dk),
+                "wo": _np(sd[f"{p}.self_attn.dense.weight"]).T.reshape(
+                    hq, dk, d),
+                "bo": _np(sd[f"{p}.self_attn.dense.bias"]),
+            },
+            "norm1": ln(f"{p}.input_layernorm"),   # shared: no norm2
+            "dense1": {"linear": {
+                "w": _np(sd[f"{p}.mlp.fc1.weight"]).T,
+                "b": _np(sd[f"{p}.mlp.fc1.bias"])}},
+            "dense2": {"w": _np(sd[f"{p}.mlp.fc2.weight"]).T,
+                       "b": _np(sd[f"{p}.mlp.fc2.bias"])},
+        }
+    return params
+
+
+def import_phi(model, **config_overrides):
+    """``transformers.PhiForCausalLM`` (phi-1/phi-1.5/phi-2) ->
+    (GPTConfig, params).
+
+    Phi is the shared-norm parallel-residual form: ONE LayerNorm feeds
+    both the attention and FFN branches (``parallel_shared_norm``), with
+    partial rotary (``partial_rotary_factor``), biases on every
+    projection, and an untied, BIASED LM head (``lm_head_bias``)."""
+    cfg = phi_config(model.config, **config_overrides)
+    return cfg, phi_params(model.state_dict(), cfg)

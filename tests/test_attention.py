@@ -449,8 +449,25 @@ class TestRoPE:
         x = jnp.asarray(rand(2, 2, 6, 8, rng=rng))
         pos = jnp.arange(6)
         g_ours = jax.grad(lambda x: jnp.sum(apply_rope(x, pos) ** 2))(x)
-        g_ref = jax.grad(lambda x: jnp.sum(_rotate(x, pos, 10000.0, 1.0) ** 2))(x)
+        g_ref = jax.grad(lambda x: jnp.sum(
+            _rotate(x, pos, 10000.0, 1.0, None) ** 2))(x)
         assert_allclose(g_ours, g_ref, rtol=1e-5, atol=1e-5)
+
+    def test_partial_rotary(self):
+        """rope_dim rotates only the first rope_dim features (GPT-NeoX /
+        Phi); the tail passes through; grads stay the inverse rotation."""
+        from np_modeling_tpu.ops.rope import apply_rope
+        x = jnp.asarray(rand(2, 2, 6, 8, rng=rng))
+        pos = jnp.arange(6)
+        out = apply_rope(x, pos, 10000.0, 4)
+        full = apply_rope(x[..., :4], pos)
+        assert_allclose(out[..., :4], full, rtol=1e-6, atol=1e-6)
+        assert_allclose(out[..., 4:], x[..., 4:], rtol=0, atol=0)
+        # Orthogonality: norms preserved; grad == inverse rotation.
+        assert_allclose(jnp.sum(out ** 2), jnp.sum(x ** 2), rtol=1e-5)
+        g = jax.grad(lambda x: jnp.sum(
+            apply_rope(x, pos, 10000.0, 4) * out))(x)
+        assert_allclose(g, x, rtol=1e-5, atol=1e-5)
 
 
 def test_rope_gpt_trains_and_decodes():

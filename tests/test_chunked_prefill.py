@@ -95,6 +95,52 @@ def test_chunked_prefill_with_speculative_lane():
     assert got[:len(want)] == want
 
 
+def test_batched_chunked_prefill_token_exact():
+    """add_requests: three prompts of different lengths prefill through
+    batched [B, chunk] chunk forwards; every stream must equal its
+    dense-prefill reference."""
+    gpt, params = _gpt()
+    prompts = {0: rng.integers(0, 64, 13), 1: rng.integers(0, 64, 21),
+               2: rng.integers(0, 64, 6)}
+    refs = {}
+    for sid, p in prompts.items():
+        e = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                             prefill_chunk_size=None)
+        refs[sid] = [e.add_request(0, p)] + [e.step()[0] for _ in range(6)]
+
+    eng = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                           prefill_chunk_size=8)
+    first = eng.add_requests(prompts)
+    got = {sid: [first[sid]] for sid in prompts}
+    for _ in range(6):
+        toks = eng.step()
+        for sid in prompts:
+            got[sid].append(toks[sid])
+    assert got == refs
+
+
+def test_batched_prefill_joins_live_engine():
+    """A batch joining mid-stream must not disturb live sequences, and the
+    compiled chunk fn is reused per (chunk, B)."""
+    gpt, params = _gpt()
+    p0 = rng.integers(0, 64, 10)
+    batch = {5: rng.integers(0, 64, 9), 6: rng.integers(0, 64, 15)}
+    solo = GenerationEngine(gpt, params, total_pages=64, page_size=8,
+                            prefill_chunk_size=None)
+    ref0 = [solo.add_request(0, p0)] + [solo.step()[0] for _ in range(8)]
+
+    eng = GenerationEngine(gpt, params, total_pages=96, page_size=8,
+                           prefill_chunk_size=8)
+    got0 = [eng.add_request(0, p0)]
+    for _ in range(3):
+        got0.append(eng.step()[0])
+    eng.add_requests(batch)
+    for _ in range(5):
+        got0.append(eng.step()[0])
+    assert got0 == ref0
+    assert sorted(eng.live) == [0, 5, 6]
+
+
 def test_chunked_prefill_moe_nodrop_token_exact():
     """NO-DROP MoE routing is per-token independent, so chunked prefill
     must be token-exact vs the dense prefill (the engine only chunks MoE

@@ -342,3 +342,155 @@ def test_gemma_serves_in_engine():
         for _ in range(7):
             got.append(eng.step()[0])
         assert got == [int(t) for t in want], chunk
+
+
+# ---------------------------------------------------------------------------
+# GPT-NeoX (Pythia): parallel residual + partial rotary + fused QKV
+# ---------------------------------------------------------------------------
+
+
+def _tiny_neox(seed=0, parallel=True, rotary_pct=0.25):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=97, hidden_size=32, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=64,
+        max_position_embeddings=64, rotary_pct=rotary_pct,
+        hidden_act="gelu", use_parallel_residual=parallel,
+        tie_word_embeddings=False, layer_norm_eps=1e-5,
+        attention_dropout=0.0, hidden_dropout=0.0)
+    torch.manual_seed(seed)
+    model = transformers.GPTNeoXForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("parallel,rotary_pct", [(True, 0.25), (True, 1.0),
+                                                 (False, 0.25)])
+def test_neox_logits_match_torch(parallel, rotary_pct):
+    model = _tiny_neox(parallel=parallel, rotary_pct=rotary_pct)
+    cfg, params = hf_compat.import_gpt_neox(model)
+    assert cfg.parallel_residual == parallel
+    assert cfg.rope_dim == int(8 * rotary_pct)
+    assert cfg.activation == "gelu_exact"
+    gpt = models.GPT(cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=(2, 15))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_neox_kv_cache_decode_matches_torch():
+    model = _tiny_neox(seed=3)
+    cfg, params = hf_compat.import_gpt_neox(model)
+    gpt = models.GPT(cfg)
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, 97, size=(1, 8))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        caches = gpt.init_cache(1, 8)
+        toks = jnp.asarray(tokens, jnp.int32)
+        logits, caches = gpt.apply(params, toks[:, :4], caches=caches,
+                                   decode=True)
+        steps = [np.asarray(logits)[:, i] for i in range(4)]
+        for i in range(4, 8):
+            logits, caches = gpt.apply(params, toks[:, i:i + 1],
+                                       caches=caches, decode=True)
+            steps.append(np.asarray(logits)[:, 0])
+    got = np.stack(steps, axis=1)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_neox_serves_in_engine():
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_neox(seed=5)
+    cfg, params = hf_compat.import_gpt_neox(model)
+    gpt = models.GPT(cfg)
+    prompt = np.random.default_rng(4).integers(0, 97, 10)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    got = [eng.add_request(0, prompt)]
+    for _ in range(7):
+        got.append(eng.step()[0])
+    assert got == [int(t) for t in want]
+
+
+# ---------------------------------------------------------------------------
+# Phi: shared-LN parallel residual + partial rotary + biased LM head
+# ---------------------------------------------------------------------------
+
+
+def _tiny_phi(seed=0):
+    cfg = transformers.PhiConfig(
+        vocab_size=97, hidden_size=32, num_attention_heads=4,
+        num_hidden_layers=2, intermediate_size=64,
+        max_position_embeddings=64, partial_rotary_factor=0.5,
+        hidden_act="gelu_new", layer_norm_eps=1e-5,
+        attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0)
+    torch.manual_seed(seed)
+    model = transformers.PhiForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_phi_logits_match_torch():
+    model = _tiny_phi()
+    cfg, params = hf_compat.import_phi(model)
+    assert cfg.parallel_residual and cfg.parallel_shared_norm
+    assert cfg.rope_dim == 4 and cfg.lm_head_bias
+    assert "norm2" not in params["layer_0"]      # shared LN: one norm
+    gpt = models.GPT(cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 97, size=(2, 15))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_phi_serves_in_engine():
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_phi(seed=5)
+    cfg, params = hf_compat.import_phi(model)
+    gpt = models.GPT(cfg)
+    prompt = np.random.default_rng(4).integers(0, 97, 10)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    got = [eng.add_request(0, prompt)]
+    for _ in range(7):
+        got.append(eng.step()[0])
+    assert got == [int(t) for t in want]
+
+
+def test_parallel_residual_block_trains():
+    """The parallel-residual knobs train end-to-end (grads flow through
+    both branches; shared-norm variant included)."""
+    from np_modeling_tpu import training
+    for shared in (False, True):
+        cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                               num_layers=2, hidden_units=64, max_len=32,
+                               positional="rope", rope_dim=4,
+                               parallel_residual=True,
+                               parallel_shared_norm=shared)
+        gpt = models.GPT(cfg)
+        toks = jnp.asarray(np.random.default_rng(0).integers(0, 64, (4, 16)))
+        params = gpt.init(jax.random.PRNGKey(0), toks)
+        opt = training.adam(1e-2)
+        state = jax.jit(opt.init)(params)
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(gpt.loss)(p, toks)
+            u, s = opt.update(g, s, p)
+            return training.apply_updates(p, u), s, l
+
+        losses = []
+        for _ in range(6):
+            params, state, l = step(params, state)
+            losses.append(float(l))
+        assert losses[-1] < losses[0], (shared, losses)
