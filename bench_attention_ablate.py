@@ -1,4 +1,20 @@
-"""Ablation-profile the flash fwd kernel: which piece costs the 2.4ms?"""
+"""Ablation-profile the flash attention forward kernel on the real TPU.
+
+Strips suspected-expensive pieces out of a COPY of the fwd tile (results
+are numerically wrong for the stripped variants — this measures cost, not
+correctness) and times each against a same-run chip probe, then isolates
+the backward kernels by consuming only dq / only dk+dv (XLA DCEs the
+other kernel).
+
+MEASURED so far (2026-08-17, probe 154-162 TF/s, b4 h8 s4096 d128 causal
+bf16): base 4.91 ms; no causal mask 4.84; row-sum via MXU ones-matmul
+5.18 (slower); no max bookkeeping 4.64 — the online-softmax VPU work is
+NOT the bottleneck (<6% each), consistent with jax flash_attention
+(4.57 ms) and splash (4.87 ms) landing at the same speed: the bound is
+the d=128-contraction score-matmul pipeline itself. The dq kernel's
+marginal cost measured ~2.2 ms (fwd+dq 7.0 vs fwd 4.8) — see
+bench_attention_compare.py for the cross-implementation table.
+"""
 import functools
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

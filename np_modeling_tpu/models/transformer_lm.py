@@ -301,7 +301,7 @@ class GPT(Module):
             else:
                 ce_mean = ops.fused_lm_head_loss(
                     out, params["lm_head"]["w"], targets, valid=valid,
-                    table_layout="dv")
+                    table_layout="dv", bias=params["lm_head"].get("b"))
             return ce_mean + c.moe_aux_weight * aux
         ce = ops.softmax_cross_entropy_with_integer_labels(out, targets)
         if valid is not None:

@@ -115,10 +115,15 @@ def softmax_cross_entropy_with_integer_labels(logits: jax.Array,
 
 def _sxe_int_impl(logits, labels):
     lf = logits.astype(jnp.float32)
+    v = lf.shape[-1]
     m = jnp.max(lf, axis=-1, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(lf - m), axis=-1)) + jnp.squeeze(m, -1)
-    correct = jnp.take_along_axis(lf, labels[..., None], axis=-1)[..., 0]
-    return lse - correct, lse
+    # Out-of-range labels keep the one-hot semantics this replaced:
+    # one_hot(oob) == 0 -> ce = lse, dlogits = p*g (no correct-class term).
+    valid = (labels >= 0) & (labels < v)
+    clamped = jnp.clip(labels, 0, v - 1)
+    correct = jnp.take_along_axis(lf, clamped[..., None], axis=-1)[..., 0]
+    return lse - jnp.where(valid, correct, 0.0), lse
 
 
 def _sxe_int_fwd(logits, labels):
@@ -134,7 +139,10 @@ def _sxe_int_bwd(res, g):
                 - lse.reshape(n, 1))
     gf = g.reshape(n).astype(jnp.float32)
     d = p * gf[:, None]
-    d = d.at[jnp.arange(n), labels.reshape(n)].add(-gf)
+    lab = labels.reshape(n)
+    valid = (lab >= 0) & (lab < v)     # match the forward's where(valid, ...)
+    d = d.at[jnp.arange(n), jnp.clip(lab, 0, v - 1)].add(
+        -gf * valid.astype(jnp.float32))
     return d.reshape(logits.shape).astype(logits.dtype), None
 
 
@@ -150,7 +158,8 @@ softmax_cross_entropy_with_integer_labels.defvjp(_sxe_int_fwd, _sxe_int_bwd)
 
 def fused_lm_head_loss(x: jax.Array, table: jax.Array, labels: jax.Array,
                        *, chunk: int = 512, valid=None,
-                       table_layout: str = "vd") -> jax.Array:
+                       table_layout: str = "vd",
+                       bias: jax.Array | None = None) -> jax.Array:
     """mean CE of ``softmax(x @ head)`` against integer labels.
 
     ``x``: [..., d] final hidden states; ``table``: the LM head — either
@@ -174,6 +183,15 @@ def fused_lm_head_loss(x: jax.Array, table: jax.Array, labels: jax.Array,
     lf = labels.reshape(n_total)
     vf = (jnp.ones(n_total, jnp.float32) if valid is None
           else valid.reshape(n_total).astype(jnp.float32))
+    if bias is not None:
+        # Biased head (Phi-style): absorb the bias into the matmul by
+        # augmenting — logits = [x, 1] @ [head; b]. The concatenates are
+        # ordinary differentiable ops OUTSIDE the custom VJP, so autodiff
+        # splits dhead_aug back into (dhead, dbias) exactly.
+        assert table_layout == "dv", "bias implies an untied [d, vocab] head"
+        xf = jnp.concatenate([xf, jnp.ones((n_total, 1), xf.dtype)], axis=1)
+        table = jnp.concatenate(
+            [table, bias[None, :].astype(table.dtype)], axis=0)
     if table_layout == "dv":
         # Normalize to [vocab, d] internally; the transpose is a layout
         # change XLA folds into the chunk matmuls' dimension numbers.

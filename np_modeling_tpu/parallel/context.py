@@ -126,8 +126,13 @@ def _ring_fwd_impl(q, k, v, q_seg, kv_seg, axis_name, causal, window, scale,
         return jax.tree_util.tree_map(
             lambda a: jax.lax.ppermute(a, axis_name, perm_fwd), t)
 
+    has_seg = kv_seg is not None    # no seg: don't ring a dummy tensor
+
     def step_fn(carry, step):
-        o_run, lse_run, k_blk, v_blk, seg_blk = carry
+        if has_seg:
+            o_run, lse_run, k_blk, v_blk, seg_blk = carry
+        else:
+            (o_run, lse_run, k_blk, v_blk), seg_blk = carry, None
         mask = _ring_block_mask(step, axis_name, s_local, b, causal, window,
                                 q_seg, seg_blk)
         o_blk, lse_blk = _block_fwd(q, k_blk, v_blk, mask, scale,
@@ -139,15 +144,17 @@ def _ring_fwd_impl(q, k, v, q_seg, kv_seg, axis_name, causal, window, scale,
         w_old = jnp.exp(lse_run - lse_new)[..., None]
         w_blk = jnp.exp(lse_blk - lse_new)[..., None]
         o_run = o_run * w_old + o_blk.astype(jnp.float32) * w_blk
-        k_blk, v_blk, seg_blk = rotate((k_blk, v_blk, seg_blk))
-        return (o_run, lse_new, k_blk, v_blk, seg_blk), None
+        if has_seg:
+            k_blk, v_blk, seg_blk = rotate((k_blk, v_blk, seg_blk))
+            return (o_run, lse_new, k_blk, v_blk, seg_blk), None
+        k_blk, v_blk = rotate((k_blk, v_blk))
+        return (o_run, lse_new, k_blk, v_blk), None
 
     o0 = jnp.zeros((b, hq, s_local, d), jnp.float32)
     lse0 = jnp.full((b, hq, s_local), _NEG, jnp.float32)
-    seg0 = kv_seg if kv_seg is not None else jnp.zeros((b, s_local),
-                                                       jnp.int32)
-    (o, lse, _, _, _), _ = jax.lax.scan(
-        step_fn, (o0, lse0, k, v, seg0), jnp.arange(n))
+    carry0 = ((o0, lse0, k, v, kv_seg) if has_seg else (o0, lse0, k, v))
+    out_carry, _ = jax.lax.scan(step_fn, carry0, jnp.arange(n))
+    o, lse = out_carry[0], out_carry[1]
     return o.astype(q.dtype), lse
 
 
@@ -168,11 +175,13 @@ def _ring_bwd(axis_name, causal, window, scale, block_q, block_kv, res, do):
         return jax.tree_util.tree_map(
             lambda a: jax.lax.ppermute(a, axis_name, perm_fwd), t)
 
-    seg0 = kv_seg if kv_seg is not None else jnp.zeros((b, s_local),
-                                                       jnp.int32)
+    has_seg = kv_seg is not None    # no seg: don't ring a dummy tensor
 
     def step_fn(carry, step):
-        dq_acc, k_blk, v_blk, seg_blk, dk_blk, dv_blk = carry
+        if has_seg:
+            dq_acc, k_blk, v_blk, seg_blk, dk_blk, dv_blk = carry
+        else:
+            (dq_acc, k_blk, v_blk, dk_blk, dv_blk), seg_blk = carry, None
         mask = _ring_block_mask(step, axis_name, s_local, b, causal, window,
                                 q_seg, seg_blk)
         dq_b, dk_b, dv_b = _block_bwd(q, k_blk, v_blk, o, lse, do, mask,
@@ -182,14 +191,20 @@ def _ring_bwd(axis_name, causal, window, scale, block_q, block_kv, res, do):
         dv_blk = dv_blk + dv_b.astype(jnp.float32)
         # dk/dv accumulators TRAVEL with their blocks: after n rotations
         # both are back home carrying every device's contribution.
-        k_blk, v_blk, seg_blk, dk_blk, dv_blk = rotate(
-            (k_blk, v_blk, seg_blk, dk_blk, dv_blk))
-        return (dq_acc, k_blk, v_blk, seg_blk, dk_blk, dv_blk), None
+        if has_seg:
+            k_blk, v_blk, seg_blk, dk_blk, dv_blk = rotate(
+                (k_blk, v_blk, seg_blk, dk_blk, dv_blk))
+            return (dq_acc, k_blk, v_blk, seg_blk, dk_blk, dv_blk), None
+        k_blk, v_blk, dk_blk, dv_blk = rotate(
+            (k_blk, v_blk, dk_blk, dv_blk))
+        return (dq_acc, k_blk, v_blk, dk_blk, dv_blk), None
 
     dq0 = jnp.zeros((b, hq, s_local, d), jnp.float32)
     dkv0 = jnp.zeros_like(k, jnp.float32), jnp.zeros_like(v, jnp.float32)
-    (dq, _, _, _, dk, dv), _ = jax.lax.scan(
-        step_fn, (dq0, k, v, seg0, *dkv0), jnp.arange(n))
+    carry0 = ((dq0, k, v, kv_seg, *dkv0) if has_seg
+              else (dq0, k, v, *dkv0))
+    out_carry, _ = jax.lax.scan(step_fn, carry0, jnp.arange(n))
+    dq, dk, dv = out_carry[0], out_carry[-2], out_carry[-1]
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             None, None)
 

@@ -185,7 +185,9 @@ def pipeline_gpt(mesh: Mesh, gpt, axis: str = "pp",
     ``config.moe_aux_weight``, mirroring GPT.loss). Dropout masks are drawn
     per microbatch — equal to a sequential model applied microbatch-wise
     with keys ``fold_in(fold_in(dropout_key, m), layer)`` (asserted in
-    tests), not to a full-batch draw.
+    tests), not to a full-batch draw. On a pp x dp mesh each dp group
+    additionally folds its axis index into the in-stage keys (groups hold
+    different rows — identical masks would correlate the noise).
 
     The batch may additionally be sharded over a 'dp' mesh axis: pass a
     mesh with both axes and ``dp_axis='dp'`` rows stay on their devices
@@ -282,6 +284,16 @@ def pipeline_gpt(mesh: Mesh, gpt, axis: str = "pp",
             check_vma=False)
         def run(staged, xs, mb_inputs):
             local = jax.tree_util.tree_map(lambda a: a[0], staged)
+            if dp is not None and "dropout_key" in mb_inputs:
+                # De-correlate in-stage dropout across dp groups: the key is
+                # replicated but each group holds DIFFERENT rows of the
+                # microbatch — without this fold every group would draw
+                # bitwise-identical masks for its rows.
+                di = jax.lax.axis_index(dp)
+                mb_inputs = dict(mb_inputs)
+                mb_inputs["dropout_key"] = jax.vmap(
+                    lambda k: jax.random.fold_in(k, di))(
+                        mb_inputs["dropout_key"])
             ys, aux = _pipeline_core(stage_fn, local, xs,
                                      jnp.zeros((), jnp.float32), mb_inputs,
                                      axis, m, virtual_stages, remat_stages)

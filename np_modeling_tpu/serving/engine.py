@@ -327,7 +327,7 @@ class GenerationEngine:
         # a chunk-by-chunk prefill cannot reproduce the full-prompt routing
         # exactly — those models use the dense prefill. NO-DROP routing
         # (moe_capacity_factor=None) is per-token independent, so chunked
-        # prefill is exact for it (asserted in tests/test_serving_moe.py).
+        # prefill is exact for it (asserted in tests/test_chunked_prefill.py).
         chunkable_moe = (not self.gpt.config.moe_experts
                          or self.gpt.config.moe_capacity_factor is None)
         if self.prefill_chunk_size and chunkable_moe:
@@ -476,7 +476,7 @@ class GenerationEngine:
                     chunk, B, ln.gpt, ln.trash)
             fn = self._jit_chunk[key]
             st = getattr(self, ln.attr)
-            lgs = []                           # device refs, read back once
+            row_logits = [None] * B
             for ci in range(n_chunks):
                 n_valid = np.clip(plens - ci * chunk, 0, chunk)
                 st, lg = fn(st, params_of[ln.attr],
@@ -484,11 +484,14 @@ class GenerationEngine:
                                                (ci + 1) * chunk]),
                             slots_arr, jnp.int32(ci * chunk),
                             jnp.asarray(n_valid, jnp.int32))
-                lgs.append(lg)
+                # Keep only rows whose FINAL chunk this was — holding every
+                # chunk's [B, vocab] logits alive would be O(n_chunks * B
+                # * vocab) device memory on long prompts.
+                for i in np.nonzero(final_ci == ci)[0]:
+                    row_logits[int(i)] = lg[i]
             setattr(self, ln.attr, st)
             if ln.attr == "_state":
-                last_logits = jnp.stack(
-                    [lgs[final_ci[i]][i] for i in range(B)])
+                last_logits = jnp.stack(row_logits)
 
         self._rng, sub = jax.random.split(self._rng)
         toks = self._sample(last_logits, sub)

@@ -119,6 +119,22 @@ def save_checkpoint_sharded(path: str, tree) -> None:
         # All data files exist before ANY manifest appears.
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("ckpt_data_files")
+    # Re-saving into a previously-used directory: remove manifests the
+    # CURRENT save will not rewrite, or a stale single-process manifest
+    # (resp. stale high-rank manifests from a larger process count) would
+    # shadow (resp. be unioned with) this save's and silently restore old
+    # or mixed data. Same-name manifests are atomically overwritten below.
+    if pid == 0:
+        import glob
+        stale = [os.path.join(path, _MANIFEST)] if multi else []
+        for p in glob.glob(os.path.join(path, "manifest.p*.msgpack")):
+            rank = int(os.path.basename(p)[len("manifest.p"):-len(".msgpack")])
+            if not multi or rank >= jax.process_count():
+                stale.append(p)
+        for p in stale:
+            if os.path.exists(p):
+                os.unlink(p)
+    manifest["__num_processes__"] = jax.process_count()
     data = serialization.msgpack_serialize(manifest)
     name = f"manifest.p{pid:05d}.msgpack" if multi else _MANIFEST
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
@@ -166,21 +182,32 @@ def _read_manifest(path: str):
     single = os.path.join(path, _MANIFEST)
     if os.path.exists(single):
         with open(single, "rb") as f:
-            return serialization.msgpack_restore(f.read())
+            m = serialization.msgpack_restore(f.read())
+        m.pop("__num_processes__", None)
+        return m
     import glob
     parts = sorted(glob.glob(os.path.join(path, "manifest.p*.msgpack")))
     if not parts:
         raise FileNotFoundError(f"no manifest in checkpoint dir {path!r}")
     manifest = {}
+    counts = set()
     for p in parts:
         with open(p, "rb") as f:
             part = serialization.msgpack_restore(f.read())
+        counts.add(int(part.pop("__num_processes__", len(parts))))
         for key, meta in part.items():
             if key in manifest:
                 manifest[key]["shards"] = (list(manifest[key]["shards"])
                                            + list(meta["shards"]))
             else:
                 manifest[key] = dict(meta, shards=list(meta["shards"]))
+    # Mixed-generation guard: every per-host manifest must come from the
+    # same save (same process count) and all of them must be present.
+    if counts != {len(parts)}:
+        raise RuntimeError(
+            f"checkpoint dir {path!r} holds manifests from different saves "
+            f"({len(parts)} part files, process counts {sorted(counts)}); "
+            "re-save the checkpoint or remove the stale manifests")
     return manifest
 
 

@@ -201,3 +201,77 @@ class TestFusedLMHeadLossUntied:
         for a, b in zip(jax.tree_util.tree_leaves(g2),
                         jax.tree_util.tree_leaves(g1)):
             assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestGatherCEOutOfRangeLabels:
+    """Out-of-range labels keep the one-hot semantics: ce = lse (no
+    correct-class term) and the VJP matches autodiff of the forward."""
+
+    def test_oob_forward_matches_onehot_semantics(self):
+        logits = jnp.asarray(rand(4, 8, rng=rng))
+        labels = jnp.asarray([2, -1, 8, 3])          # two out-of-range rows
+        ce = ops.softmax_cross_entropy_with_integer_labels(logits, labels)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        # one_hot(-1) == one_hot(8) == zeros -> ce is pure lse there.
+        onehot = jax.nn.one_hot(labels, 8)           # OOB rows -> all-zero
+        want = lse - jnp.sum(onehot * logits, axis=-1)
+        assert_allclose(ce, want, rtol=1e-6, atol=1e-6)
+
+    def test_oob_grad_consistent_with_forward(self):
+        logits = jnp.asarray(rand(4, 8, rng=rng))
+        labels = jnp.asarray([2, -1, 8, 3])
+        f = lambda l: jnp.sum(
+            ops.softmax_cross_entropy_with_integer_labels(l, labels) ** 2)
+        g = jax.grad(f)(logits)
+        # Oracle: autodiff of the same math WITHOUT the custom VJP.
+        def oracle(l):
+            lse = jax.nn.logsumexp(l, axis=-1)
+            onehot = jax.nn.one_hot(labels, 8)
+            return jnp.sum((lse - jnp.sum(onehot * l, axis=-1)) ** 2)
+        g_ref = jax.grad(oracle)(logits)
+        assert_allclose(g, g_ref, rtol=1e-5, atol=1e-6)
+
+
+class TestFusedLMHeadLossBias:
+    def test_biased_head_matches_reference_with_grads(self):
+        """fused_loss with a biased untied head (Phi): loss equals CE over
+        x@W+b, and W AND b both receive the reference gradients."""
+        x = jnp.asarray(rand(10, 6, rng=rng))
+        w = jnp.asarray(rand(6, 16, rng=rng))
+        b = jnp.asarray(rand(16, rng=rng))
+        labels = jnp.asarray(rng.integers(0, 16, 10))
+
+        def fused(x, w, b):
+            return ops.fused_lm_head_loss(x, w, labels, chunk=4,
+                                          table_layout="dv", bias=b)
+
+        def ref(x, w, b):
+            ce = ops.softmax_cross_entropy_with_integer_labels(
+                x @ w + b, labels)
+            return jnp.mean(ce)
+
+        assert_allclose(fused(x, w, b), ref(x, w, b), rtol=1e-6, atol=1e-6)
+        gf = jax.grad(fused, argnums=(0, 1, 2))(x, w, b)
+        gr = jax.grad(ref, argnums=(0, 1, 2))(x, w, b)
+        for a, bb in zip(gf, gr):
+            assert_allclose(a, bb, rtol=1e-5, atol=1e-6)
+        assert float(jnp.sum(jnp.abs(gf[2]))) > 0      # bias grad flows
+
+    def test_phi_style_gpt_fused_loss_matches_plain(self):
+        from np_modeling_tpu import models
+        cfg = dict(vocab_size=64, d_model=32, num_heads=4, num_layers=2,
+                   hidden_units=64, max_len=32, tie_embeddings=False,
+                   lm_head_bias=True, parallel_residual=True,
+                   parallel_shared_norm=True, positional="rope", rope_dim=4)
+        toks = jnp.asarray(rng.integers(0, 64, (2, 16)))
+        g1 = models.GPT(models.GPTConfig(**cfg))
+        params = g1.init(jax.random.PRNGKey(0), toks)
+        plain = g1.loss(params, toks)
+        g2 = models.GPT(models.GPTConfig(**cfg, fused_loss=True))
+        fused = g2.loss(params, toks)
+        assert_allclose(fused, plain, rtol=1e-5, atol=1e-6)
+        ga = jax.grad(g1.loss)(params, toks)
+        gb = jax.grad(g2.loss)(params, toks)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -203,3 +203,42 @@ def test_llama_style_sharded_grads_match_single_device():
     assert_allclose(g_shard["layer_0"]["self_attention"]["wq"],
                     g_single["layer_0"]["self_attention"]["wq"],
                     rtol=1e-4, atol=1e-5)
+
+
+class TestCheckpointStaleManifests:
+    """Re-saving into a used directory must not mix checkpoint generations
+    (VERDICT r3 review finding)."""
+
+    def test_single_process_resave_removes_stale_part_manifests(self,
+                                                                tmp_path):
+        from np_modeling_tpu import training
+        from flax import serialization
+        d = tmp_path / "ckpt"
+        d.mkdir()
+        # Simulate debris from an earlier multi-process save: a per-host
+        # manifest that a later single-process save must remove (else a
+        # loader that sees no manifest.msgpack would union stale shards).
+        stale = d / "manifest.p00001.msgpack"
+        stale.write_bytes(serialization.msgpack_serialize(
+            {"__num_processes__": 2}))
+        tree = {"w": jnp.arange(6.0).reshape(2, 3)}
+        training.save_checkpoint_sharded(str(d), tree)
+        assert not stale.exists()
+        out = training.load_checkpoint_sharded(
+            str(d), {"w": jnp.zeros((2, 3))})
+        np.testing.assert_array_equal(np.asarray(out["w"]),
+                                      np.arange(6.0).reshape(2, 3))
+
+    def test_loader_rejects_mixed_generation_manifests(self, tmp_path):
+        from np_modeling_tpu import training
+        from flax import serialization
+        d = tmp_path / "ckpt"
+        d.mkdir()
+        # Two per-host manifests claiming different process counts: a
+        # 4-process save partially overwritten by a 2-process one.
+        (d / "manifest.p00000.msgpack").write_bytes(
+            serialization.msgpack_serialize({"__num_processes__": 2}))
+        (d / "manifest.p00001.msgpack").write_bytes(
+            serialization.msgpack_serialize({"__num_processes__": 4}))
+        with pytest.raises(RuntimeError, match="different saves"):
+            training.load_checkpoint_sharded(str(d), {"w": jnp.zeros(2)})
