@@ -61,26 +61,51 @@ def main():
                                            q_seq_shards=1, block_sizes=bs))
         return kern(qc * sc, k, v)
 
-    variants = {"ours": ours, "jax_flash_attention": jax_fa,
-                "splash_attention": splash}
-    probe0 = bench_probe.probe()
-    times = {}
-    for _ in range(2):                      # interleave A/B/C, A/B/C
-        for name, fn in variants.items():
-            t = bench_probe._timed_scan(fn, q, n=8)
-            times.setdefault(name, []).append(t)
-    probe1 = bench_probe.probe()
-    base = min(times["ours"])
-    for name, ts in times.items():
-        t = min(ts)
-        print(json.dumps({
-            "metric": f"attn_fwd_{name}_b{B}h{H}s{S}d{D}_causal",
-            "value": round(t * 1e6, 1),
-            "unit": "us",
-            "tflops": round(fl / t / 1e12, 1),
-            "ours_over_this": round(t / base, 3),
-            "probe_tflops": round(min(probe0, probe1), 1),
-        }))
+    def grad_of(fn):
+        # Sum all three input grads so neither backward kernel is DCE'd.
+        g = jax.grad(
+            lambda qc, kc, vc: jnp.sum(fn(qc, kc, vc).astype(jnp.float32)),
+            argnums=(0, 1, 2))
+        return lambda qc: sum(g(qc, k, v))
+
+    def run_set(tag, variants, flops):
+        probe0 = bench_probe.probe()
+        times = {}
+        for _ in range(2):                  # interleave A/B/C, A/B/C
+            for name, fn in variants.items():
+                t = bench_probe._timed_scan(fn, q, n=8)
+                times.setdefault(name, []).append(t)
+        probe1 = bench_probe.probe()
+        base = min(times["ours"])
+        for name, ts in times.items():
+            t = min(ts)
+            print(json.dumps({
+                "metric": f"attn_{tag}_{name}_b{B}h{H}s{S}d{D}_causal",
+                "value": round(t * 1e6, 1),
+                "unit": "us",
+                "tflops": round(flops / t / 1e12, 1),
+                "ours_over_this": round(t / base, 3),
+                "probe_tflops": round(min(probe0, probe1), 1),
+            }))
+
+    run_set("fwd", {"ours": ours, "jax_flash_attention": jax_fa,
+                    "splash_attention": splash}, fl)
+
+    # fwd+bwd: ideal-recompute FLOP count is 3.5x the forward (2 fwd
+    # matmul-units + 5 bwd incl. one score recompute). splash's bwd wants
+    # its own block-size tuning; compare against jax flash_attention.
+    def ours3(qc, kc, vc):
+        from np_modeling_tpu import ops
+        return ops.flash_attention(qc, kc, vc, causal=True)
+
+    def jax_fa3(qc, kc, vc):
+        from jax.experimental.pallas.ops.tpu import flash_attention as jfa
+        bs = jfa.BlockSizes.get_default()
+        return jfa.flash_attention(qc, kc, vc, causal=True, sm_scale=sc,
+                                   block_sizes=bs)
+
+    run_set("fwdbwd", {"ours": grad_of(ours3),
+                       "jax_flash_attention": grad_of(jax_fa3)}, 3.5 * fl)
 
 
 if __name__ == "__main__":

@@ -49,15 +49,21 @@ from np_modeling_tpu.nn.module import Module
 
 @dataclasses.dataclass
 class MoE(Module):
-    """Top-k routed FFN: router linear -> dispatch -> per-expert 2-layer FFN
-    -> weighted combine. Params: router [d, E]; w1 [E, d, ff]; b1 [E, ff];
-    w2 [E, ff, d]; b2 [E, d]."""
+    """Top-k routed FFN: router linear -> dispatch -> per-expert FFN ->
+    weighted combine.
+
+    Expert form (``ffn``): "mlp" — 2-layer FFN, params router [d, E];
+    w1 [E, d, ff]; b1 [E, ff]; w2 [E, ff, d]; b2 [E, d]. "swiglu" /
+    "geglu" — gated biasless experts (Mixtral-style), params router;
+    w_gate [E, d, ff]; w_up [E, d, ff]; w_down [E, ff, d] with
+    silu (resp. gelu) gating."""
 
     num_experts: int
     hidden_units: int
     capacity_factor: Optional[float] = 1.25   # None = NO-DROP routing
     router_top_k: int = 2         # 2 = GShard; 1 = Switch routing
-    activation: str = "relu"
+    activation: str = "relu"      # mlp experts only (gated forms fix silu/gelu)
+    ffn: str = "mlp"              # "mlp" | "swiglu" | "geglu"
     kernel_init: Callable = initializers.lecun_normal
     dispatch_impl: str = "auto"   # dense | sorted | auto (sorted iff E > 8)
     apply_override: Optional[Callable] = None  # e.g. the shard_map
@@ -68,11 +74,20 @@ class MoE(Module):
     def __post_init__(self):
         assert self.router_top_k in (1, 2), "router_top_k must be 1 or 2"
         assert self.dispatch_impl in ("auto", "dense", "sorted")
+        assert self.ffn in ("mlp", "swiglu", "geglu"), self.ffn
 
     def init(self, key, x):
         d = x.shape[-1]
         e, ff = self.num_experts, self.hidden_units
         ks = jax.random.split(key, 3)
+        if self.ffn != "mlp":
+            ks = jax.random.split(key, 4)
+            return {
+                "router": self.kernel_init(ks[0], (d, e)),
+                "w_gate": self.kernel_init(ks[1], (e, d, ff)),
+                "w_up": self.kernel_init(ks[2], (e, d, ff)),
+                "w_down": self.kernel_init(ks[3], (e, ff, d)),
+            }
         return {
             "router": self.kernel_init(ks[0], (d, e)),
             "w1": self.kernel_init(ks[1], (e, d, ff)),
@@ -80,6 +95,13 @@ class MoE(Module):
             "w2": self.kernel_init(ks[2], (e, ff, d)),
             "b2": jnp.zeros((e, d)),
         }
+
+    def _expert_param_names(self):
+        return (("w_gate", "w_up", "w_down") if self.ffn != "mlp"
+                else ("w1", "b1", "w2", "b2"))
+
+    def _gate_act(self):
+        return ops.get_activation("silu" if self.ffn == "swiglu" else "gelu")
 
     def _capacity(self, tokens):
         # ceil(k * T / E * factor), at least 4, rounded to a multiple of 4.
@@ -193,7 +215,12 @@ class MoE(Module):
         return out, self._aux(gates, i_k), stats
 
     def _expert_ffn(self, params, expert_in):
-        """[E, C, d] -> [E, C, d] batched 2-layer FFN."""
+        """[E, C, d] -> [E, C, d] batched expert FFN (mlp or gated)."""
+        if self.ffn != "mlp":
+            g = self._gate_act()(
+                jnp.einsum("ecd,edf->ecf", expert_in, params["w_gate"]))
+            h = g * jnp.einsum("ecd,edf->ecf", expert_in, params["w_up"])
+            return jnp.einsum("ecf,efd->ecd", h, params["w_down"])
         act = ops.get_activation(self.activation)
         h = act(jnp.einsum("ecd,edf->ecf", expert_in, params["w1"])
                 + params["b1"][:, None, :])
@@ -256,14 +283,22 @@ class MoE(Module):
         gates, i_k, (tok_s, exp_s, wgt_s, _, counts) = \
             self._assignments(xt, params)
         x_s = xt[tok_s]
-        act = ops.get_activation(self.activation)
-        h = act(jax.lax.ragged_dot(x_s, params["w1"].astype(x_s.dtype),
-                                   counts.astype(jnp.int32))
-                + params["b1"][exp_s])
-        y = (jax.lax.ragged_dot(h.astype(x_s.dtype),
-                                params["w2"].astype(x_s.dtype),
-                                counts.astype(jnp.int32))
-             + params["b2"][exp_s])
+        gs = counts.astype(jnp.int32)
+        if self.ffn != "mlp":
+            g = self._gate_act()(jax.lax.ragged_dot(
+                x_s, params["w_gate"].astype(x_s.dtype), gs))
+            h = g * jax.lax.ragged_dot(
+                x_s, params["w_up"].astype(x_s.dtype), gs)
+            y = jax.lax.ragged_dot(h.astype(x_s.dtype),
+                                   params["w_down"].astype(x_s.dtype), gs)
+        else:
+            act = ops.get_activation(self.activation)
+            h = act(jax.lax.ragged_dot(x_s, params["w1"].astype(x_s.dtype),
+                                       gs)
+                    + params["b1"][exp_s])
+            y = (jax.lax.ragged_dot(h.astype(x_s.dtype),
+                                    params["w2"].astype(x_s.dtype), gs)
+                 + params["b2"][exp_s])
         out = jnp.zeros((t, d), jnp.float32).at[tok_s].add(
             wgt_s[:, None] * y)
         stats = {
@@ -286,6 +321,9 @@ class MoE(Module):
 MOE_RULES = (
     (r".*/w[12]$", jax.sharding.PartitionSpec("ep", None, None)),
     (r".*/b[12]$", jax.sharding.PartitionSpec("ep", None)),
+    # Gated (Mixtral-style) experts: 3-D [E, d, ff] / [E, ff, d] weights.
+    (r".*moe/w_(gate|up|down)$",
+     jax.sharding.PartitionSpec("ep", None, None)),
 )
 
 
@@ -322,8 +360,8 @@ def make_expert_parallel_moe(mesh, moe: MoE, ep_axis: str = "ep",
         batch_axes = (("dp", ep_axis) if "dp" in mesh.axis_names
                       else (ep_axis,))
     data_spec = P(batch_axes)
-    pspecs = {"router": P(), "w1": P(ep_axis), "b1": P(ep_axis),
-              "w2": P(ep_axis), "b2": P(ep_axis)}
+    expert_names = moe._expert_param_names()
+    pspecs = {"router": P(), **{k: P(ep_axis) for k in expert_names}}
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(pspecs, data_spec),
@@ -349,7 +387,7 @@ def make_expert_parallel_moe(mesh, moe: MoE, ep_axis: str = "ep",
                                   concat_axis=0, tiled=False)
         recv = jnp.swapaxes(recv, 0, 1).reshape(e // n_ep, n_ep * cap, d)
 
-        local_params = {k: params[k] for k in ("w1", "b1", "w2", "b2")}
+        local_params = {k: params[k] for k in expert_names}
         expert_out = moe._expert_ffn(local_params, recv.astype(xt.dtype))
 
         # Reverse exchange: back to [E, C, d] of THIS group's tokens.

@@ -77,12 +77,10 @@ class TransformerEncoderBlock(Module):
             self.norm2 = LayerNorm(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
-            assert self.ffn == "mlp", (
-                "moe_experts replaces the FFN entirely; ffn='swiglu' would "
-                "be silently ignored — pick one")
             self.moe = MoE(self.moe_experts, self.hidden_units,
                            capacity_factor=self.moe_capacity_factor,
-                           router_top_k=self.moe_top_k)
+                           router_top_k=self.moe_top_k,
+                           activation=self.activation, ffn=self.ffn)
         elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
                                 activation=self.activation,
