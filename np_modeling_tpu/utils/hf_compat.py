@@ -248,12 +248,13 @@ def llama_params(state_dict, config) -> dict:
             },
             "norm1": gamma(f"{p}.input_layernorm"),
             "norm2": gamma(f"{p}.post_attention_layernorm"),
-            "swiglu": {
+        }
+        if not c.moe_experts:       # Mixtral fills "moe" instead
+            params[f"layer_{i}"]["swiglu"] = {
                 "w_gate": _np(sd[f"{p}.mlp.gate_proj.weight"]).T,
                 "w_up": _np(sd[f"{p}.mlp.up_proj.weight"]).T,
                 "w_down": _np(sd[f"{p}.mlp.down_proj.weight"]).T,
-            },
-        }
+            }
     return params
 
 
@@ -389,6 +390,57 @@ def import_gemma(model, **config_overrides):
     cfg = llama_config(hc, rms_offset=True, ffn="geglu", embed_scale=True,
                        **config_overrides)
     return cfg, llama_params(model.state_dict(), cfg)
+
+
+def import_mixtral(model, **config_overrides):
+    """``transformers.MixtralForCausalLM`` -> (GPTConfig, params).
+
+    Mixtral is the LLaMA/Mistral architecture with the FFN replaced by a
+    top-2 routed MoE of SwiGLU experts. HF's routing — softmax over the
+    router logits, top-k, renormalize the kept weights, NO capacity
+    limit — is exactly our GShard path with ``moe_capacity_factor=None``
+    (the no-drop dispatch), so logits match token-for-token.
+
+    Weight map per layer (torch stores [out, in]; ours [in, out]):
+
+    | HF Mixtral                                | ours                    |
+    |-------------------------------------------|-------------------------|
+    | ``block_sparse_moe.gate.weight`` [E, d]   | ``moe/router`` [d, E]   |
+    | ``...experts.{e}.w1.weight`` [ff, d]      | ``moe/w_gate[e]``       |
+    | ``...experts.{e}.w3.weight`` [ff, d]      | ``moe/w_up[e]``         |
+    | ``...experts.{e}.w2.weight`` [d, ff]      | ``moe/w_down[e]``       |
+    """
+    hc = model.config
+    assert hc.num_experts_per_tok == 2, (
+        f"top-{hc.num_experts_per_tok} Mixtral unsupported: HF renormalizes "
+        "the kept weights (top-1 -> 1.0) but our top-1 is Switch semantics "
+        "(raw softmax gate) — only top-2 maps exactly")
+    cfg = llama_config(
+        hc,
+        attention_window=getattr(hc, "sliding_window", None),
+        moe_experts=hc.num_local_experts,
+        moe_top_k=hc.num_experts_per_tok,
+        moe_capacity_factor=None,        # HF routes every token: no-drop
+        moe_aux_weight=float(getattr(hc, "router_aux_loss_coef", 0.01)),
+        **config_overrides)
+    state_dict = model.state_dict()
+    params = llama_params(state_dict, cfg)
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}.block_sparse_moe"
+        params[f"layer_{i}"]["moe"] = {
+            "router": _np(sd[f"{p}.gate.weight"]).T,
+            "w_gate": np.stack([
+                _np(sd[f"{p}.experts.{e}.w1.weight"]).T
+                for e in range(cfg.moe_experts)]),
+            "w_up": np.stack([
+                _np(sd[f"{p}.experts.{e}.w3.weight"]).T
+                for e in range(cfg.moe_experts)]),
+            "w_down": np.stack([
+                _np(sd[f"{p}.experts.{e}.w2.weight"]).T
+                for e in range(cfg.moe_experts)]),
+        }
+    return cfg, params
 
 
 # ---------------------------------------------------------------------------

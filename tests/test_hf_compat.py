@@ -494,3 +494,82 @@ def test_parallel_residual_block_trains():
             params, state, l = step(params, state)
             losses.append(float(l))
         assert losses[-1] < losses[0], (shared, losses)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral (MoE) import
+# ---------------------------------------------------------------------------
+
+
+def _tiny_mixtral(seed=0, experts=4, window=None):
+    cfg = transformers.MixtralConfig(
+        vocab_size=71, hidden_size=32, intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=experts, num_experts_per_tok=2,
+        max_position_embeddings=64, sliding_window=window,
+        rms_norm_eps=1e-6, attention_dropout=0.0)
+    torch.manual_seed(seed)
+    model = transformers.MixtralForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("experts", [4, 8])
+def test_mixtral_logits_match_torch(experts):
+    """Mixtral = LLaMA attention + top-2 routed SwiGLU experts. HF's
+    softmax->top2->renormalize routing with no capacity limit is our
+    no-drop dispatch exactly, so logits match token-for-token."""
+    model = _tiny_mixtral(experts=experts)
+    ours_cfg, params = hf_compat.import_mixtral(model)
+    assert ours_cfg.moe_experts == experts
+    assert ours_cfg.moe_capacity_factor is None
+    assert ours_cfg.ffn == "swiglu"
+    gpt = models.GPT(ours_cfg)
+    assert "w_gate" in params["layer_0"]["moe"]
+    rng2 = np.random.default_rng(3)
+    tokens = rng2.integers(0, 71, size=(2, 14))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_mixtral_kv_cache_decode_matches_torch():
+    model = _tiny_mixtral(seed=7)
+    ours_cfg, params = hf_compat.import_mixtral(model)
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(5)
+    tokens = rng2.integers(0, 71, size=(1, 8))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        caches = gpt.init_cache(1, 8)
+        toks = jnp.asarray(tokens, jnp.int32)
+        logits, caches = gpt.apply(params, toks[:, :4], caches=caches,
+                                   decode=True)
+        steps = [np.asarray(logits)[:, i] for i in range(4)]
+        for i in range(4, 8):
+            logits, caches = gpt.apply(params, toks[:, i:i + 1],
+                                       caches=caches, decode=True)
+            steps.append(np.asarray(logits)[:, 0])
+    got = np.stack(steps, axis=1)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_mixtral_serves_in_engine():
+    """An imported MoE model decodes in the paged engine, token-exact vs
+    model.generate (no-drop routing is population-independent, so paged
+    chunked prefill is exact too)."""
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_mixtral(seed=11)
+    ours_cfg, params = hf_compat.import_mixtral(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(9).integers(0, 71, 10)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    got = [eng.add_request(0, prompt)]
+    for _ in range(7):
+        got.append(eng.step()[0])
+    assert got == [int(t) for t in want]
