@@ -142,15 +142,24 @@ def bench_flax(tokens):
     return _time_scan_steps(step, params, opt_state, tokens)
 
 
-def kernel_mfu(probe_tf: float) -> dict:
-    """Per-kernel utilization vs the SAME-RUN probe ceiling (chip throughput
-    drifts ~4x across sessions — only same-run ratios are meaningful)."""
+def kernel_mfu(_probe_unused: float) -> dict:
+    """Per-kernel utilization vs a probe measured ADJACENT to the kernel
+    timings (the chip drifts within a single bench run, not just across
+    sessions — an early probe overstates/understates these ratios), plus
+    the decisive same-run comparison for attention: ours vs JAX's official
+    ``pallas.ops.tpu.flash_attention``. Attention can't approach matmul
+    utilization at d=128 on ANY implementation (jax's own kernels measure
+    the same ~25%-of-probe here) — so the self-certifying claim is
+    "at/above the best public kernel on the same chip at the same moment"
+    (ratios >1.0 = ours faster), not %-of-probe."""
     import bench_probe
     from np_modeling_tpu import ops
     from np_modeling_tpu.ops import dispatch
     from np_modeling_tpu.ops.matmul import matmul
 
     out = {}
+    probe_tf = bench_probe.probe()
+    out["kernel_probe_tflops"] = round(probe_tf, 1)
     n = 8192
     x = jnp.ones((n, n), jnp.bfloat16)
     with dispatch.force_pallas(True):
@@ -165,23 +174,52 @@ def kernel_mfu(probe_tf: float) -> dict:
                                                  dtype=np.float32)
                              ).astype(jnp.bfloat16)
     q, k, v = mk(), mk(), mk()
-    fwd = lambda qc: ops.flash_attention(qc, k, v, causal=True)
-    t = bench_probe._timed_scan(fwd, q, n=4)
-    attn_flops = 4 * b * h * s * s * d * 0.5
-    out["attn_fwd"] = round(attn_flops / t / 1e12 / probe_tf, 3)
+    sc = 1.0 / (d ** 0.5)
 
-    def fwdbwd(qc):
+    from jax.experimental.pallas.ops.tpu import flash_attention as jfa
+    jfa_bs = jfa.BlockSizes(block_q=1024, block_k_major=1024, block_k=1024,
+                            block_b=1)
+
+    fwd_variants = {
+        "ours": lambda qc: ops.flash_attention(qc, k, v, causal=True),
+        "jax": lambda qc: jfa.flash_attention(qc, k, v, causal=True,
+                                              sm_scale=sc,
+                                              block_sizes=jfa_bs),
+    }
+
+    def grad_of(fn):
         # Differentiate wrt q, k, AND v and consume all three grads —
         # grad-wrt-q-only lets XLA DCE the whole dkv kernel (round-2's
         # bench_mfu overstated backward MFU this way).
-        g = jax.grad(lambda t: jnp.sum(
-            ops.flash_attention(t[0], t[1], t[2], causal=True
-                                ).astype(jnp.float32) ** 2))((qc, k, v))
-        return (qc + 0.0001 * (g[0] + g[1] + g[2])).astype(jnp.bfloat16)
-    t = bench_probe._timed_scan(fwdbwd, q, n=4)
+        def run(qc):
+            g = jax.grad(lambda t: jnp.sum(
+                fn(t[0], t[1], t[2]).astype(jnp.float32) ** 2))((qc, k, v))
+            return (qc + 0.0001 * (g[0] + g[1] + g[2])).astype(jnp.bfloat16)
+        return run
+
+    bwd_variants = {
+        "ours": grad_of(lambda qc, kc, vc: ops.flash_attention(
+            qc, kc, vc, causal=True)),
+        "jax": grad_of(lambda qc, kc, vc: jfa.flash_attention(
+            qc, kc, vc, causal=True, sm_scale=sc,
+            block_sizes=jfa.BlockSizes.get_default(b, h, s, s, d))),
+    }
+
+    times = {}
+    for _ in range(2):                    # interleave ours/jax, ours/jax
+        for tag, variants in (("fwd", fwd_variants), ("bwd", bwd_variants)):
+            for name, fn in variants.items():
+                t = bench_probe._timed_scan(fn, q, n=4)
+                times.setdefault((tag, name), []).append(t)
+    attn_flops = 4 * b * h * s * s * d * 0.5
+    t_fwd = min(times[("fwd", "ours")])
+    t_bwd = min(times[("bwd", "ours")])
+    out["attn_fwd"] = round(attn_flops / t_fwd / 1e12 / probe_tf, 3)
     # fwd 4bhs2d + split bwd 10bhs2d (7 matmuls, 2 recomputes), causal half.
-    out["attn_fwdbwd"] = round(14 * b * h * s * s * d * 0.5 / t / 1e12
-                               / probe_tf, 3)
+    out["attn_fwdbwd"] = round(3.5 * attn_flops / t_bwd / 1e12 / probe_tf, 3)
+    out["attn_fwd_vs_jax_fa"] = round(min(times[("fwd", "jax")]) / t_fwd, 3)
+    out["attn_fwdbwd_vs_jax_fa"] = round(min(times[("bwd", "jax")]) / t_bwd,
+                                         3)
     return out
 
 

