@@ -794,7 +794,7 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             preferred_element_type=jnp.float32)
         dqp_ref[0, 0, 0] = jax.lax.dot_general(
             ds_raw.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(dqp_ref.dtype)
 
     if causal:
         # Skipped band tiles still own distinct dq-partial/dbias blocks.
@@ -812,14 +812,17 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 
 # Backward strategy: 'fused' recomputes (s, p, dp, ds) ONCE per tile pair
 # and emits dk, dv, and dq partials (5 matmuls/tile, + an HBM pass for the
-# [b,h,n_kv,sq,d] fp32 partials reduced outside); 'split' runs separate
+# [b,h,n_kv,sq,d] partials reduced outside); 'split' runs separate
 # dq and dkv kernels (7 matmuls/tile, no partials traffic). MEASURED on
-# v5e (h8 d128 causal bf16, 1024x1024 blocks): fused is 0.875x at
-# b8/s2048 (7531 vs 6587us fwd+bwd) and 0.885x at b2/s4096 — the fp32
-# partials' HBM writes + reduction cost MORE than the two saved matmuls,
-# so SPLIT is the default. The fused path stays tested (interpret-mode
-# equality) for shapes where compute dominates bandwidth further.
-FUSED_BWD = False
+# v5e (h8 d128 causal bf16, 1024x1024 blocks): with fp32 partials fused
+# lost (0.875x at b8/s2048 — partials HBM writes + reduction cost more
+# than the two saved matmuls). With partials in q.dtype (bf16 — same
+# rounding as the split path's bf16 dq output, summed in fp32) the
+# traffic halves and fused WINS: 0.891x of split at b4/s4096 (8283 vs
+# 9296us fwd+bwd, probe 150.6) and 0.933x at b8/s2048 (6449 vs 6913us,
+# probe 145), dq max|Δ| 7.8e-3 on |g|~12 (one bf16 ulp). FUSED is the
+# default; the split path stays tested for fp32-exact comparisons.
+FUSED_BWD = True
 
 
 def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
@@ -947,10 +950,13 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     out_shape = [jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
                  jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype)]
     if FUSED_BWD:
+        # Partials ride in q's dtype: the split path stores dq as q.dtype
+        # anyway, and bf16 partials HALVE the [b,h,n_kv,sq,d] HBM traffic
+        # that made the fp32-partials fused variant lose (0.875x).
         out_specs.append(pl.BlockSpec(
             (1, 1, 1, bq, d_p), lambda ib, ih, ikv, iq: (ib, ih, ikv, iq, 0)))
         out_shape.append(
-            jax.ShapeDtypeStruct((b, hq, n_kv, sq_p, d_p), jnp.float32))
+            jax.ShapeDtypeStruct((b, hq, n_kv, sq_p, d_p), q.dtype))
         if has_bias:
             out_specs.append(pl.BlockSpec(
                 (1, 1, bq, bkv), lambda ib, ih, ikv, iq: (ib, ih, iq, ikv)))
@@ -975,7 +981,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
             dbias = _unbroadcast_bias(dbias_full[:, :, :sq, :skv], bias)
         else:
             dk_full, dv_full, dq_p = outs
-        dq = jnp.sum(dq_p, axis=2).astype(q.dtype)
+        dq = jnp.sum(dq_p, axis=2, dtype=jnp.float32).astype(q.dtype)
     else:
         dk_full, dv_full = outs
 
