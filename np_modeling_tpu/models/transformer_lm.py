@@ -132,7 +132,7 @@ class GPT(Module):
     def apply(self, params, tokens, training=False, rngs=None,
               caches=None, decode=False, positions=None, collect_kv=False,
               collect_aux=False, segment_ids=None, return_hidden=False,
-              logits_last_only=False):
+              logits_last_only=False, logits_dtype=None):
         """``segment_ids`` [b, s]: packed-sequence training — documents in
         the batch cannot attend across segment boundaries (masked inside
         the flash kernels). Pass per-document ``positions`` as well if
@@ -213,7 +213,11 @@ class GPT(Module):
                                 preferred_element_type=jnp.float32)
         else:
             logits = self.lm_head.apply(params["lm_head"], x)
-        logits = logits.astype(jnp.float32)  # losses always in fp32
+        # Public default: fp32 logits. The train loss passes
+        # logits_dtype=bf16 so the [b, s, vocab] tensor stays half-width in
+        # HBM (the CE op casts tile-wise to fp32 INSIDE its fused
+        # reductions — softmax statistics and the loss stay fp32).
+        logits = logits.astype(logits_dtype or jnp.float32)
         if decode:
             return logits, new_caches
         if collect_kv:
@@ -282,12 +286,14 @@ class GPT(Module):
             out, aux = self.apply(params, tokens[..., :-1],
                                   training=training, rngs=rngs,
                                   collect_aux=True, segment_ids=seg,
-                                  positions=pos, return_hidden=fused)
+                                  positions=pos, return_hidden=fused,
+                                  logits_dtype=c.dtype)
         else:
             out, aux = self.apply(params, tokens[..., :-1],
                                   training=training, rngs=rngs,
                                   segment_ids=seg, positions=pos,
-                                  return_hidden=fused), 0.0
+                                  return_hidden=fused,
+                                  logits_dtype=c.dtype), 0.0
         targets = tokens[..., 1:]
         valid = None
         if segment_ids is not None:

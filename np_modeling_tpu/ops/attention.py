@@ -76,6 +76,15 @@ _LN2 = float(np.log(2.0))
 # natural T(8,128) width.
 RESID_LANES = NUM_LANES
 
+# Compute the forward's softmax numerator p in bf16 (sub + exp on a bf16
+# tile instead of fp32). p already feeds the p@v matmul as bf16; the only
+# extra rounding is in l's summands (sum accumulates fp32; relative error
+# ~2^-8/sqrt(bkv) — noise next to the bf16 output cast). MEASURED (same
+# process, b4 h8 s4096 d128 causal, probe 125.6): 1.0097x — a WASH;
+# Mosaic does not pack bf16 transcendentals, so halving the tile bytes
+# saves nothing. Kept as a tested flag; default OFF.
+FWD_BF16_EXP = False
+
 
 # ---------------------------------------------------------------------------
 # Pure-jnp oracle (no custom gradient) — the trusted baseline tests diff against.
@@ -422,14 +431,46 @@ def _should_run(q_idx, kv_idx, causal, window, block_q, block_kv):
 
 def _band_ok(iq, ik, causal, window, bq, bkv):
     """Traced predicate: does (q tile iq, kv tile ik) intersect the causal
-    (and window) band? Used both for pl.when skips and for index-map
-    remapping (skipped tiles map to block 0 so their HBM fetch is avoided)."""
+    (and window) band? Gates the pl.when compute skips."""
     if not causal:
         return None
     ok = (iq + 1) * bq - 1 >= ik * bkv
     if window is not None:
         ok = jnp.logical_and(ok, (ik + 1) * bkv - 1 > iq * bq - window)
     return ok
+
+
+def _clamp_kv(iq, ik, causal, window, bq, bkv):
+    """Remap a (possibly skipped) kv tile index to the NEAREST running tile
+    of q-row iq — identity for in-band tiles. Skipped tiles land on an
+    adjacent running block so consecutive grid steps keep the same index
+    and the block DMA is elided. MEASURED vs the legacy remap-to-block-0:
+    a wash (0.9997x fwd / 0.998x fwd+bwd, probe 155 — Mosaic's prefetch
+    pipelining already hid the block-0 refetches); kept because it is
+    strictly never a new fetch, also covers the dkv kernels' lse/di
+    streams, and needs no band predicate."""
+    if not causal:
+        return ik
+    last_ok = ((iq + 1) * bq - 1) // bkv
+    ik = jnp.minimum(ik, last_ok)
+    if window is not None:
+        first_ok = jnp.maximum(0, (iq * bq - window + 1) // bkv)
+        ik = jnp.maximum(ik, first_ok)
+    return ik
+
+
+def _clamp_q(iq, ik, causal, window, bq, bkv):
+    """Dual of :func:`_clamp_kv` for kv-major grids (dkv/fused backward):
+    remap a skipped q tile index to the nearest running tile of kv-column
+    ik. Skips there happen BEFORE the band (iq < first running row), so
+    clamping up prefetches exactly the block the first running step needs."""
+    if not causal:
+        return iq
+    iq = jnp.maximum(iq, (ik * bkv) // bq)
+    if window is not None:
+        last_ok = ((ik + 1) * bkv + window - 2) // bq
+        iq = jnp.minimum(iq, last_ok)
+    return iq
 
 
 def _pad4(x, s_to, d_to, fill=0):
@@ -477,15 +518,11 @@ def _mb_spec(mb, mh, bq, bkv, order, causal, window):
     is issued for them."""
     if order == "qkv":
         def imap(ib, ih, iq, ik):
-            ok = _band_ok(iq, ik, causal, window, bq, bkv)
-            if ok is not None:
-                ik = jax.lax.select(ok, ik, 0)
+            ik = _clamp_kv(iq, ik, causal, window, bq, bkv)
             return (ib if mb > 1 else 0, ih if mh > 1 else 0, iq, ik)
     else:
         def imap(ib, ih, ik, iq):
-            ok = _band_ok(iq, ik, causal, window, bq, bkv)
-            if ok is not None:
-                iq = jax.lax.select(ok, iq, pl.num_programs(3) - 1)
+            iq = _clamp_q(iq, ik, causal, window, bq, bkv)
             return (ib if mb > 1 else 0, ih if mh > 1 else 0, iq, ik)
     return pl.BlockSpec((1, 1, bq, bkv), imap)
 
@@ -550,8 +587,15 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
         m_next = jnp.maximum(m_prev, m_curr)                 # [bq, 128]
         exp_fn = jnp.exp2 if EXP2_SCORES else jnp.exp
         alpha = exp_fn(m_prev - m_next)
-        p = exp_fn(s - m_next[:, 0:1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        if FWD_BF16_EXP:
+            # exp on a bf16 score tile: p feeds the bf16 p@v matmul anyway,
+            # so the only extra rounding is in l's summands (see flag note).
+            p = exp_fn((s - m_next[:, 0:1]).astype(jnp.bfloat16))
+            l_next = (alpha * l_prev
+                      + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None])
+        else:
+            p = exp_fn(s - m_next[:, 0:1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...], l_scr[...] = m_next, l_next
 
         v = v_ref[0, 0]
@@ -602,9 +646,7 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
                            bias is not None)
 
     def kv_map(ib, ih, iq, ik):
-        ok = _band_ok(iq, ik, causal, window, bq, bkv)
-        if ok is not None:
-            ik = jax.lax.select(ok, ik, 0)   # skipped tile: no new fetch
+        ik = _clamp_kv(iq, ik, causal, window, bq, bkv)  # skip: elided DMA
         return (ib, ih // g, ik, 0)
 
     in_specs = [
@@ -852,9 +894,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     di4 = jnp.pad(di4, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
 
     def kv_map(ib, ih, iq, ik):
-        ok = _band_ok(iq, ik, causal, window, bq, bkv)
-        if ok is not None:
-            ik = jax.lax.select(ok, ik, 0)
+        ik = _clamp_kv(iq, ik, causal, window, bq, bkv)
         return (ib, ih // g, ik, 0)
 
     q_spec = pl.BlockSpec((1, 1, bq, d_p), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
@@ -918,16 +958,17 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     # the 3rd dim, q tiles sequentially in the 4th. Computed per q-head
     # ([b, hq, skv, d]) then group-summed for GQA.
     def q_map_t(ib, ih, ikv, iq):
-        ok = _band_ok(iq, ikv, causal, window, bq, bkv)
-        if ok is not None:
-            iq = jax.lax.select(ok, iq, pl.num_programs(3) - 1)
+        iq = _clamp_q(iq, ikv, causal, window, bq, bkv)
         return (ib, ih, iq, 0)
 
     q_spec_t = pl.BlockSpec((1, 1, bq, d_p), q_map_t)
     kv_spec_t = pl.BlockSpec((1, 1, bkv, d_p),
                              lambda ib, ih, ikv, iq: (ib, ih // g, ikv, 0))
-    lm_spec_t = pl.BlockSpec((1, 1, bq, RESID_LANES),
-                             lambda ib, ih, ikv, iq: (ib, ih, iq, 0))
+    lm_spec_t = pl.BlockSpec(
+        (1, 1, bq, RESID_LANES),
+        lambda ib, ih, ikv, iq: (ib, ih,
+                                 _clamp_q(iq, ikv, causal, window, bq, bkv),
+                                 0))
     dkv_out_spec = pl.BlockSpec((1, 1, bkv, d_p),
                                 lambda ib, ih, ikv, iq: (ib, ih, ikv, 0))
     tile_cls = _dkvq_tile if FUSED_BWD else _dkv_tile
