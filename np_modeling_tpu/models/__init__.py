@@ -1,4 +1,4 @@
-"""Model zoo: classical (KNN) + neural (MLP/CNN/GPT/BERT)."""
+"""Model zoo: classical (KNN) + neural (MLP/CNN/GPT/BERT/T5)."""
 
 from np_modeling_tpu.models.bert import (BertConfig, BertEncoder,
                                          mlm_mask_tokens)
@@ -9,11 +9,12 @@ from np_modeling_tpu.models.mlp import MLP
 from np_modeling_tpu.models.beam import beam_search
 from np_modeling_tpu.models.seq2seq import Seq2SeqConfig, Seq2SeqTransformer
 from np_modeling_tpu.models.speculative import speculative_generate
+from np_modeling_tpu.models.t5 import T5, T5Config
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
 
 __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
-    "Seq2SeqTransformer", "beam_search", "euclidean_distance",
+    "Seq2SeqTransformer", "T5", "T5Config", "beam_search", "euclidean_distance",
     "mlm_mask_tokens", "speculative_generate",
 ]

@@ -53,6 +53,8 @@ class MultiHeadAttention(Module):
                                          # qkv biased, o/FFN biasless)
     kernel_init: Callable = initializers.lecun_normal
     bias_init: Callable = initializers.zeros
+    attn_scale: Optional[float] = None   # score scale; None = 1/sqrt(dk)
+                                         # (T5 uses 1.0 — unscaled scores)
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
     attn_impl: Optional[Callable] = None  # override the attention core for
                                           # the non-decode path, e.g. a
@@ -129,9 +131,12 @@ class MultiHeadAttention(Module):
 
     def apply(self, params, query, key=None, value=None, mask=None,
               training=False, rngs=None, cache=None, decode=False,
-              collect_kv=False, segment_ids=None, positions=None):
+              collect_kv=False, segment_ids=None, positions=None,
+              bias=None):
         """``collect_kv=True`` additionally returns the projected (k, v)
-        ([b, hkv, s, dk]) — used by serving prefill to seed paged caches."""
+        ([b, hkv, s, dk]) — used by serving prefill to seed paged caches.
+        ``bias``: additive score bias [b|1, h, sq, skv] (T5 relative
+        position / ALiBi), streamed into the flash kernels."""
         del training, rngs
         if key is None:
             key = query
@@ -166,16 +171,18 @@ class MultiHeadAttention(Module):
                 raise ValueError("decode=True requires a cache; build one "
                                  "with init_cache()")
             k, v, mask, new_cache = self._update_cache(cache, k, v)
-            o = ops.flash_attention(q, k, v, mask=mask, causal=False)
+            o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
+                                    causal=False, scale=self.attn_scale)
         elif self.attn_impl is not None:
             assert mask is None, (
                 "attn_impl overrides (e.g. ring attention) take structural "
                 "masking at construction; explicit masks are unsupported")
             o = self.attn_impl(q, k, v, segment_ids=segment_ids)
         else:
-            o = ops.flash_attention(q, k, v, mask=mask,
+            o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
                                     segment_ids=segment_ids,
-                                    causal=self.causal, window=self.window)
+                                    causal=self.causal, window=self.window,
+                                    scale=self.attn_scale)
 
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)

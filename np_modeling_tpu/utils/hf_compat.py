@@ -444,6 +444,107 @@ def import_mixtral(model, **config_overrides):
 
 
 # ---------------------------------------------------------------------------
+# T5 import: encoder-decoder, relative position bias, unscaled attention
+# ---------------------------------------------------------------------------
+
+
+def t5_config(hf_config, **overrides):
+    """``transformers.T5Config`` -> :class:`T5Config`."""
+    from np_modeling_tpu.models import T5Config
+
+    kw = dict(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.d_model,
+        d_kv=hf_config.d_kv,
+        num_heads=hf_config.num_heads,
+        num_encoder_layers=hf_config.num_layers,
+        num_decoder_layers=(hf_config.num_decoder_layers
+                            or hf_config.num_layers),
+        d_ff=hf_config.d_ff,
+        relpos_buckets=hf_config.relative_attention_num_buckets,
+        relpos_max_distance=getattr(hf_config,
+                                    "relative_attention_max_distance", 128),
+        gated_act=bool(getattr(hf_config, "is_gated_act", False)),
+        tie_embeddings=bool(hf_config.tie_word_embeddings),
+        drop_rate=0.0,
+        ln_eps=hf_config.layer_norm_epsilon,
+    )
+    kw.update(overrides)
+    return T5Config(**kw)
+
+
+def t5_params(state_dict, config) -> dict:
+    """T5ForConditionalGeneration state dict -> T5 params pytree."""
+    c = config
+    sd = state_dict
+    hq, dk, d = c.num_heads, c.d_kv, c.d_model
+
+    def attn(prefix):
+        # torch stores [out, in]; q/k/v out = heads*d_kv, o in = heads*d_kv.
+        p = {
+            "wq": _np(sd[f"{prefix}.q.weight"]).T.reshape(d, hq, dk),
+            "wk": _np(sd[f"{prefix}.k.weight"]).T.reshape(d, hq, dk),
+            "wv": _np(sd[f"{prefix}.v.weight"]).T.reshape(d, hq, dk),
+            "wo": _np(sd[f"{prefix}.o.weight"]).T.reshape(hq, dk, d),
+        }
+        return p
+
+    def ffn(prefix):
+        if c.gated_act:
+            return {"wi_0": _np(sd[f"{prefix}.wi_0.weight"]).T,
+                    "wi_1": _np(sd[f"{prefix}.wi_1.weight"]).T,
+                    "wo": _np(sd[f"{prefix}.wo.weight"]).T}
+        return {"wi": _np(sd[f"{prefix}.wi.weight"]).T,
+                "wo": _np(sd[f"{prefix}.wo.weight"]).T}
+
+    def gamma(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"])}
+
+    params = {
+        "embedding": {"table": _np(sd["shared.weight"])},
+        "enc_relpos": _np(sd["encoder.block.0.layer.0.SelfAttention"
+                             ".relative_attention_bias.weight"]),
+        "dec_relpos": _np(sd["decoder.block.0.layer.0.SelfAttention"
+                             ".relative_attention_bias.weight"]),
+        "enc_norm": gamma("encoder.final_layer_norm"),
+        "dec_norm": gamma("decoder.final_layer_norm"),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = {"w": _np(sd["lm_head.weight"]).T}
+    for i in range(c.num_encoder_layers):
+        p = f"encoder.block.{i}"
+        params[f"enc_{i}"] = {
+            "self_attention": attn(f"{p}.layer.0.SelfAttention"),
+            "norm1": gamma(f"{p}.layer.0.layer_norm"),
+            "norm2": gamma(f"{p}.layer.1.layer_norm"),
+            "ffn": ffn(f"{p}.layer.1.DenseReluDense"),
+        }
+    for i in range(c.num_decoder_layers):
+        p = f"decoder.block.{i}"
+        params[f"dec_{i}"] = {
+            "self_attention": attn(f"{p}.layer.0.SelfAttention"),
+            "cross_attention": attn(f"{p}.layer.1.EncDecAttention"),
+            "norm1": gamma(f"{p}.layer.0.layer_norm"),
+            "norm2": gamma(f"{p}.layer.1.layer_norm"),
+            "norm3": gamma(f"{p}.layer.2.layer_norm"),
+            "ffn": ffn(f"{p}.layer.2.DenseReluDense"),
+        }
+    return params
+
+
+def import_t5(model, **config_overrides):
+    """``transformers.T5ForConditionalGeneration`` -> (T5Config, params).
+
+    The first ENCODER-DECODER family: bucketed relative-position bias
+    (block-0-owned, shared down each stack — streamed into the flash
+    kernels as an additive score bias), UNSCALED attention (T5 sets
+    softmax scale to 1), T5LayerNorm == our RMSNorm, biasless projections,
+    relu or gated-gelu FFNs, and the tied head's d_model^-0.5 rescale."""
+    cfg = t5_config(model.config, **config_overrides)
+    return cfg, t5_params(model.state_dict(), cfg)
+
+
+# ---------------------------------------------------------------------------
 # GPT-NeoX / Pythia import: parallel residual, partial rotary, fused QKV
 # ---------------------------------------------------------------------------
 
