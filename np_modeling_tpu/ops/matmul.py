@@ -85,10 +85,13 @@ def matmul(a: jax.Array,
     # Default to XLA's dot_general: on TPU it fuses surrounding elementwise
     # ops, which a pallas_call boundary would block (measured: hand-kernel
     # matmuls in the train step cost ~10% end-to-end vs XLA at transformer
-    # shapes). The kernel itself is competitive: 95 vs 100 TFLOP/s at
-    # 8192³ bf16 with blocks (512,1024,1024), and FASTER than XLA at 4096³
-    # (39 vs 25 — XLA is dispatch/HBM-bound there). It runs under
-    # force_pallas(); the default path optimizes for fusion, not the lone op.
+    # shapes). The kernel plateaus at ~78-80 TF/s at 8192³ bf16 on a
+    # healthy chip (probe 145; block retune across 6 VMEM-safe configs
+    # moved it only 72-80 — the per-k-step fp32 VMEM accumulator round
+    # trip is the structural ceiling XLA's native MXU accumulation
+    # avoids). It still beats XLA at 4096³ (39 vs 25 — XLA is
+    # dispatch/HBM-bound there). It runs under force_pallas(); the
+    # default path optimizes for fusion, not the lone op.
     if dispatch.forced() is not True:
         dims = ((0,) if trans_a else (1,), (1,) if trans_b else (0,))
         out = jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),

@@ -7,6 +7,8 @@ from np_modeling_tpu.parallel.context import (gather_attention,
 from np_modeling_tpu.parallel.mesh import auto_mesh, make_mesh
 from np_modeling_tpu.parallel.pipeline import (make_pipeline, pipeline_apply,
                                                pipeline_gpt, stack_gpt_layers)
+from np_modeling_tpu.parallel.zero import (zero1_init, zero1_shardings,
+                                           zero1_spec)
 from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES, constrain,
                                                partition_specs, shard_batch,
                                                shard_params)
@@ -15,6 +17,6 @@ __all__ = [
     "TRANSFORMER_RULES", "auto_mesh", "constrain", "gather_attention",
     "make_context_parallel_attention", "make_mesh", "make_pipeline",
     "multihost", "partition_specs", "pipeline_apply", "pipeline_gpt",
-    "ring_attention", "shard_batch", "stack_gpt_layers",
-    "shard_params",
+    "ring_attention", "shard_batch", "shard_params", "stack_gpt_layers",
+    "zero1_init", "zero1_shardings", "zero1_spec",
 ]

@@ -242,3 +242,83 @@ class TestCheckpointStaleManifests:
             serialization.msgpack_serialize({"__num_processes__": 4}))
         with pytest.raises(RuntimeError, match="different saves"):
             training.load_checkpoint_sharded(str(d), {"w": jnp.zeros(2)})
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestZero1:
+    """ZeRO-1 optimizer-state sharding over dp: per-device moment memory
+    drops to 1/N while the train step stays numerically identical."""
+
+    def _setup(self):
+        from np_modeling_tpu import models, training
+        cfg = models.GPTConfig(vocab_size=64, d_model=64, num_heads=4,
+                               num_layers=2, hidden_units=128, max_len=16)
+        gpt = models.GPT(cfg)
+        toks = jnp.asarray(
+            np.random.default_rng(0).integers(0, 64, (8, 12)))
+        params = gpt.init(jax.random.PRNGKey(0), toks)
+        opt = training.adam(1e-2)
+        return gpt, toks, params, opt
+
+    def test_state_is_sharded_and_step_matches(self):
+        from np_modeling_tpu import parallel, training
+        gpt, toks, params, opt = self._setup()
+        mesh = parallel.make_mesh({"dp": 8})
+
+        ref_state = opt.init(params)
+        state = parallel.zero1_init(opt, params, mesh, axis="dp",
+                                    min_size=1024)
+
+        # Moments big enough to shard are actually 1/8 per device.
+        big = state.mu["embedding"]["table"]             # [64, 64] = 4096
+        assert tuple(big.sharding.spec)[0] == "dp"
+        shard = big.addressable_shards[0].data
+        assert shard.shape[0] == big.shape[0] // 8
+        # Scalar step count stays replicated.
+        count = state.count
+        assert count.sharding.spec == jax.sharding.PartitionSpec()
+
+        def step(p, s):
+            loss, g = jax.value_and_grad(lambda p: gpt.loss(p, toks))(p)
+            u, s = opt.update(g, s, p)
+            return training.apply_updates(p, u), s, loss
+
+        jstep = jax.jit(step)
+        p1, s1 = params, ref_state
+        p2, s2 = params, state
+        for _ in range(5):
+            p1, s1, l1 = jstep(p1, s1)
+            p2, s2, l2 = jstep(p2, s2)
+            # The two layouts compile to different reduction orders;
+            # trajectories must agree to fp-reassociation noise.
+            assert_allclose(l2, l1, rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p2),
+                        jax.tree_util.tree_leaves(p1)):
+            assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+        # The state keeps its ZeRO layout across steps.
+        assert tuple(
+            s2.mu["embedding"]["table"].sharding.spec)[0] == "dp"
+
+    def test_small_leaves_stay_replicated(self):
+        from np_modeling_tpu import parallel
+        gpt, toks, params, opt = self._setup()
+        mesh = parallel.make_mesh({"dp": 8})
+        state = parallel.zero1_init(opt, params, mesh, axis="dp",
+                                    min_size=1 << 30)
+        for leaf in jax.tree_util.tree_leaves(state):
+            assert leaf.sharding.spec == jax.sharding.PartitionSpec()
+
+    def test_composes_with_tp(self):
+        """On a dp x tp mesh, moments keep the param's tp layout AND gain
+        dp on a still-replicated dim."""
+        from np_modeling_tpu import parallel
+        gpt, toks, params, opt = self._setup()
+        mesh = parallel.make_mesh({"dp": 4, "tp": 2})
+        params = parallel.shard_params(params, mesh, TRANSFORMER_RULES)
+        specs = parallel.partition_specs(params, TRANSFORMER_RULES, mesh)
+        state = parallel.zero1_init(opt, params, mesh, axis="dp",
+                                    min_size=1024, param_specs=specs)
+        # wq moment [d, heads, dk]: tp on heads (from the param rules)
+        # + dp on the first replicated dim.
+        spec = state.mu["layer_0"]["self_attention"]["wq"].sharding.spec
+        assert "tp" in spec and "dp" in spec, spec
