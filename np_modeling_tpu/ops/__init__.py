@@ -38,6 +38,7 @@ from np_modeling_tpu.ops.quantization import (QuantizedTensor,
                                               dequantize_params,
                                               quantize_int8,
                                               quantize_int8_stochastic,
+                                              quantize_params_int4,
                                               quantize_params_int8)
 from np_modeling_tpu.ops.rope import apply_rope
 
@@ -52,7 +53,7 @@ __all__ = [
     "QuantizedTensor", "apply_rope", "dequantize_int8", "mse",
     "paged_attention",
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
-    "quantize_params_int8", "dequantize_params",
+    "quantize_params_int4", "quantize_params_int8", "dequantize_params",
     "kl_divergence_from_logits",
     "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
