@@ -15,12 +15,13 @@
 // merge is O(1) and each scan is O(symbols). Pre-tokens are short (words),
 // so the simple rescan-per-merge loop beats heap bookkeeping in practice.
 //
-// Vocabulary layout (set once via bpe_load):
+// Vocabulary layout (one handle per tokenizer via bpe_create):
 //   - token ids for all single bytes:        byte_ids[256]
 //   - merge table: for merge m (rank m), the two SOURCE token ids
 //     (left_ids[m], right_ids[m]) and the RESULT token id result_ids[m].
 // Pair lookup uses a flat open-addressing hash of (left_id, right_id) ->
-// rank, built once at load. Thread-safe for concurrent encodes after load.
+// rank, built once at create. Handles are immutable after creation, so
+// concurrent encodes on one handle are safe.
 //
 // C ABI (ctypes): all int64 to dodge struct-layout pitfalls.
 
@@ -82,37 +83,37 @@ struct Vocab {
   PairHash pairs;
 };
 
-Vocab* g_vocab = nullptr;
-
 }  // namespace
 
 extern "C" {
 
-// Load (replace) the global vocabulary. byte_ids: 256 entries; left/right/
-// result: n_merges entries each. Returns 0 on success.
-int64_t bpe_load(const int32_t* byte_ids, const int32_t* left,
+// Create a vocabulary handle (one per tokenizer instance — no process
+// globals, so multiple tokenizers coexist and encodes on one are never
+// affected by constructing another). byte_ids: 256 entries; left/right/
+// result: n_merges entries each.
+void* bpe_create(const int32_t* byte_ids, const int32_t* left,
                  const int32_t* right, const int32_t* result,
                  int64_t n_merges) {
   Vocab* v = new Vocab();
   std::memcpy(v->byte_ids, byte_ids, 256 * sizeof(int32_t));
   v->merge_result.assign(result, result + n_merges);
   v->pairs.build(n_merges, left, right);
-  delete g_vocab;
-  g_vocab = v;
-  return 0;
+  return v;
 }
+
+void bpe_destroy(void* handle) { delete static_cast<Vocab*>(handle); }
 
 // Encode a batch of pre-tokens given as one concatenated byte buffer plus
 // per-pre-token offsets (offsets[i]..offsets[i+1] = bytes of pre-token i;
 // offsets has n_pretokens + 1 entries). Writes token ids to out (caller
 // allocates >= total byte count) and per-pre-token output offsets to
 // out_offsets (n_pretokens + 1 entries). Returns total ids written, or -1
-// if no vocabulary is loaded.
-int64_t bpe_encode(const uint8_t* bytes, const int64_t* offsets,
-                   int64_t n_pretokens, int32_t* out,
-                   int64_t* out_offsets) {
-  if (g_vocab == nullptr) return -1;
-  const Vocab& v = *g_vocab;
+// on a null handle. Thread-safe for concurrent encodes on one handle.
+int64_t bpe_encode(void* handle, const uint8_t* bytes,
+                   const int64_t* offsets, int64_t n_pretokens,
+                   int32_t* out, int64_t* out_offsets) {
+  if (handle == nullptr) return -1;
+  const Vocab& v = *static_cast<const Vocab*>(handle);
   int64_t written = 0;
   out_offsets[0] = 0;
   std::vector<int32_t> ids;

@@ -174,9 +174,13 @@ class MultiHeadAttention(Module):
             o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
                                     causal=False, scale=self.attn_scale)
         elif self.attn_impl is not None:
-            assert mask is None, (
+            assert mask is None and bias is None, (
                 "attn_impl overrides (e.g. ring attention) take structural "
-                "masking at construction; explicit masks are unsupported")
+                "masking at construction; explicit masks/biases are "
+                "unsupported")
+            assert self.attn_scale is None, (
+                "attn_impl overrides bake their own score scale; set it at "
+                "the override's construction, not via attn_scale")
             o = self.attn_impl(q, k, v, segment_ids=segment_ids)
         else:
             o = ops.flash_attention(q, k, v, mask=mask, bias=bias,

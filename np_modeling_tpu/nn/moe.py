@@ -79,9 +79,8 @@ class MoE(Module):
     def init(self, key, x):
         d = x.shape[-1]
         e, ff = self.num_experts, self.hidden_units
-        ks = jax.random.split(key, 3)
+        ks = jax.random.split(key, 4 if self.ffn != "mlp" else 3)
         if self.ffn != "mlp":
-            ks = jax.random.split(key, 4)
             return {
                 "router": self.kernel_init(ks[0], (d, e)),
                 "w_gate": self.kernel_init(ks[1], (e, d, ff)),

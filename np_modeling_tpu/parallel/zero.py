@@ -37,6 +37,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from np_modeling_tpu.parallel.sharding import _path_str
+
 
 def zero1_spec(leaf, mesh: Mesh, axis: str = "dp", min_size: int = 16384,
                base: P = P()) -> P:
@@ -64,18 +66,6 @@ def zero1_spec(leaf, mesh: Mesh, axis: str = "dp", min_size: int = 16384,
     return base
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        for attr in ("key", "idx", "name"):
-            if hasattr(p, attr):
-                parts.append(str(getattr(p, attr)))
-                break
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
-
-
 def _base_spec_lookup(param_specs):
     """Map '/'-joined param paths -> spec, for suffix matching against
     optimizer-state leaf paths (state subtrees like AdamState.mu mirror
@@ -96,13 +86,16 @@ def zero1_shardings(state_shapes, mesh: Mesh, axis: str = "dp",
     """Pytree of NamedShardings for an optimizer-state pytree (shapes or
     arrays). ``param_specs``: optional pytree of PartitionSpecs matching
     the PARAMS (``parallel.partition_specs``); moment leaves whose path
-    ends with a param's path inherit that spec before dp is added."""
+    ends with a param's path inherit that spec before dp is added (the
+    LONGEST matching param path wins — a param path that is a suffix of
+    another must not shadow it)."""
     table = _base_spec_lookup(param_specs)
+    by_len = sorted(table.items(), key=lambda kv: -len(kv[0]))
 
     def spec_of(path, leaf):
         ps = _path_str(path)
         base = P()
-        for param_path, spec in table.items():
+        for param_path, spec in by_len:
             if ps == param_path or ps.endswith("/" + param_path):
                 base = spec
                 break

@@ -64,10 +64,12 @@ def _load_library():
         lib = ctypes.CDLL(_build_library())
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.bpe_load.restype = ctypes.c_int64
-        lib.bpe_load.argtypes = [i32p, i32p, i32p, i32p, ctypes.c_int64]
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [i32p, i32p, i32p, i32p, ctypes.c_int64]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
         lib.bpe_encode.restype = ctypes.c_int64
-        lib.bpe_encode.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64p,
+        lib.bpe_encode.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_uint8), i64p,
                                    ctypes.c_int64, i32p, i64p]
         _LIB = lib
     except Exception as e:                     # no g++ / sandboxed build
@@ -114,12 +116,17 @@ class BPETokenizer:
         self._byte_ids = np.asarray(
             [self.vocab[b2u[b]] for b in range(256)], np.int32)
         self._pretoken = None          # compiled lazily (needs `regex`)
+        # Per-pre-token memo, capped: serving traffic has an unbounded
+        # stream of distinct words (hashes, numbers); clear-on-full bounds
+        # resident memory (the HF fast-tokenizer strategy).
         self._cache: dict[bytes, list[int]] = {}
+        self._cache_cap = 65536
 
         lib = _load_library() if native in (None, True) else None
         if native is True and lib is None:
             raise RuntimeError(f"native BPE unavailable: {_LIB_ERR}")
         self._lib = lib
+        self._handle = None
         if lib is not None:
             left = np.asarray([self.vocab[a] for a, _ in self.merges],
                               np.int32)
@@ -128,11 +135,19 @@ class BPETokenizer:
             result = np.asarray([self.vocab[a + b] for a, b in self.merges],
                                 np.int32)
             i32p = ctypes.POINTER(ctypes.c_int32)
-            rc = lib.bpe_load(
+            # Per-instance native handle (bpe_create copies the tables):
+            # multiple tokenizers coexist without affecting each other.
+            self._handle = lib.bpe_create(
                 self._byte_ids.ctypes.data_as(i32p),
                 left.ctypes.data_as(i32p), right.ctypes.data_as(i32p),
                 result.ctypes.data_as(i32p), len(self.merges))
-            assert rc == 0
+            assert self._handle
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle and self._lib is not None:
+            self._lib.bpe_destroy(handle)
+            self._handle = None
 
     # ---- constructors --------------------------------------------------
 
@@ -194,6 +209,8 @@ class BPETokenizer:
         """Text -> token ids (token-identical to HF GPT2Tokenizer)."""
         pres = self._pretokenize(text)
         out: list[int] = []
+        if len(self._cache) > self._cache_cap:
+            self._cache.clear()
         misses = [p for p in dict.fromkeys(pres) if p not in self._cache]
         if misses:
             if self._lib is not None:
@@ -214,12 +231,13 @@ class BPETokenizer:
         out = np.empty(max(len(buf), 1), np.int32)
         out_offsets = np.empty(len(pretokens) + 1, np.int64)
         n = self._lib.bpe_encode(
+            self._handle,
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(pretokens),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        assert n >= 0, "bpe_load was not called"
+        assert n >= 0, "native BPE handle missing"
         return [out[out_offsets[i]:out_offsets[i + 1]].tolist()
                 for i in range(len(pretokens))]
 

@@ -119,3 +119,26 @@ def test_real_gpt2_vocab_if_cached():
     ours = BPETokenizer.from_hf(hf)
     for text in TEXTS:
         assert ours.encode(text) == hf.encode(text), text
+
+
+def test_two_native_tokenizers_coexist(tok_files, hf_tok):
+    """Per-instance native handles: constructing a second tokenizer must
+    not corrupt the first's encodes (regression: a process-global vocab)."""
+    a = BPETokenizer.from_files(*tok_files, native=True)
+    baseline = {t: a.encode(t) for t in TEXTS}
+    # A second tokenizer with a DIFFERENT (empty-merge) vocabulary.
+    from np_modeling_tpu.serving.tokenizer import bytes_to_unicode
+    vocab = {ch: i for i, ch in enumerate(sorted(bytes_to_unicode().values()))}
+    b = BPETokenizer(vocab, [], native=True)
+    assert b.encode("hello") != baseline.get("hello")  # byte-level only
+    a._cache.clear()                    # force re-encode through native
+    for t in TEXTS:
+        assert a.encode(t) == baseline[t], t
+
+
+def test_cache_cap_bounds_memory(tok_files):
+    tok = BPETokenizer.from_files(*tok_files)
+    tok._cache_cap = 4
+    for i in range(100):
+        tok.encode(f"word{i} filler")
+    assert len(tok._cache) <= 4 + 8     # cleared when over cap, then refills
