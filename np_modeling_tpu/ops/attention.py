@@ -76,6 +76,16 @@ _LN2 = float(np.log(2.0))
 # natural T(8,128) width.
 RESID_LANES = NUM_LANES
 
+# Process TWO kv halves per forward grid step with both score matmuls
+# issued before the softmax VPU work (independent MXU/VPU chains for the
+# Mosaic scheduler to overlap). MEASURED (b4 h8 s4096 d128 bf16, probe
+# 129.8, same process): full attention 0.99x (noise — Mosaic does NOT
+# exploit the cross-half overlap), causal 1.08x SLOWER (the diagonal
+# 2*bkv tiles compute their out-of-band half as all-masked work). The
+# forward stays serialized on its VPU softmax passes; kept as a tested
+# flag (interpret-mode equality vs the single-block kernel), default OFF.
+FWD_DUAL_KV = False
+
 # Compute the forward's softmax numerator p in bf16 (sub + exp on a bf16
 # tile instead of fp32). p already feeds the p@v matmul as bf16; the only
 # extra rounding is in l's summands (sum accumulates fp32; relative error
@@ -558,6 +568,65 @@ def _clamp_blocks(block_q, block_kv, mask, bias):
 # ---------------------------------------------------------------------------
 
 
+def _fwd_tile_dual(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                   acc_scr, *, causal, window, kv_len, block_q, block_kv,
+                   n_kv2):
+    """Two kv HALVES per grid step with both score matmuls issued before
+    any softmax VPU work, giving Mosaic independent MXU/VPU chains to
+    overlap (the single-block forward serializes s-matmul -> exp -> pv).
+    Structural (causal/window) masking only — the mask math runs per half
+    with sub-indices 2*kv_idx(+1); a half fully outside the band is
+    naturally all-masked (p == 0, m untouched), so only whole-2*bkv skips
+    need the pl.when."""
+    q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    run0 = _should_run(q_idx, 2 * kv_idx, causal, window, block_q, block_kv)
+    run1 = _should_run(q_idx, 2 * kv_idx + 1, causal, window, block_q,
+                       block_kv)
+
+    @pl.when(jnp.logical_or(run0, run1))
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]                       # [2*bkv, d]
+        v = v_ref[0, 0]
+        halves = []
+        for h in range(2):
+            kh = k[h * block_kv:(h + 1) * block_kv]
+            halves.append(jax.lax.dot_general(
+                q, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        for h, s in enumerate(halves):
+            s = _tile_mask(s, q_idx, 2 * kv_idx + h, causal, window,
+                           kv_len, block_q, block_kv, n_kv2, None, None)
+            m_prev, l_prev = m_scr[...], l_scr[...]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, 0:1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scr[...], l_scr[...] = m_next, l_next
+            vh = v[h * block_kv:(h + 1) * block_kv]
+            pv = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+    @pl.when(kv_idx == pl.num_programs(3) - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        lse = m_scr[...] + jnp.log(safe_l)
+        lse_ref[0, 0] = lse[:, :lse_ref.shape[-1]]
+
+
 def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
               m_scr, l_scr, acc_scr, *,
               causal, window, kv_len, block_q, block_kv, n_kv):
@@ -637,6 +706,13 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
         bias = bias * _LOG2E
     n_kv = skv_p // bkv
 
+    dual = (FWD_DUAL_KV and mask is None and bias is None
+            and q_seg is None and not EXP2_SCORES and not FWD_BF16_EXP
+            and n_kv % 2 == 0)
+    if dual:
+        return _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv,
+                               causal, window, bq, bkv, n_kv, q.dtype)
+
     grid = (b, hq, sq_p // bq, n_kv)
     has_seg = q_seg is not None
     tile = functools.partial(_fwd_tile, causal=causal, window=window,
@@ -690,6 +766,50 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
             transcendentals=b * hq * sq * skv),
         interpret=dispatch.interpret_mode(),
     )(*inputs)
+    return o[:, :, :sq, :d], lse[:, :, :sq, 0]
+
+
+def _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv, causal,
+                    window, bq, bkv, n_kv, out_dtype):
+    """FWD_DUAL_KV dispatch: grid over 2*bkv kv blocks, two halves per
+    step (see :func:`_fwd_tile_dual`)."""
+    tile = functools.partial(_fwd_tile_dual, causal=causal, window=window,
+                             kv_len=skv, block_q=bq, block_kv=bkv,
+                             n_kv2=n_kv)
+
+    def kv_map(ib, ih, iq, ik):
+        ik = _clamp_kv(iq, ik, causal, window, bq, 2 * bkv)
+        return (ib, ih // g, ik, 0)
+
+    o, lse = pl.pallas_call(
+        tile,
+        grid=(b, hq, sq_p // bq, n_kv // 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_p),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, 2 * bkv, d_p), kv_map),
+            pl.BlockSpec((1, 1, 2 * bkv, d_p), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d_p),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bq, RESID_LANES),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq_p, d_p), out_dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, RESID_LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=dispatch.interpret_mode(),
+    )(qp, kp, vp)
     return o[:, :, :sq, :d], lse[:, :, :sq, 0]
 
 

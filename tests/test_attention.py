@@ -760,3 +760,30 @@ class TestFusedQKVBiasless:
             assert_allclose(q1, q2, rtol=1e-6, atol=1e-6)
             assert_allclose(k1, k2, rtol=1e-6, atol=1e-6)
             assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
+
+
+def test_dual_kv_forward_equals_single():
+    """FWD_DUAL_KV (negative perf result, kept as a tested flag): the
+    two-halves-per-step forward is bit-identical to the single-block
+    kernel across causal/full/window."""
+    import np_modeling_tpu.ops.attention as A
+    from np_modeling_tpu.ops import dispatch
+    rng2 = np.random.default_rng(11)
+    q = jnp.asarray(rng2.standard_normal((2, 4, 512, 64)), jnp.float32)
+    k = jnp.asarray(rng2.standard_normal((2, 2, 512, 64)), jnp.float32)
+    v = jnp.asarray(rng2.standard_normal((2, 2, 512, 64)), jnp.float32)
+    for causal, window in [(True, None), (False, None), (True, 128)]:
+        try:
+            A.FWD_DUAL_KV = True
+            with dispatch.force_pallas(True, interpret=True):
+                o_dual = ops.flash_attention(q, k, v, causal=causal,
+                                             window=window, block_q=128,
+                                             block_kv=128)
+        finally:
+            A.FWD_DUAL_KV = False
+        with dispatch.force_pallas(True, interpret=True):
+            o_single = ops.flash_attention(q, k, v, causal=causal,
+                                           window=window, block_q=128,
+                                           block_kv=128)
+        np.testing.assert_array_equal(np.asarray(o_dual),
+                                      np.asarray(o_single))
