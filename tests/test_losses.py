@@ -276,3 +276,25 @@ class TestFusedLMHeadLossBias:
         for a, b in zip(jax.tree_util.tree_leaves(ga),
                         jax.tree_util.tree_leaves(gb)):
             assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_logits_loss_matches_fp32_path():
+    """The train loss passes logits_dtype=bf16 for bf16-compute models
+    (halves the [b, s, vocab] activation); loss value (fp32 CE stats)
+    must stay close to the fp32-logits path, and grads finite."""
+    from np_modeling_tpu import models
+    tokens = jnp.asarray(rng.integers(0, 67, (2, 12)))
+    kw = dict(vocab_size=67, d_model=32, num_heads=4, num_layers=2,
+              hidden_units=64, max_len=16)
+    gpt16 = models.GPT(models.GPTConfig(dtype=jnp.bfloat16, **kw))
+    params = gpt16.init(jax.random.PRNGKey(0), tokens)
+    l16 = float(gpt16.loss(params, tokens))
+    # Same params, explicit fp32 logits through the same bf16 model.
+    out32 = gpt16.apply(params, tokens[..., :-1])        # public: fp32
+    assert out32.dtype == jnp.float32
+    l32 = float(jnp.mean(ops.softmax_cross_entropy_with_integer_labels(
+        out32, tokens[..., 1:])))
+    assert abs(l16 - l32) < 0.02 * abs(l32) + 1e-3, (l16, l32)
+    g = jax.grad(lambda p: gpt16.loss(p, tokens))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
