@@ -127,3 +127,30 @@ def test_t5_trains_and_relpos_gets_grads():
     # kernels' dbias path).
     assert float(jnp.sum(jnp.abs(g["enc_relpos"]))) > 0
     assert float(jnp.sum(jnp.abs(g["dec_relpos"]))) > 0
+
+
+def test_t5_beam1_equals_greedy():
+    """beam_size=1 beam decode == greedy decode (the standard beam sanity
+    identity), and scores are finite + sorted."""
+    model = _tiny_t5(seed=5)
+    cfg, params = hf_compat.import_t5(model)
+    t5 = models.T5(cfg)
+    src = jnp.asarray(rng.integers(1, 66, (2, 6)))
+    steps = 5
+    greedy = np.asarray(t5.greedy_decode(params, src, bos_token=0,
+                                         steps=steps))
+    toks, scores = t5.beam_decode(params, src, bos_token=0, steps=steps,
+                                  beam_size=1)
+    np.testing.assert_array_equal(np.asarray(toks)[:, 0], greedy)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_t5_beam_scores_improve_or_match():
+    """A wider beam never returns a worse top hypothesis (total logprob)."""
+    model = _tiny_t5(seed=9)
+    cfg, params = hf_compat.import_t5(model)
+    t5 = models.T5(cfg)
+    src = jnp.asarray(rng.integers(1, 66, (2, 5)))
+    _, s1 = t5.beam_decode(params, src, bos_token=0, steps=4, beam_size=1)
+    _, s4 = t5.beam_decode(params, src, bos_token=0, steps=4, beam_size=4)
+    assert (np.asarray(s4)[:, 0] >= np.asarray(s1)[:, 0] - 1e-5).all()
