@@ -31,7 +31,19 @@ def _tile_cache(caches, beam, batch_axis=0):
 
 
 def _gather_cache(caches, rows, batch_axis=0):
-    """Reorder cache rows (beam reassignment) by global row indices."""
+    """Reorder cache rows (beam reassignment) by global row indices.
+
+    A top-level dict key ``"aux"`` is gather-EXEMPT: enc-dec adapters put
+    beam-INVARIANT conditioning there (encoder memory, source segment
+    ids). Beam reassignment only permutes rows within a batch row's beam
+    block, where those leaves are identical — the gather would be a
+    semantic no-op that still re-materializes the full tiled memory every
+    generated token."""
+    if isinstance(caches, dict) and "aux" in caches:
+        out = _gather_cache({k: v for k, v in caches.items()
+                             if k != "aux"}, rows, batch_axis)
+        out["aux"] = caches["aux"]
+        return out
     return jax.tree_util.tree_map(
         lambda a: (a if a.ndim <= batch_axis
                    else jnp.take(a, rows, axis=batch_axis)), caches)
@@ -124,3 +136,39 @@ def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
     seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
     return seqs, scores
+
+
+def encdec_beam_search(init_dec_cache, decode_step, params, batch,
+                       bos_token: int, steps: int, beam_size: int,
+                       memory, kv_seg=None, eos_id=None, alpha: float = 0.0):
+    """Beam search for encoder-decoder models (Seq2SeqTransformer, T5).
+
+    Wraps :func:`beam_search` with the shared cache-riding contract:
+    encoder ``memory`` (and optional source segment ids ``kv_seg``) live
+    under the gather-exempt ``"aux"`` cache key so every hypothesis stays
+    paired with its batch row's conditioning at zero per-step cost.
+
+    ``init_dec_cache(b, max_len)``: decoder self-attention caches.
+    ``decode_step(params, tokens, dec_caches, aux) -> (logits, dec_caches)``
+    runs the decoder stack one chunk (aux = {"mem", optional "kv_seg"}).
+    Returns ``(tokens [b, beam, steps], scores [b, beam])`` best-first.
+    """
+
+    class _DecoderLM:
+        def init_cache(self, b, max_len):
+            aux = {"mem": memory}
+            if kv_seg is not None:
+                aux["kv_seg"] = kv_seg
+            return {"dec": init_dec_cache(b, max_len), "aux": aux}
+
+        def apply(self, params, tokens, caches=None, decode=True,
+                  logits_last_only=False):
+            logits, dec = decode_step(params, tokens, caches["dec"],
+                                      caches["aux"])
+            if logits_last_only:
+                logits = logits[:, -1:]
+            return logits, {"dec": dec, "aux": caches["aux"]}
+
+    prompt = jnp.full((batch, 1), bos_token, jnp.int32)
+    return beam_search(_DecoderLM(), params, prompt, steps, beam_size,
+                       eos_id=eos_id, alpha=alpha)

@@ -135,48 +135,31 @@ class Seq2SeqTransformer(Module):
     def beam_decode(self, params, src, bos_token: int, steps: int,
                     beam_size: int, eos_id: int | None = None,
                     alpha: float = 0.0, src_valid=None):
-        """Beam-search decode conditioned on encoded ``src`` (see
-        models/beam.py). Encoder memory (and the source-padding segment ids)
-        ride inside the cache pytree, so the beam machinery's tile/gather
-        keeps each hypothesis paired with its batch row's memory. Returns
+        """Beam-search decode conditioned on encoded ``src``
+        (:func:`models.beam.encdec_beam_search` — encoder memory rides
+        the gather-exempt aux cache). Returns
         ``(tokens [b, beam, steps], scores [b, beam])`` best-first."""
-        from np_modeling_tpu.models.beam import beam_search
+        from np_modeling_tpu.models.beam import encdec_beam_search
 
         memory = self.encode(params, src, src_valid=src_valid)
         kv_seg = (src_valid.astype(jnp.int32) if src_valid is not None
                   else None)
-        outer = self
 
-        class _DecoderLM:
-            """GPT-shaped view of the decoder stack for beam_search."""
+        def init_dec_cache(b, max_len):
+            return self.decoder.init_cache(b, max_len, self.config.d_model)
 
-            def init_cache(self, b, max_len):
-                dec = outer.decoder.init_cache(b, max_len,
-                                               outer.config.d_model)
-                aux = {"mem": memory}
-                if kv_seg is not None:
-                    aux["kv_seg"] = kv_seg
-                return {"dec": dec, "aux": aux}
+        def decode_step(params, tokens, dec, aux):
+            cs = ((jnp.ones(tokens.shape, jnp.int32), aux["kv_seg"])
+                  if "kv_seg" in aux else None)
+            y = self._embed(params, tokens, offset=dec[0]["index"])
+            y, dec = self.decoder.apply(params["decoder"], y, aux["mem"],
+                                        caches=dec, decode=True,
+                                        cross_segment_ids=cs)
+            y = self.final_norm.apply(params["final_norm"], y)
+            logits = self.embed.attend(params["embedding"], y)
+            return logits.astype(jnp.float32), dec
 
-            def apply(self, params, tokens, caches=None, decode=True,
-                      logits_last_only=False):
-                aux = caches["aux"]
-                cs = None
-                if "kv_seg" in aux:
-                    q_seg = jnp.ones(tokens.shape, jnp.int32)
-                    cs = (q_seg, aux["kv_seg"])
-                offset = caches["dec"][0]["index"]
-                y = outer._embed(params, tokens, offset=offset)
-                y, dec = outer.decoder.apply(params["decoder"], y,
-                                             aux["mem"], caches=caches["dec"],
-                                             decode=True,
-                                             cross_segment_ids=cs)
-                y = outer.final_norm.apply(params["final_norm"], y)
-                if logits_last_only:
-                    y = y[:, -1:]
-                logits = outer.embed.attend(params["embedding"], y)
-                return logits.astype(jnp.float32), {"dec": dec, "aux": aux}
-
-        prompt = jnp.full((src.shape[0], 1), bos_token, jnp.int32)
-        return beam_search(_DecoderLM(), params, prompt, steps, beam_size,
-                           eos_id=eos_id, alpha=alpha)
+        return encdec_beam_search(init_dec_cache, decode_step, params,
+                                  src.shape[0], bos_token, steps,
+                                  beam_size, memory, kv_seg=kv_seg,
+                                  eos_id=eos_id, alpha=alpha)

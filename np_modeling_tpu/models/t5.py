@@ -291,52 +291,36 @@ class T5(Module):
     def beam_decode(self, params, src, bos_token: int, steps: int,
                     beam_size: int, eos_id: int | None = None,
                     alpha: float = 0.0, src_valid=None):
-        """Beam-search decode conditioned on encoded ``src`` (the
-        models/beam.py machinery via a GPT-shaped decoder view, like
-        Seq2SeqTransformer.beam_decode). Encoder memory and the source
-        segment ids ride inside the cache pytree so tile/gather keeps
-        each hypothesis paired with its row's memory. Returns
+        """Beam-search decode conditioned on encoded ``src``
+        (:func:`models.beam.encdec_beam_search` — encoder memory rides
+        the gather-exempt aux cache). Returns
         ``(tokens [b, beam, steps], scores [b, beam])`` best-first."""
-        from np_modeling_tpu.models.beam import beam_search
+        from np_modeling_tpu.models.beam import encdec_beam_search
 
         c = self.config
         memory = self.encode(params, src, src_valid=src_valid)
         kv_seg = (src_valid.astype(jnp.int32) if src_valid is not None
                   else None)
-        outer = self
 
-        class _DecoderLM:
-            """GPT-shaped view of the T5 decoder for beam_search."""
+        def init_dec_cache(b, max_len):
+            return [self.dec_attn.init_cache(b, max_len, c.d_model)
+                    for _ in range(c.num_decoder_layers)]
 
-            def init_cache(self, b, max_len):
-                dec = [outer.dec_attn.init_cache(b, max_len, c.d_model)
-                       for _ in range(c.num_decoder_layers)]
-                aux = {"mem": memory}
-                if kv_seg is not None:
-                    aux["kv_seg"] = kv_seg
-                return {"dec": dec, "aux": aux}
+        def decode_step(params, tokens, dec, aux):
+            cs = ((jnp.ones(tokens.shape, jnp.int32), aux["kv_seg"])
+                  if "kv_seg" in aux else None)
+            qpos = dec[0]["index"] + jnp.arange(tokens.shape[-1])
+            bias = self._relpos_bias(params["dec_relpos"], qpos,
+                                     jnp.arange(dec[0]["k"].shape[2]),
+                                     bidirectional=False)
+            y = maybe_cast(self.embed.apply(params["embedding"], tokens),
+                           c.dtype)
+            y, dec = self._decoder_stack(params, y, aux["mem"], bias,
+                                         False, None, cs, caches=dec,
+                                         decode=True)
+            return self._head(params, y), dec
 
-            def apply(self, params, tokens, caches=None, decode=True,
-                      logits_last_only=False):
-                aux = caches["aux"]
-                cs = None
-                if "kv_seg" in aux:
-                    cs = (jnp.ones(tokens.shape, jnp.int32), aux["kv_seg"])
-                offset = caches["dec"][0]["index"]
-                max_len = caches["dec"][0]["k"].shape[2]
-                qpos = offset + jnp.arange(tokens.shape[-1])
-                bias = outer._relpos_bias(params["dec_relpos"], qpos,
-                                          jnp.arange(max_len),
-                                          bidirectional=False)
-                y = maybe_cast(outer.embed.apply(params["embedding"],
-                                                 tokens), c.dtype)
-                y, dec = outer._decoder_stack(
-                    params, y, aux["mem"], bias, False, None, cs,
-                    caches=caches["dec"], decode=True)
-                if logits_last_only:
-                    y = y[:, -1:]
-                return outer._head(params, y), {"dec": dec, "aux": aux}
-
-        prompt = jnp.full((src.shape[0], 1), bos_token, jnp.int32)
-        return beam_search(_DecoderLM(), params, prompt, steps, beam_size,
-                           eos_id=eos_id, alpha=alpha)
+        return encdec_beam_search(init_dec_cache, decode_step, params,
+                                  src.shape[0], bos_token, steps,
+                                  beam_size, memory, kv_seg=kv_seg,
+                                  eos_id=eos_id, alpha=alpha)

@@ -808,6 +808,11 @@ def _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv, causal,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
+        cost_estimate=pl.CostEstimate(      # same model as the single path
+            flops=4 * b * hq * sq * (n_kv * bkv) * d,
+            bytes_accessed=(qp.size + kp.size + vp.size
+                            + qp.size) * qp.dtype.itemsize,
+            transcendentals=b * hq * sq * n_kv * bkv),
         interpret=dispatch.interpret_mode(),
     )(qp, kp, vp)
     return o[:, :, :sq, :d], lse[:, :, :sq, 0]
