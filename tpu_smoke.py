@@ -55,6 +55,34 @@ def main():
               f"dbias max abs err {db_err:.2e}")
         assert rel < 1e-6 and db_err < 1e-3
 
+        # Backward kernels ON HARDWARE: dq/dk/dv kernel-vs-jnp, and the
+        # default fused (5-matmul, bf16-partials) kernel vs the split
+        # dq/dkv pair (interpret mode can't catch TPU-only lowering bugs).
+        import np_modeling_tpu.ops.attention as A
+
+        def qkv_grads(use_kernel):
+            def f(t):
+                with dispatch.force_pallas(use_kernel):
+                    out = ops.flash_attention(t[0], t[1], t[2], causal=True,
+                                              block_q=256, block_kv=256)
+                return jnp.sum(out ** 2)
+            return jax.grad(f)((q, k, v))
+
+        g_kern = qkv_grads(True)           # FUSED_BWD default
+        g_jnp = qkv_grads(False)
+        errs = [float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(g_kern, g_jnp)]
+        try:
+            A.FUSED_BWD = False
+            g_split = qkv_grads(True)
+        finally:
+            A.FUSED_BWD = True
+        split_errs = [float(jnp.max(jnp.abs(a - b)))
+                      for a, b in zip(g_kern, g_split)]
+        print(f"bwd kernel-vs-jnp dq/dk/dv max abs err {max(errs):.2e}; "
+              f"fused-vs-split {max(split_errs):.2e}")
+        assert max(errs) < 1e-2 and max(split_errs) < 1e-2
+
     cfg = models.GPTConfig(vocab_size=512, d_model=128, num_heads=4,
                            num_layers=2, hidden_units=256, max_len=64,
                            drop_rate=0.2)
