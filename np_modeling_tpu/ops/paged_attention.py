@@ -51,14 +51,31 @@ from np_modeling_tpu.ops.attention import DEFAULT_MASK_VALUE
 from np_modeling_tpu.ops.matmul import round_up
 
 
+def _normalize_bias(bias, b, hq, sq):
+    """Broadcast a [b, hq, kv_len] bias over the query axis -> 4-D
+    [b, hq, sq, kv_len] (the decode-step case: one bias row per head)."""
+    if bias is None:
+        return None
+    if bias.ndim == 3:
+        bias = bias[:, :, None]
+    assert bias.shape[:3] == (b, hq, sq) or bias.shape[2] == 1, bias.shape
+    return jnp.broadcast_to(
+        bias.astype(jnp.float32),
+        (b, hq, sq, bias.shape[-1]))
+
+
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
-                              scale=None, window=None):
+                              scale=None, window=None, bias=None):
     """Pure-jnp oracle: gather each sequence's pages, masked attention.
 
     ``window``: sliding-window width W — query token at position p attends
     to cache positions [p-W+1, p], matching training-time
-    ops.flash_attention(causal=True, window=W). Accepts 3-D (single-token)
-    or 4-D (multi-token) q; see module docstring for length semantics."""
+    ops.flash_attention(causal=True, window=W). ``bias``: additive score
+    bias [b, hq, kv_len] (or [b, hq, sq, kv_len]) over ABSOLUTE cache
+    positions 0..kv_len-1 — the serving form of T5-style relative-position
+    bias (kv_len >= the covered positions; extra columns are masked).
+    Accepts 3-D (single-token) or 4-D (multi-token) q; see module
+    docstring for length semantics."""
     squeeze = q.ndim == 3
     if squeeze:
         q = q[:, None]
@@ -77,6 +94,11 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     qg = jnp.moveaxis(q.reshape(b, sq, hkv, g, d), 1, 2)  # [b,hkv,sq,g,d]
     s = jnp.einsum("bhtgd,bhkd->bhtgk", qg, k_seq,
                    preferred_element_type=jnp.float32) * scale
+    bias = _normalize_bias(bias, b, hq, sq)
+    if bias is not None:
+        kv = min(max_len, bias.shape[-1])
+        bg = jnp.moveaxis(bias.reshape(b, hkv, g, sq, -1), 2, 3)
+        s = s.at[..., :kv].add(bg[..., :kv])  # [b, hkv, sq, g, kv]
     pos = jnp.arange(max_len)[None, None, None, None, :]
     # Query token t's own absolute position: lengths - sq + t.
     own = (lengths[:, None, None, None, None] - sq
@@ -93,8 +115,9 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
 
 
 def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
-                  n_blocks, npb, quantized, window, sq, g):
-    """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], o_ref, m, l, acc."""
+                  n_blocks, npb, quantized, window, sq, g, has_bias=False):
+    """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], [bias],
+    o_ref, m, l, acc."""
     del page_idx_ref
     if quantized:
         k_refs, rest = rest[:npb], rest[npb:]
@@ -112,6 +135,9 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
         v_refs, rest = rest[:npb], rest[npb:]
         k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)
         v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
+    bias_ref = None
+    if has_bias:
+        bias_ref, rest = rest[0], rest[1:]
     o_ref, m_scr, l_scr, acc_scr = rest
 
     b_idx, blk = pl.program_id(0), pl.program_id(2)
@@ -138,6 +164,8 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
         q = q_ref[0, 0]                        # [sq*g (padded), d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0]             # [rows (padded), block]
         pos = blk * block_tokens + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
         # Row r is query token r // g at absolute position length - sq + t;
@@ -170,8 +198,17 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
 
 def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
                     k_scales=None, v_scales=None, pages_per_block=8,
-                    window=None):
-    """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere)."""
+                    window=None, bias=None):
+    """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere).
+
+    ``bias``: optional additive score bias over absolute cache positions —
+    [b, hq, kv_len] (broadcast over query tokens) or [b, hq, sq, kv_len].
+    Streams through the kernel as a position-blocked input riding the same
+    grid as the page walk (page block i covers positions [i*block,
+    (i+1)*block), so the bias tile is a PLAIN blocked load — no
+    scalar-prefetch indirection needed). This is how T5-style relative-
+    position bias reaches the serving decode path
+    (serving.seq2seq_engine)."""
     quantized = k_scales is not None
     if dispatch.forced() is False or not (dispatch.forced() or
                                           dispatch.on_tpu()):
@@ -179,7 +216,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
             k_pages = k_pages.astype(jnp.float32) * k_scales
             v_pages = v_pages.astype(jnp.float32) * v_scales
         return paged_attention_reference(q, k_pages, v_pages, lengths,
-                                         page_indices, scale, window)
+                                         page_indices, scale, window, bias)
 
     squeeze = q.ndim == 3
     if squeeze:
@@ -236,10 +273,30 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
         in_specs += kv_specs + kv_specs
         inputs += [k_pages] * npb + [v_pages] * npb
 
+    bias = _normalize_bias(bias, b, hq, sq)
+    if bias is not None:
+        block_tokens = npb * psize
+        # Fold to the kernel's row layout (row t*g + j = token t, group
+        # member j) and pad rows/positions to the tile grid.
+        bg = jnp.moveaxis(bias.reshape(b, hkv, g, sq, -1), 2, 3).reshape(
+            b, hkv, rows, -1)
+        cover = n_blocks * block_tokens
+        pad_pos = cover - bg.shape[-1]
+        assert pad_pos >= 0, (
+            f"bias covers {bg.shape[-1]} positions > page table's {cover}")
+        bg = jnp.pad(bg, ((0, 0), (0, 0), (0, g_pad - rows), (0, pad_pos)))
+
+        def bias_map(b_i, h_i, blk, lengths_ref, page_idx_ref):
+            del lengths_ref, page_idx_ref
+            return (b_i, h_i, 0, blk)
+
+        in_specs.append(pl.BlockSpec((1, 1, g_pad, block_tokens), bias_map))
+        inputs.append(bg)
+
     kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
                                n_blocks=n_blocks, npb=npb,
                                quantized=quantized, window=window, sq=sq,
-                               g=g)
+                               g=g, has_bias=bias is not None)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

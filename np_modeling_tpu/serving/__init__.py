@@ -1,7 +1,10 @@
-"""Serving: paged KV-cache management, paged decode attention, engine."""
+"""Serving: paged KV-cache management, paged decode attention, engine,
+tokenizer, and the text in/out layer."""
 
 from np_modeling_tpu.serving.engine import GenerationEngine
 from np_modeling_tpu.serving.kv_cache import PagedKVCache
+from np_modeling_tpu.serving.text import Completion, StreamDecoder, TextEngine
 from np_modeling_tpu.serving.tokenizer import BPETokenizer
 
-__all__ = ["BPETokenizer", "GenerationEngine", "PagedKVCache"]
+__all__ = ["BPETokenizer", "Completion", "GenerationEngine", "PagedKVCache",
+           "StreamDecoder", "TextEngine"]

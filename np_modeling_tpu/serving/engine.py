@@ -253,6 +253,11 @@ class GenerationEngine:
     def free_pages(self) -> int:
         return len(self._free)
 
+    def capacity(self, seq_id: int) -> int:
+        """Decode steps this sequence can still take before hitting the
+        per-sequence token bound (model max_len / page-table rows)."""
+        return self._max_tokens - self._host_len[seq_id]
+
     class _Lane:
         """Page-management view of one model lane (target or draft)."""
 

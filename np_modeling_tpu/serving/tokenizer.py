@@ -242,6 +242,12 @@ class BPETokenizer:
                 for i in range(len(pretokens))]
 
     def decode(self, ids) -> str:
+        return self.decode_bytes(ids).decode("utf-8", errors="replace")
+
+    def decode_bytes(self, ids) -> bytes:
+        """Token ids -> raw bytes (no UTF-8 decoding). Streaming detokenizers
+        need the byte stream: byte-level BPE freely splits one multi-byte
+        character across tokens, so per-token ``decode`` would emit U+FFFD
+        for every such boundary (serving.text buffers bytes instead)."""
         chars = "".join(self.inv_vocab[int(i)] for i in ids)
-        bs = bytes(self._char_to_byte[c] for c in chars)
-        return bs.decode("utf-8", errors="replace")
+        return bytes(self._char_to_byte[c] for c in chars)

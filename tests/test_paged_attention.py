@@ -86,6 +86,47 @@ class TestPagedKernel:
                                             mask=mask)
             assert_allclose(ref[i], dense[0, :, 0], rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("hq,hkv,sq", [(4, 4, 1), (8, 2, 1), (4, 2, 3)])
+    def test_kernel_bias_vs_oracle(self, hq, hkv, sq):
+        # Additive position bias (the serving form of T5 relpos bias):
+        # kernel == oracle for single- and multi-token q, incl. GQA.
+        q, k_pages, v_pages, lengths, page_indices = _setup(hq=hq, hkv=hkv)
+        b, _, d = q.shape
+        max_len = page_indices.shape[1] * k_pages.shape[2]
+        if sq > 1:
+            q = jnp.asarray(rand(b, sq, hq, d, rng=rng))
+            lengths = jnp.maximum(lengths, sq)
+            bias = jnp.asarray(rand(b, hq, sq, max_len, rng=rng))
+        else:
+            bias = jnp.asarray(rand(b, hq, max_len, rng=rng))
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices, bias=bias,
+                                      pages_per_block=2)
+        ref = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices, bias=bias)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_bias_oracle_vs_dense(self):
+        # The biased oracle must equal dense masked attention with the
+        # same additive scores.
+        q, k_pages, v_pages, lengths, page_indices = _setup(hq=2, hkv=2)
+        b, hq, d = q.shape
+        psize = k_pages.shape[2]
+        max_len = page_indices.shape[1] * psize
+        bias = jnp.asarray(rand(b, hq, max_len, rng=rng))
+        out = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices, bias=bias)
+        for i in range(b):
+            k_seq = k_pages[:, page_indices[i]].reshape(hq, max_len, d)
+            v_seq = v_pages[:, page_indices[i]].reshape(hq, max_len, d)
+            s = jnp.einsum("hd,hkd->hk", q[i], k_seq) / np.sqrt(d)
+            s = s + bias[i]
+            s = jnp.where(jnp.arange(max_len) < lengths[i], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            dense = jnp.einsum("hk,hkd->hd", p, v_seq)
+            assert_allclose(out[i], dense, rtol=2e-5, atol=2e-5)
+
     def test_kernel_page_sized_lengths(self):
         q, k_pages, v_pages, _, page_indices = _setup()
         lengths = jnp.asarray([8, 16, 32], jnp.int32)  # exact page multiples
