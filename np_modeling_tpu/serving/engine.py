@@ -93,6 +93,18 @@ class GenerationEngine:
                                  # coupled); NO-DROP MoE
                                  # (moe_capacity_factor=None) chunks
                                  # exactly — per-token routing.
+    mesh: Optional[object] = None  # jax.sharding.Mesh -> TENSOR-PARALLEL
+                                 # serving: weights shard by
+                                 # parallel.TRANSFORMER_RULES, KV pages by
+                                 # kv-head over ``tp_axis``, and every
+                                 # jitted step runs GSPMD-partitioned with
+                                 # the Pallas paged-attention call wrapped
+                                 # in a shard_map island (heads are
+                                 # independent — no collective inside; XLA
+                                 # inserts the o-proj/FFN all-reduces).
+                                 # Requires num_kv_heads % tp == 0 and the
+                                 # chunked prefill path (the default).
+    tp_axis: str = "tp"
 
     def _make_lane_state(self, gpt, total_pages):
         c = gpt.config
@@ -120,7 +132,64 @@ class GenerationEngine:
                                  for _ in range(L)]
             state["v_scales"] = [jnp.zeros(sshape, jnp.float32)
                                  for _ in range(L)]
-        return state
+        return self._shard_state(state)
+
+    # ---- tensor-parallel serving helpers ----------------------------------
+
+    def _tp_size(self) -> int:
+        axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        return axes.get(self.tp_axis, 1)
+
+    def _shard_state(self, state):
+        """Commit lane state to the mesh: page/scale buffers sharded by
+        kv-head on ``tp_axis``, control arrays (table/lengths/...)
+        replicated. No-op without a mesh."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kv = NamedSharding(self.mesh, P(self.tp_axis))
+        rep = NamedSharding(self.mesh, P())
+        out = {}
+        for k, v in state.items():
+            if k in ("k_pages", "v_pages", "k_scales", "v_scales"):
+                out[k] = [jax.device_put(x, kv) for x in v]
+            else:
+                out[k] = jax.device_put(v, rep)
+        return out
+
+    def _shard_params_tp(self, params):
+        from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES,
+                                                       shard_params)
+        return shard_params(params, self.mesh, TRANSFORMER_RULES)
+
+    def _paged(self, q, k_pages, v_pages, lengths, table, window, kwargs):
+        """ops.paged_attention — as a shard_map island over ``tp_axis``
+        when serving tensor-parallel. Heads are independent in the decode
+        kernel, so each shard runs the unmodified Pallas kernel on its
+        hq/tp query heads and hkv/tp kv-head page slices; control inputs
+        (lengths, page table) are replicated. GQA grouping survives the
+        split because q-head block j covers exactly kv-head block j's
+        groups (hq/tp = g * hkv/tp contiguous heads)."""
+        if self.mesh is None:
+            return ops.paged_attention(q, k_pages, v_pages, lengths, table,
+                                       window=window, **kwargs)
+        from jax.sharding import PartitionSpec as P
+        heads = P(None, None, self.tp_axis, None)
+        kv = P(self.tp_axis)
+        quant = "k_scales" in kwargs
+
+        def island(q_, kp_, vp_, len_, tab_, *scales):
+            kw = (dict(k_scales=scales[0], v_scales=scales[1])
+                  if quant else {})
+            return ops.paged_attention(q_, kp_, vp_, len_, tab_,
+                                       window=window, **kw)
+
+        in_specs = (heads, kv, kv, P(), P()) + ((kv, kv) if quant else ())
+        args = (q, k_pages, v_pages, lengths, table)
+        if quant:
+            args += (kwargs["k_scales"], kwargs["v_scales"])
+        return jax.shard_map(island, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=heads, check_vma=False)(*args)
 
     # ---- multi-LoRA helpers ----------------------------------------------
 
@@ -194,6 +263,18 @@ class GenerationEngine:
         assert not c.scan_layers, "engine requires scan_layers=False"
         hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
         self._dims = (hq, hkv, dk)
+        if self.mesh is not None:
+            tp = self._tp_size()
+            assert tp > 1, (
+                f"mesh has no '{self.tp_axis}' axis (axes: "
+                f"{self.mesh.axis_names}) — pass tp_axis= or drop mesh=")
+            assert hkv % tp == 0, (
+                f"tensor-parallel serving shards kv heads: num_kv_heads="
+                f"{hkv} must divide by tp={tp}")
+            assert self.prefill_chunk_size is not None, (
+                "tensor-parallel serving requires the chunked prefill path "
+                "(prefill_chunk_size=None selects the eager dense prefill, "
+                "which cannot run on sharded params)")
         self.max_pages = -(-c.max_len // self.page_size)
         # Hard token bound: the page table may cover slightly more than
         # max_len when page_size doesn't divide it — never decode past the
@@ -219,6 +300,11 @@ class GenerationEngine:
                                  enumerate(sorted(self.lora_adapters))}
             self._serve_params = {**self.params,
                                   "_lora": self._stack_adapters()}
+        if self.mesh is not None:
+            # Weights shard by the training TP rules (stacked LoRA tensors
+            # match no rule -> replicated); GSPMD partitions every jitted
+            # step from the input shardings alone.
+            self._serve_params = self._shard_params_tp(self._serve_params)
         self._jit_step = jax.jit(self._device_step, donate_argnums=(0,))
         self._jit_multi: dict[int, object] = {}   # n -> jitted n-step scan
         self._jit_prefill: dict[int, object] = {}  # n_pages -> jitted prefill
@@ -233,6 +319,12 @@ class GenerationEngine:
             self._max_tokens = min(self._max_tokens, dc.max_len,
                                    self.max_pages * self.page_size)
             assert dc.max_len >= self._max_tokens
+            if self.mesh is not None:
+                dhkv = self.draft_gpt.block.attn._dims(dc.d_model)[1]
+                assert dhkv % self._tp_size() == 0, (
+                    f"draft num_kv_heads={dhkv} must divide by "
+                    f"tp={self._tp_size()} for tensor-parallel serving")
+                self.draft_params = self._shard_params_tp(self.draft_params)
             self._dstate = self._make_lane_state(self.draft_gpt,
                                                  self._d_total)
             self._dtrash = self._d_total - 1
@@ -1077,11 +1169,10 @@ class GenerationEngine:
         if self.quantize_kv:
             kwargs = {"k_scales": state["k_scales"][li],
                       "v_scales": state["v_scales"][li]}
-        o = ops.paged_attention(jnp.swapaxes(q, 1, 2),      # [S, t, hq, dk]
-                                state["k_pages"][li],
-                                state["v_pages"][li], att_len,
-                                state["table"],
-                                window=c.attention_window, **kwargs)
+        o = self._paged(jnp.swapaxes(q, 1, 2),              # [S, t, hq, dk]
+                        state["k_pages"][li], state["v_pages"][li],
+                        att_len, state["table"],
+                        window=c.attention_window, kwargs=kwargs)
         hq, dk, d_out = ap["wo"].shape
         o4 = o.astype(x.dtype)                              # [S, t, hq, dk]
         o = o4.reshape(x.shape[0], t, hq * dk)
