@@ -26,6 +26,10 @@ class BertConfig:
     num_classes: int = 2
     mlm_head: bool = False      # add the masked-LM pretraining head
                                 # (transform Linear+gelu+LN, tied decoder)
+    activation: object = "relu"  # FFN activation (HF BERT: "gelu_exact")
+    ln_eps: float = 1e-3        # LayerNorm epsilon (HF BERT: 1e-12)
+    type_vocab_size: int = 0    # >0: token-type (segment) embeddings
+                                # (HF BERT sentence-pair inputs)
 
 
 @dataclasses.dataclass
@@ -38,15 +42,18 @@ class BertEncoder(Module):
         c = self.config
         self.embed = Embedding(c.vocab_size, c.d_model)
         self.pos_embed = Embedding(c.max_len, c.d_model)
-        self.embed_norm = LayerNorm()
+        if c.type_vocab_size:
+            self.type_embed = Embedding(c.type_vocab_size, c.d_model)
+        self.embed_norm = LayerNorm(epsilon=c.ln_eps)
         self.block = TransformerEncoderBlock(
-            c.num_heads, c.hidden_units, c.norm_first, c.drop_rate)
+            c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
+            activation=c.activation, ln_eps=c.ln_eps)
         self.pooler = Linear(c.d_model)
         self.classifier = Linear(c.num_classes)
         self.drop = Dropout(c.drop_rate)
         if c.mlm_head:
             self.mlm_transform = Linear(c.d_model)
-            self.mlm_norm = LayerNorm()
+            self.mlm_norm = LayerNorm(epsilon=c.ln_eps)
 
     def init(self, key, tokens):
         c = self.config
@@ -57,6 +64,9 @@ class BertEncoder(Module):
             "pos_embedding": self.pos_embed.init(ks[1]),
             "embed_norm": self.embed_norm.init(ks[2], x),
         }
+        if c.type_vocab_size:
+            params["type_embedding"] = self.type_embed.init(
+                jax.random.fold_in(key, 777))
         for i in range(c.num_layers):
             params[f"layer_{i}"] = self.block.init(ks[3 + i], x)
         pooled = jnp.zeros((tokens.shape[0], c.d_model), jnp.float32)
@@ -71,12 +81,14 @@ class BertEncoder(Module):
         return params
 
     def encode(self, params, tokens, mask=None, training=False, rngs=None,
-               attention_mask=None):
+               attention_mask=None, token_type_ids=None):
         """``attention_mask``: [b, s] (1 = real token, 0 = padding) — the
         standard padded-batch surface. Routed through the flash kernels'
         segment-id machinery (O(s) operands, not an O(s^2) boolean mask):
         padding tokens form their own segment so real tokens never attend
-        to them. ``mask`` remains for arbitrary [b|1, h|1, s, s] masks."""
+        to them. ``mask`` remains for arbitrary [b|1, h|1, s, s] masks.
+        ``token_type_ids``: [b, s] segment ids for sentence-pair inputs
+        (needs ``type_vocab_size>0``; defaults to all-zeros)."""
         c = self.config
         segment_ids = None
         if attention_mask is not None:
@@ -85,6 +97,14 @@ class BertEncoder(Module):
         positions = jnp.arange(tokens.shape[-1])
         x = (self.embed.apply(params["embedding"], tokens)
              + self.pos_embed.apply(params["pos_embedding"], positions))
+        if c.type_vocab_size:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(tokens)
+            x = x + self.type_embed.apply(params["type_embedding"],
+                                          token_type_ids)
+        else:
+            assert token_type_ids is None, (
+                "token_type_ids needs BertConfig(type_vocab_size>0)")
         x = self.embed_norm.apply(params["embed_norm"], x)
         x = self.drop.apply({}, x, training, rngs, salt=1000)
         for i in range(c.num_layers):
@@ -94,9 +114,10 @@ class BertEncoder(Module):
         return x
 
     def apply(self, params, tokens, mask=None, training=False, rngs=None,
-              attention_mask=None):
+              attention_mask=None, token_type_ids=None):
         x = self.encode(params, tokens, mask, training, rngs,
-                        attention_mask=attention_mask)
+                        attention_mask=attention_mask,
+                        token_type_ids=token_type_ids)
         pooled = jnp.tanh(self.pooler.apply(params["pooler"], x[:, 0]))
         return self.classifier.apply(params["classifier"], pooled)
 

@@ -747,3 +747,111 @@ def import_phi(model, **config_overrides):
     projection, and an untied, BIASED LM head (``lm_head_bias``)."""
     cfg = phi_config(model.config, **config_overrides)
     return cfg, phi_params(model.state_dict(), cfg)
+
+
+# ---- BERT (bidirectional encoder — the tenth family, first encoder-only) --
+
+def bert_config(hf_config, **overrides):
+    """``transformers.BertConfig`` -> :class:`models.BertConfig`.
+
+    HF ``hidden_act="gelu"`` is the exact erf GELU (our ``gelu_exact``);
+    ``gelu_new`` is the tanh approximation (our ``gelu``)."""
+    from np_modeling_tpu.models.bert import BertConfig
+    act = {"gelu": "gelu_exact", "gelu_new": "gelu",
+           "relu": "relu"}[hf_config.hidden_act]
+    kw = dict(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        max_len=hf_config.max_position_embeddings,
+        norm_first=False,                       # classic BERT is post-norm
+        activation=act,
+        ln_eps=hf_config.layer_norm_eps,
+        type_vocab_size=hf_config.type_vocab_size,
+        num_classes=getattr(hf_config, "num_labels", 2),
+        mlm_head=False,
+    )
+    kw.update(overrides)
+    return BertConfig(**kw)
+
+
+def bert_params(state_dict, config) -> dict:
+    """BERT state dict -> :class:`models.BertEncoder` params pytree.
+
+    Accepts ``BertModel`` (bare), ``BertForMaskedLM`` (``bert.`` prefix +
+    ``cls.predictions`` head) and ``BertForSequenceClassification``
+    (``classifier``) key layouts. torch ``nn.Linear`` stores [out, in] —
+    transposed here (unlike GPT-2's Conv1D [in, out])."""
+    sd = {k.removeprefix("bert."): v for k, v in state_dict.items()}
+    d, h = config.d_model, config.num_heads
+    dk = d // h
+
+    def lin(prefix):                              # torch Linear -> ours
+        return {"w": _np(sd[f"{prefix}.weight"]).T,
+                "b": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    params = {
+        "embedding": {"table": _np(sd["embeddings.word_embeddings.weight"])},
+        "pos_embedding": {
+            "table": _np(sd["embeddings.position_embeddings.weight"])},
+        "embed_norm": ln("embeddings.LayerNorm"),
+    }
+    if config.type_vocab_size:
+        params["type_embedding"] = {
+            "table": _np(sd["embeddings.token_type_embeddings.weight"])}
+    for i in range(config.num_layers):
+        p = f"encoder.layer.{i}"
+        a = f"{p}.attention"
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": _np(sd[f"{a}.self.query.weight"]).T.reshape(d, h, dk),
+                "bq": _np(sd[f"{a}.self.query.bias"]).reshape(h, dk),
+                "wk": _np(sd[f"{a}.self.key.weight"]).T.reshape(d, h, dk),
+                "bk": _np(sd[f"{a}.self.key.bias"]).reshape(h, dk),
+                "wv": _np(sd[f"{a}.self.value.weight"]).T.reshape(d, h, dk),
+                "bv": _np(sd[f"{a}.self.value.bias"]).reshape(h, dk),
+                "wo": _np(sd[f"{a}.output.dense.weight"]).T.reshape(h, dk, d),
+                "bo": _np(sd[f"{a}.output.dense.bias"]),
+            },
+            "norm1": ln(f"{a}.output.LayerNorm"),
+            "norm2": ln(f"{p}.output.LayerNorm"),
+            "dense1": {"linear": lin(f"{p}.intermediate.dense")},
+            "dense2": lin(f"{p}.output.dense"),
+        }
+    # Heads: present in the checkpoint or zero-filled (tanh(0) pooler and
+    # zero classifier are inert; MLM import keeps them unused).
+    params["pooler"] = (lin("pooler.dense") if "pooler.dense.weight" in sd
+                        else {"w": np.zeros((d, d), np.float32),
+                              "b": np.zeros((d,), np.float32)})
+    params["classifier"] = (
+        lin("classifier") if "classifier.weight" in sd
+        else {"w": np.zeros((d, config.num_classes), np.float32),
+              "b": np.zeros((config.num_classes,), np.float32)})
+    if config.mlm_head:
+        cp = "cls.predictions"
+        params["mlm_transform"] = lin(f"{cp}.transform.dense")
+        params["mlm_norm"] = ln(f"{cp}.transform.LayerNorm")
+        params["mlm_bias"] = _np(sd[f"{cp}.bias"])
+    return params
+
+
+def import_bert(model, **config_overrides):
+    """``transformers.BertModel`` / ``BertForMaskedLM`` /
+    ``BertForSequenceClassification`` -> (BertConfig, params) for
+    :class:`models.BertEncoder`.
+
+    The reference has no encoder-only pretraining surface at all; this
+    lands HF's canonical bidirectional encoder on the same
+    TransformerEncoderBlock the GPT stack uses
+    (/root/reference/layers/transformer.py:8-92 lineage)."""
+    sd = model.state_dict()
+    if any(k.startswith("cls.predictions") for k in sd):
+        config_overrides.setdefault("mlm_head", True)
+    cfg = bert_config(model.config, **config_overrides)
+    return cfg, bert_params(sd, cfg)
