@@ -11,6 +11,8 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
+import numpy as np
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -84,19 +86,26 @@ def shard_params(params, mesh: Mesh, rules=TRANSFORMER_RULES):
 
 
 def shard_batch(batch, mesh: Mesh, spec: P | None = None):
-    """Shard inputs: batch axis on dp, sequence axis on sp (if present)."""
+    """Shard inputs: batch axis on dp (and fsdp — under FSDP the batch is
+    data-parallel over BOTH axes), sequence axis on sp (if present)."""
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    bax = tuple(a for a in ("dp", "fsdp") if a in axes)
+    bax = bax if len(bax) > 1 else (bax + ("dp",))[0]
+
     def f(x):
         if spec is not None:
             s = spec
         elif x.ndim >= 2 and "sp" in mesh.axis_names:
-            s = P("dp", "sp")
+            s = P(bax, "sp")
         else:
-            s = P("dp")
-        # Trim spec axes that don't divide.
-        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            s = P(bax)
+        # Trim spec axes that don't divide (tuple entries shard one dim
+        # over several mesh axes: every axis must exist, product divides).
         fixed = []
         for dim, ax in zip(x.shape, tuple(s) + (None,) * x.ndim):
-            ok = ax is not None and ax in axes and dim % axes[ax] == 0
+            group = ax if isinstance(ax, tuple) else (ax,)
+            ok = (ax is not None and all(a in axes for a in group)
+                  and dim % int(np.prod([axes[a] for a in group])) == 0)
             fixed.append(ax if ok else None)
         return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
 
