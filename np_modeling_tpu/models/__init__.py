@@ -1,4 +1,4 @@
-"""Model zoo: classical (KNN) + neural (MLP/CNN/GPT/BERT/T5)."""
+"""Model zoo: classical (KNN) + neural (MLP/CNN/GPT/BERT/T5/ViT)."""
 
 from np_modeling_tpu.models.bert import (BertConfig, BertEncoder,
                                          mlm_mask_tokens)
@@ -11,10 +11,12 @@ from np_modeling_tpu.models.seq2seq import Seq2SeqConfig, Seq2SeqTransformer
 from np_modeling_tpu.models.speculative import speculative_generate
 from np_modeling_tpu.models.t5 import T5, T5Config
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
+from np_modeling_tpu.models.vit import ViT, ViTConfig, patchify
 
 __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
     "Seq2SeqTransformer", "T5", "T5Config", "beam_search", "euclidean_distance",
-    "mlm_mask_tokens", "speculative_generate",
+    "mlm_mask_tokens", "speculative_generate", "ViT", "ViTConfig",
+    "patchify",
 ]

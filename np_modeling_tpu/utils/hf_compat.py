@@ -855,3 +855,100 @@ def import_bert(model, **config_overrides):
         config_overrides.setdefault("mlm_head", True)
     cfg = bert_config(model.config, **config_overrides)
     return cfg, bert_params(sd, cfg)
+
+
+# ---- ViT (vision transformer — the eleventh family, first vision) --------
+
+def vit_config(hf_config, **overrides):
+    """``transformers.ViTConfig`` -> :class:`models.ViTConfig`."""
+    from np_modeling_tpu.models.vit import ViTConfig
+    act = {"gelu": "gelu_exact", "gelu_new": "gelu",
+           "relu": "relu"}[hf_config.hidden_act]
+    kw = dict(
+        image_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        num_channels=hf_config.num_channels,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        activation=act,
+        ln_eps=hf_config.layer_norm_eps,
+        num_classes=getattr(hf_config, "num_labels", 1000),
+    )
+    kw.update(overrides)
+    return ViTConfig(**kw)
+
+
+def vit_params(state_dict, config) -> dict:
+    """ViT state dict -> :class:`models.ViT` params pytree.
+
+    Accepts ``ViTModel`` (bare, optional pooler) and
+    ``ViTForImageClassification`` (``vit.`` prefix + ``classifier``).
+    The HF stride-p conv patch kernel [d, c, p, p] becomes our single
+    patch matmul: permuted to HWIO [p, p, c, d] then flattened to
+    [p*p*c, d] — exactly the (ph, pw, c) order :func:`models.patchify`
+    emits, so the two are numerically identical."""
+    sd = {k.removeprefix("vit."): v for k, v in state_dict.items()}
+    d, h = config.d_model, config.num_heads
+    dk = d // h
+    p = config.patch_size
+
+    def lin(prefix):
+        return {"w": _np(sd[f"{prefix}.weight"]).T,
+                "b": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    conv_w = _np(sd["embeddings.patch_embeddings.projection.weight"])
+    params = {
+        "cls_token": _np(sd["embeddings.cls_token"]),
+        "pos_embedding": _np(sd["embeddings.position_embeddings"]),
+        "patch_proj": {
+            "w": conv_w.transpose(2, 3, 1, 0).reshape(-1, d),
+            "b": _np(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "final_norm": ln("layernorm"),
+    }
+    for i in range(config.num_layers):
+        pre = f"encoder.layer.{i}"
+        a = f"{pre}.attention.attention"
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": _np(sd[f"{a}.query.weight"]).T.reshape(d, h, dk),
+                "bq": _np(sd[f"{a}.query.bias"]).reshape(h, dk),
+                "wk": _np(sd[f"{a}.key.weight"]).T.reshape(d, h, dk),
+                "bk": _np(sd[f"{a}.key.bias"]).reshape(h, dk),
+                "wv": _np(sd[f"{a}.value.weight"]).T.reshape(d, h, dk),
+                "bv": _np(sd[f"{a}.value.bias"]).reshape(h, dk),
+                "wo": _np(sd[f"{pre}.attention.output.dense.weight"])
+                      .T.reshape(h, dk, d),
+                "bo": _np(sd[f"{pre}.attention.output.dense.bias"]),
+            },
+            "norm1": ln(f"{pre}.layernorm_before"),
+            "norm2": ln(f"{pre}.layernorm_after"),
+            "dense1": {"linear": lin(f"{pre}.intermediate.dense")},
+            "dense2": lin(f"{pre}.output.dense"),
+        }
+    params["classifier"] = (
+        lin("classifier") if "classifier.weight" in sd
+        else {"w": np.zeros((d, config.num_classes), np.float32),
+              "b": np.zeros((config.num_classes,), np.float32)})
+    if config.pooler:
+        params["pooler"] = lin("pooler.dense")
+    return params
+
+
+def import_vit(model, **config_overrides):
+    """``transformers.ViTModel`` / ``ViTForImageClassification`` ->
+    (ViTConfig, params) for :class:`models.ViT`.
+
+    NOTE on inputs: HF ViT takes NCHW pixel_values; our ViT takes NHWC
+    (TPU-native layout) — transpose with ``x.transpose(0, 2, 3, 1)``."""
+    sd = model.state_dict()
+    if any(k.startswith(("pooler.", "vit.pooler.")) for k in sd):
+        config_overrides.setdefault("pooler", True)
+    cfg = vit_config(model.config, **config_overrides)
+    return cfg, vit_params(sd, cfg)
