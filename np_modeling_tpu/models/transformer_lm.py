@@ -64,12 +64,29 @@ class GPTConfig:
     rope_dim: int | None = None   # partial rotary: rotate only the first
                                   # rope_dim head features (GPT-NeoX
                                   # rotary_pct, Phi partial_rotary_factor)
+    rope_scaling: tuple | None = None  # long-context frequency scaling:
+                                  # ("linear", factor) or ("llama3",
+                                  # factor, low, high, original_max_len)
     parallel_residual: bool = False   # x + attn(n1(x)) + ffn(n2(x))
                                   # (GPT-J / GPT-NeoX / Phi block form)
     parallel_shared_norm: bool = False  # Phi: ONE shared LN feeds both the
                                   # attention and FFN branches (no norm2)
     lm_head_bias: bool = False    # untied LM head carries a bias (Phi)
     attention_window: int | None = None   # sliding-window (local) attention
+    window_pattern: int = 1       # >1: only layers with i % pattern == 0
+                                  # use attention_window, the rest attend
+                                  # globally (Gemma-2 alternates 2)
+    attn_logit_softcap: float | None = None   # Gemma-2: cap*tanh(s/cap) on
+                                  # the scaled attention scores (in-kernel)
+    final_logit_softcap: float | None = None  # Gemma-2: same cap on the
+                                  # LM-head output logits
+    query_pre_attn_scalar: float | None = None  # Gemma-2: attention scale
+                                  # = query_pre_attn_scalar**-0.5 (instead
+                                  # of head_dim**-0.5)
+    sandwich_norm: bool = False   # Gemma-2: extra norm on each sublayer
+                                  # output before its residual add
+    qk_norm: bool = False         # Qwen3: per-head RMSNorm on q/k over
+                                  # head_dim (eps = ln_eps), before RoPE
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
                                   # never materialized (tied AND untied
                                   # heads). Measured v32k/b8/s2048: 0.82x
@@ -85,20 +102,41 @@ class GPT(Module):
         c = self.config
         self.embed = Embedding(c.vocab_size, c.d_model)
         self.pos_embed = Embedding(c.max_len, c.d_model)
-        self.block = TransformerEncoderBlock(
-            c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
-            causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
-            moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
-            moe_capacity_factor=c.moe_capacity_factor,
-            rope=(c.positional == "rope"),
-            window=c.attention_window, activation=c.activation,
-            ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,
-            qkv_bias=c.qkv_bias, rms_offset=c.rms_offset,
-            head_dim=c.head_dim, parallel_residual=c.parallel_residual,
-            parallel_shared_norm=c.parallel_shared_norm)
+        attn_scale = (c.query_pre_attn_scalar ** -0.5
+                      if c.query_pre_attn_scalar is not None else None)
+
+        def make_block(window):
+            return TransformerEncoderBlock(
+                c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
+                causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
+                moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
+                moe_capacity_factor=c.moe_capacity_factor,
+                rope=(c.positional == "rope"),
+                window=window, activation=c.activation,
+                ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,
+                qkv_bias=c.qkv_bias, rms_offset=c.rms_offset,
+                head_dim=c.head_dim, parallel_residual=c.parallel_residual,
+                parallel_shared_norm=c.parallel_shared_norm,
+                attn_scale=attn_scale, attn_softcap=c.attn_logit_softcap,
+                qk_norm=c.qk_norm, sandwich_norm=c.sandwich_norm)
+
+        self.block = make_block(c.attention_window)
+        if c.window_pattern > 1:
+            # Alternating local/global attention (Gemma-2): a twin block
+            # with NO window for the global layers. Identical param
+            # structure — window is compute-only — so init/params are
+            # shared; scan_layers would need a heterogeneous body.
+            assert not c.scan_layers, (
+                "window_pattern > 1 alternates block behavior per layer; "
+                "use scan_layers=False")
+            assert c.attention_window is not None
+            self.block_global = make_block(None)
         if c.positional == "rope":
-            self.block.attn.rope_base = c.rope_base
-            self.block.attn.rope_dim = c.rope_dim
+            for blk in ([self.block, self.block_global]
+                        if c.window_pattern > 1 else [self.block]):
+                blk.attn.rope_base = c.rope_base
+                blk.attn.rope_dim = c.rope_dim
+                blk.attn.rope_scaling = c.rope_scaling
         from np_modeling_tpu.nn import RMSNorm
         self.final_norm = (RMSNorm(epsilon=c.ln_eps, offset=c.rms_offset)
                            if c.norm == "rms"
@@ -107,6 +145,14 @@ class GPT(Module):
         if not c.tie_embeddings:
             self.lm_head = Linear(c.vocab_size, use_bias=c.lm_head_bias,
                                   dtype=c.dtype)
+
+    def _block_for(self, i: int):
+        """Layer i's block: with window_pattern > 1, layers i % pattern != 0
+        attend globally (Gemma-2 alternation); params are block-agnostic."""
+        c = self.config
+        if c.window_pattern > 1 and i % c.window_pattern != 0:
+            return self.block_global
+        return self.block
 
     def init(self, key, tokens):
         c = self.config
@@ -173,24 +219,27 @@ class GPT(Module):
                 params["layers"], x, training, rngs, caches, decode,
                 segment_ids=segment_ids, positions=block_positions)
         else:
-            def run_block(p, x, r):
-                return self.block.apply(
-                    p, x, training=training, rngs=r,
-                    segment_ids=segment_ids, positions=block_positions,
-                    collect_aux=collect_aux)
-            if c.remat and not decode:
-                run_block = jax.checkpoint(run_block)
+            def make_run(blk):
+                def run(p, x, r):
+                    return blk.apply(
+                        p, x, training=training, rngs=r,
+                        segment_ids=segment_ids, positions=block_positions,
+                        collect_aux=collect_aux)
+                return (jax.checkpoint(run) if c.remat and not decode
+                        else run)
             for i in range(c.num_layers):
+                blk = self._block_for(i)
+                run_block = make_run(blk)
                 r = split_rngs(rngs, i)
                 if decode:
-                    x, cache = self.block.apply(params[f"layer_{i}"], x,
-                                                training=training, rngs=r,
-                                                cache=caches[i], decode=True)
+                    x, cache = blk.apply(params[f"layer_{i}"], x,
+                                         training=training, rngs=r,
+                                         cache=caches[i], decode=True)
                     new_caches.append(cache)
                 elif collect_kv:
-                    x, kv = self.block.apply(params[f"layer_{i}"], x,
-                                             training=training, rngs=r,
-                                             collect_kv=True)
+                    x, kv = blk.apply(params[f"layer_{i}"], x,
+                                      training=training, rngs=r,
+                                      collect_kv=True)
                     collected.append(kv)
                 elif collect_aux:
                     x, aux = run_block(params[f"layer_{i}"], x, r)
@@ -218,6 +267,9 @@ class GPT(Module):
         # HBM (the CE op casts tile-wise to fp32 INSIDE its fused
         # reductions — softmax statistics and the loss stay fp32).
         logits = logits.astype(logits_dtype or jnp.float32)
+        if c.final_logit_softcap is not None:
+            cap = jnp.asarray(c.final_logit_softcap, logits.dtype)
+            logits = cap * jnp.tanh(logits / cap)
         if decode:
             return logits, new_caches
         if collect_kv:
@@ -282,6 +334,9 @@ class GPT(Module):
         seg = segment_ids[..., :-1] if segment_ids is not None else None
         pos = positions[..., :-1] if positions is not None else None
         fused = c.fused_loss
+        assert not (fused and c.final_logit_softcap is not None), (
+            "fused_loss never materializes logits, so the final logit "
+            "softcap cannot be applied — disable one")
         if c.moe_experts:
             out, aux = self.apply(params, tokens[..., :-1],
                                   training=training, rngs=rngs,
@@ -322,9 +377,9 @@ class GPT(Module):
         if c.scan_layers:
             return jax.tree_util.tree_map(
                 lambda a: jnp.zeros((c.num_layers, *a.shape), a.dtype), one)
-        return [one] + [self.block.init_cache(batch, max_len, c.d_model,
-                                              dtype)
-                        for _ in range(c.num_layers - 1)]
+        return [one] + [self._block_for(i).init_cache(batch, max_len,
+                                                      c.d_model, dtype)
+                        for i in range(1, c.num_layers)]
 
     def generate(self, params, prompt_tokens, steps: int, key=None,
                  temperature: float = 0.0, top_k: int | None = None,

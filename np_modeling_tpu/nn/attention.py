@@ -48,6 +48,9 @@ class MultiHeadAttention(Module):
     rope: bool = False                   # rotary position embeddings on q/k
     rope_base: float = 10000.0
     rope_dim: Optional[int] = None       # partial rotary (GPT-NeoX / Phi)
+    rope_scaling: Optional[tuple] = None  # ("linear", f) | ("llama3", f,
+                                          # low, high, orig) — long-context
+                                          # frequency scaling
     use_bias: bool = True                # False: LLaMA-style biasless q/k/v/o
     qkv_bias: object = None              # override for q/k/v only (Qwen2:
                                          # qkv biased, o/FFN biasless)
@@ -55,6 +58,12 @@ class MultiHeadAttention(Module):
     bias_init: Callable = initializers.zeros
     attn_scale: Optional[float] = None   # score scale; None = 1/sqrt(dk)
                                          # (T5 uses 1.0 — unscaled scores)
+    attn_softcap: Optional[float] = None  # Gemma-2 logit soft-capping:
+                                          # cap*tanh(s/cap) on the scaled
+                                          # scores, inside the kernels
+    qk_norm: bool = False                 # Qwen3: per-head RMSNorm over
+                                          # head_dim on q and k, BEFORE RoPE
+    qk_norm_eps: float = 1e-6
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
     attn_impl: Optional[Callable] = None  # override the attention core for
                                           # the non-decode path, e.g. a
@@ -96,7 +105,21 @@ class MultiHeadAttention(Module):
             })
         if self.use_bias:
             params["bo"] = self.bias_init(ks[7], (d_q,))
+        if self.qk_norm:
+            params["q_norm"] = {"gamma": initializers.ones(
+                jax.random.fold_in(key, 31), (dk,))}
+            params["k_norm"] = {"gamma": initializers.ones(
+                jax.random.fold_in(key, 32), (dk,))}
         return params
+
+    def _apply_qk_norm(self, params, q, k):
+        """Per-head RMSNorm on q/k over head_dim (Qwen3) — stats in fp32
+        (framework invariant), result back in compute dtype."""
+        qn = ops.rms_norm(q.astype(jnp.float32),
+                          params["q_norm"]["gamma"], self.qk_norm_eps)
+        kn = ops.rms_norm(k.astype(jnp.float32),
+                          params["k_norm"]["gamma"], self.qk_norm_eps)
+        return qn.astype(q.dtype), kn.astype(k.dtype)
 
     def _project_qkv(self, x, params):
         """Fused self-attention projection: [b,s,d] @ [d, (hq+2*hkv)*dk]."""
@@ -152,6 +175,9 @@ class MultiHeadAttention(Module):
             k = self._project(key, params["wk"], params.get("bk"))
             v = self._project(value, params["wv"], params.get("bv"))
 
+        if self.qk_norm:
+            q, k = self._apply_qk_norm(params, q, k)
+
         if self.rope:
             from np_modeling_tpu.ops.rope import apply_rope
             if decode:
@@ -162,8 +188,10 @@ class MultiHeadAttention(Module):
                     positions = idx + jnp.arange(q.shape[2])
             elif positions is None:
                 positions = jnp.arange(q.shape[2])
-            q = apply_rope(q, positions, self.rope_base, self.rope_dim)
-            k = apply_rope(k, positions, self.rope_base, self.rope_dim)
+            q = apply_rope(q, positions, self.rope_base, self.rope_dim,
+                           self.rope_scaling)
+            k = apply_rope(k, positions, self.rope_base, self.rope_dim,
+                           self.rope_scaling)
 
         new_cache = None
         if decode:
@@ -172,21 +200,23 @@ class MultiHeadAttention(Module):
                                  "with init_cache()")
             k, v, mask, new_cache = self._update_cache(cache, k, v)
             o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
-                                    causal=False, scale=self.attn_scale)
+                                    causal=False, scale=self.attn_scale,
+                                    softcap=self.attn_softcap)
         elif self.attn_impl is not None:
             assert mask is None and bias is None, (
                 "attn_impl overrides (e.g. ring attention) take structural "
                 "masking at construction; explicit masks/biases are "
                 "unsupported")
-            assert self.attn_scale is None, (
-                "attn_impl overrides bake their own score scale; set it at "
-                "the override's construction, not via attn_scale")
+            assert self.attn_scale is None and self.attn_softcap is None, (
+                "attn_impl overrides bake their own score scale/softcap; "
+                "set them at the override's construction")
             o = self.attn_impl(q, k, v, segment_ids=segment_ids)
         else:
             o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
                                     segment_ids=segment_ids,
                                     causal=self.causal, window=self.window,
-                                    scale=self.attn_scale)
+                                    scale=self.attn_scale,
+                                    softcap=self.attn_softcap)
 
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)

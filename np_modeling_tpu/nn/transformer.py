@@ -53,6 +53,13 @@ class TransformerEncoderBlock(Module):
     parallel_residual: bool = False     # x + attn(n1(x)) + ffn(n2(x))
                                     # (GPT-J / GPT-NeoX / Phi form)
     parallel_shared_norm: bool = False  # Phi: norm1 feeds BOTH branches
+    attn_scale: Optional[float] = None  # score scale override (Gemma-2
+                                    # query_pre_attn_scalar**-0.5)
+    attn_softcap: Optional[float] = None  # Gemma-2 logit soft-capping
+    qk_norm: bool = False           # Qwen3: per-head RMSNorm on q/k
+    sandwich_norm: bool = False     # Gemma-2: a SECOND norm on each
+                                    # sublayer OUTPUT before its residual
+                                    # add (post_norm1 / post_norm2)
 
     def __post_init__(self):
         self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
@@ -60,13 +67,21 @@ class TransformerEncoderBlock(Module):
                                        causal=self.causal, dtype=self.dtype,
                                        rope=self.rope, window=self.window,
                                        use_bias=self.use_bias,
-                                       qkv_bias=self.qkv_bias)
+                                       qkv_bias=self.qkv_bias,
+                                       attn_scale=self.attn_scale,
+                                       attn_softcap=self.attn_softcap,
+                                       qk_norm=self.qk_norm,
+                                       qk_norm_eps=self.ln_eps
+                                       if self.qk_norm else 1e-6)
         if self.parallel_residual:
             assert self.norm_first, "parallel residual is a pre-norm form"
         if self.parallel_shared_norm:
             assert self.parallel_residual, (
                 "parallel_shared_norm only makes sense with "
                 "parallel_residual (Phi-style block)")
+        if self.sandwich_norm:
+            assert self.norm_first and not self.parallel_residual, (
+                "sandwich_norm is a pre-norm sequential-block form")
         if self.norm == "rms":
             self.norm1 = RMSNorm(epsilon=self.ln_eps,
                                  offset=self.rms_offset)
@@ -75,6 +90,15 @@ class TransformerEncoderBlock(Module):
         else:
             self.norm1 = LayerNorm(epsilon=self.ln_eps)
             self.norm2 = LayerNorm(epsilon=self.ln_eps)
+        if self.sandwich_norm:
+            if self.norm == "rms":
+                self.post_norm1 = RMSNorm(epsilon=self.ln_eps,
+                                          offset=self.rms_offset)
+                self.post_norm2 = RMSNorm(epsilon=self.ln_eps,
+                                          offset=self.rms_offset)
+            else:
+                self.post_norm1 = LayerNorm(epsilon=self.ln_eps)
+                self.post_norm2 = LayerNorm(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
             self.moe = MoE(self.moe_experts, self.hidden_units,
@@ -97,6 +121,11 @@ class TransformerEncoderBlock(Module):
         }
         if not self.parallel_shared_norm:
             params["norm2"] = self.norm2.init(ks[2], x)
+        if self.sandwich_norm:
+            params["post_norm1"] = self.post_norm1.init(
+                jax.random.fold_in(key, 101), x)
+            params["post_norm2"] = self.post_norm2.init(
+                jax.random.fold_in(key, 102), x)
         if self.moe_experts:
             params["moe"] = self.moe.init(ks[3], x)
         elif self.ffn in ("swiglu", "geglu"):
@@ -188,6 +217,8 @@ class TransformerEncoderBlock(Module):
             y = self.attn.apply(params["self_attention"], x, mask=mask,
                                 segment_ids=segment_ids,
                                 positions=positions)
+        if self.sandwich_norm:
+            y = self.post_norm1.apply(params["post_norm1"], y)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=1)
@@ -201,6 +232,8 @@ class TransformerEncoderBlock(Module):
             y, aux = self.moe.apply_with_aux(params["moe"], y)
         else:
             y = self._ffn(params, y, features)
+        if self.sandwich_norm:
+            y = self.post_norm2.apply(params["post_norm2"], y)
         y = y + skip
         if not self.norm_first:
             y = self.drop.apply({}, y, training, rngs, salt=2)

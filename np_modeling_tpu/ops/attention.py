@@ -101,7 +101,8 @@ FWD_BF16_EXP = False
 # ---------------------------------------------------------------------------
 
 
-def attention_reference(q, k, v, mask=None, causal=False, scale=None):
+def attention_reference(q, k, v, mask=None, causal=False, scale=None,
+                        softcap=None):
     """Plain attention in jnp; autodiff-able. Used as the test oracle."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
@@ -110,6 +111,8 @@ def attention_reference(q, k, v, mask=None, causal=False, scale=None):
     vv = jnp.repeat(v, g, axis=1) if g > 1 else v
     s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
                    preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     s = _apply_masks(s, mask, causal)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, vv,
@@ -137,7 +140,7 @@ def _apply_masks(s, mask, causal, window=None):
 
 def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
                     causal=False, window=None, scale=None, block_q=1024,
-                    block_kv=1024):
+                    block_kv=1024, softcap=None):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
@@ -153,6 +156,10 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
     attends to [i-W+1, i]; requires causal=True; whole KV tiles outside the
     band are skipped in the kernels. Masks/biases with collapsed sq/skv
     dims (not materialized to [.., sq, skv]) run on the manual jnp path.
+    ``softcap``: Gemma-2-style logit soft-capping — scaled scores pass
+    through ``cap * tanh(s / cap)`` BEFORE bias/mask/softmax, inside the
+    kernels (one extra VPU pass per score tile; the backward chains the
+    ``1 - tanh^2`` factor through the same recompute).
     """
     d = q.shape[-1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
@@ -165,6 +172,12 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
             assert x.shape[1] in (1, q.shape[1]), name
     assert window is None or (causal and window >= 1), (
         "window requires causal=True and a positive width")
+    if softcap is not None:
+        softcap = float(softcap)
+        assert softcap > 0, "softcap must be a positive cap value"
+        assert not EXP2_SCORES, (
+            "softcap folds tanh around the scaled scores; the EXP2_SCORES "
+            "log2e-in-q folding would change its argument — disable one")
     if segment_ids is not None and not isinstance(segment_ids, (tuple, list)):
         segment_ids = (segment_ids, segment_ids)   # self-attention shorthand
     q_seg, kv_seg = segment_ids if segment_ids is not None else (None, None)
@@ -172,14 +185,14 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
         assert q_seg.shape == (q.shape[0], q.shape[2])
         assert kv_seg.shape == (k.shape[0], k.shape[2])
     return _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale,
-                 block_q, block_kv)
+                 block_q, block_kv, softcap)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale, block_q,
-          block_kv):
+          block_kv, softcap):
     o, _ = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
-                          scale, block_q, block_kv)
+                          scale, block_q, block_kv, softcap)
     return o
 
 
@@ -244,32 +257,32 @@ def _merge_seg_into_mask(mask, q_seg, kv_seg):
 
 
 def _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
-                   scale, block_q, block_kv):
+                   scale, block_q, block_kv, softcap):
     if _use_flash_kernel(q, k, mask, bias):
         return _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal,
-                                 window, scale, block_q, block_kv)
+                                 window, scale, block_q, block_kv, softcap)
     mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
-    return _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale)
+    return _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale, softcap)
 
 
 def _attn_fwd(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale,
-              block_q, block_kv):
+              block_q, block_kv, softcap):
     o, lse = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal,
-                            window, scale, block_q, block_kv)
+                            window, scale, block_q, block_kv, softcap)
     return o, (q, k, v, o, lse, mask, bias, q_seg, kv_seg)
 
 
-def _attn_bwd(causal, window, scale, block_q, block_kv, res, do):
+def _attn_bwd(causal, window, scale, block_q, block_kv, softcap, res, do):
     q, k, v, o, lse, mask, bias, q_seg, kv_seg = res
     if _use_flash_kernel(q, k, mask, bias):
         dq, dk, dv, dbias = _flash_bwd_pallas(q, k, v, o, lse, do, mask,
                                               bias, q_seg, kv_seg, causal,
                                               window, scale, block_q,
-                                              block_kv)
+                                              block_kv, softcap)
     else:
         mask = _merge_seg_into_mask(mask, q_seg, kv_seg)
         dq, dk, dv, dbias = _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias,
-                                          causal, window, scale)
+                                          causal, window, scale, softcap)
     return dq, dk, dv, None, dbias, None, None
 
 
@@ -289,12 +302,14 @@ def _unbroadcast_bias(dbias, bias):
 # ---------------------------------------------------------------------------
 
 
-def _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale):
+def _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale, softcap=None):
     g = q.shape[1] // k.shape[1]
     kk = jnp.repeat(k, g, axis=1) if g > 1 else k
     vv = jnp.repeat(v, g, axis=1) if g > 1 else v
     s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
                    preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     if bias is not None:
         s = s + bias
     s = _apply_masks(s, mask, causal, window)
@@ -307,13 +322,19 @@ def _attn_fwd_jnp(q, k, v, mask, bias, causal, window, scale):
     return o.astype(q.dtype), lse
 
 
-def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, window, scale):
+def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, window, scale,
+                  softcap=None):
     """FlashAttention-2-style manual gradients (recompute p from saved LSE)."""
     g = q.shape[1] // k.shape[1]
     kk = jnp.repeat(k, g, axis=1) if g > 1 else k
     vv = jnp.repeat(v, g, axis=1) if g > 1 else v
     s = jnp.einsum("bhqd,bhkd->bhqk", q, kk,
                    preferred_element_type=jnp.float32) * scale
+    cap_grad = None
+    if softcap is not None:
+        t = jnp.tanh(s / softcap)
+        cap_grad = 1.0 - t * t         # d(cap*tanh(s/cap))/ds
+        s = softcap * t
     if bias is not None:
         s = s + bias
     s = _apply_masks(s, mask, causal, window)
@@ -325,7 +346,8 @@ def _attn_bwd_jnp(q, k, v, o, lse, do, mask, bias, causal, window, scale):
                     preferred_element_type=jnp.float32)
     di = jnp.sum(do32 * o.astype(jnp.float32), axis=-1, keepdims=True)
     ds_raw = p * (dp - di)             # grad wrt the post-bias scores
-    ds = ds_raw * scale
+    ds = ds_raw if cap_grad is None else ds_raw * cap_grad
+    ds = ds * scale
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kk.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     dk_full = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
@@ -629,7 +651,8 @@ def _fwd_tile_dual(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
 
 def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
               m_scr, l_scr, acc_scr, *,
-              causal, window, kv_len, block_q, block_kv, n_kv):
+              causal, window, kv_len, block_q, block_kv, n_kv,
+              softcap=None):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -646,6 +669,8 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if softcap is not None:         # q pre-scaled -> s IS the scaled
+            s = softcap * jnp.tanh(s * (1.0 / softcap))   # scores: cap here
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -688,7 +713,7 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
 
 
 def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
-                      scale, block_q, block_kv):
+                      scale, block_q, block_kv, softcap=None):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -708,7 +733,7 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
 
     dual = (FWD_DUAL_KV and mask is None and bias is None
             and q_seg is None and not EXP2_SCORES and not FWD_BF16_EXP
-            and n_kv % 2 == 0)
+            and softcap is None and n_kv % 2 == 0)
     if dual:
         return _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv,
                                causal, window, bq, bkv, n_kv, q.dtype)
@@ -717,7 +742,7 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
     has_seg = q_seg is not None
     tile = functools.partial(_fwd_tile, causal=causal, window=window,
                              kv_len=skv, block_q=bq,
-                             block_kv=bkv, n_kv=n_kv)
+                             block_kv=bkv, n_kv=n_kv, softcap=softcap)
     kernel = _make_wrapper(tile, 3, has_seg, mask is not None,
                            bias is not None)
 
@@ -825,7 +850,7 @@ def _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv, causal,
 
 def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
              bias_ref, *rest, causal, window, kv_len, block_q,
-             block_kv, n_kv):
+             block_kv, n_kv, softcap=None):
     if bias_ref is not None:
         dq_ref, dbias_ref, dq_scr = rest
     else:
@@ -846,6 +871,11 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        cap_grad = None
+        if softcap is not None:
+            t = jnp.tanh(s * (1.0 / softcap))
+            cap_grad = 1.0 - t * t
+            s = softcap * t
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -856,6 +886,8 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         ds_raw = p * (dp - di[:, 0:1])      # grad wrt post-bias scores
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
+        if cap_grad is not None:            # chain through cap*tanh(s/cap)
+            ds_raw = ds_raw * cap_grad
         # dq accumulates ds_raw @ k; the sqrt(d) scale is folded in outside.
         dq_scr[...] += jax.lax.dot_general(
             ds_raw.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -874,7 +906,8 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 
 def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
               bias_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
-              causal, window, kv_len, block_q, block_kv, n_q, n_kv):
+              causal, window, kv_len, block_q, block_kv, n_q, n_kv,
+              softcap=None):
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(q_idx == 0)
@@ -892,6 +925,11 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        cap_grad = None
+        if softcap is not None:
+            t = jnp.tanh(s * (1.0 / softcap))
+            cap_grad = 1.0 - t * t
+            s = softcap * t
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -904,6 +942,8 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds_raw = p * (dp - di[:, 0:1])
+        if cap_grad is not None:            # chain through cap*tanh(s/cap)
+            ds_raw = ds_raw * cap_grad
         # dk_true = (ds_raw*scale)^T @ q = ds_raw^T @ q_hat — q pre-scaled,
         # so no scale pass over the s^2 tile and no correction needed.
         dk_scr[...] += jax.lax.dot_general(
@@ -918,7 +958,7 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 
 def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
                bias_ref, *rest, causal, window, kv_len, block_q,
-               block_kv, n_q, n_kv):
+               block_kv, n_q, n_kv, softcap=None):
     """FUSED backward tile: one (s, p, dp, ds) recompute feeds dk, dv AND a
     dq partial — 5 matmuls per tile pair vs 7 for the split dq/dkv kernels.
     dq partials [b, h, n_kv, sq, d] are reduced over n_kv outside."""
@@ -943,6 +983,11 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        cap_grad = None
+        if softcap is not None:
+            t = jnp.tanh(s * (1.0 / softcap))
+            cap_grad = 1.0 - t * t
+            s = softcap * t
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -956,6 +1001,8 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         ds_raw = p * (dp - di[:, 0:1])
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
+        if cap_grad is not None:            # chain through cap*tanh(s/cap)
+            ds_raw = ds_raw * cap_grad
         dk_scr[...] += jax.lax.dot_general(
             ds_raw.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -993,7 +1040,7 @@ FUSED_BWD = True
 
 
 def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
-                      window, scale, block_q, block_kv):
+                      window, scale, block_q, block_kv, softcap=None):
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
@@ -1036,7 +1083,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     if not FUSED_BWD:
         dq_tile = functools.partial(_dq_tile, causal=causal, window=window,
                                     kv_len=skv, block_q=bq,
-                                    block_kv=bkv, n_kv=n_kv)
+                                    block_kv=bkv, n_kv=n_kv, softcap=softcap)
         dq_kernel = _make_wrapper(dq_tile, 6, has_seg, mask is not None,
                                   has_bias)
         dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
@@ -1099,7 +1146,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     tile_cls = _dkvq_tile if FUSED_BWD else _dkv_tile
     dkv_tile = functools.partial(tile_cls, causal=causal, window=window,
                                  kv_len=skv, block_q=bq,
-                                 block_kv=bkv, n_q=n_q, n_kv=n_kv)
+                                 block_kv=bkv, n_q=n_q, n_kv=n_kv,
+                                 softcap=softcap)
     dkv_kernel = _make_wrapper(dkv_tile, 6, has_seg, mask is not None,
                                has_bias)
     dkv_specs = [q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,

@@ -65,7 +65,8 @@ def _normalize_bias(bias, b, hq, sq):
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
-                              scale=None, window=None, bias=None):
+                              scale=None, window=None, bias=None,
+                              softcap=None):
     """Pure-jnp oracle: gather each sequence's pages, masked attention.
 
     ``window``: sliding-window width W — query token at position p attends
@@ -94,6 +95,8 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     qg = jnp.moveaxis(q.reshape(b, sq, hkv, g, d), 1, 2)  # [b,hkv,sq,g,d]
     s = jnp.einsum("bhtgd,bhkd->bhtgk", qg, k_seq,
                    preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     bias = _normalize_bias(bias, b, hq, sq)
     if bias is not None:
         kv = min(max_len, bias.shape[-1])
@@ -115,7 +118,8 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
 
 
 def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
-                  n_blocks, npb, quantized, window, sq, g, has_bias=False):
+                  n_blocks, npb, quantized, window, sq, g, has_bias=False,
+                  softcap=None):
     """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], [bias],
     o_ref, m, l, acc."""
     del page_idx_ref
@@ -164,6 +168,8 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
         q = q_ref[0, 0]                        # [sq*g (padded), d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if softcap is not None:    # Gemma-2 logit soft-capping, in-kernel
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         if bias_ref is not None:
             s = s + bias_ref[0, 0]             # [rows (padded), block]
         pos = blk * block_tokens + jax.lax.broadcasted_iota(
@@ -198,7 +204,7 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
 
 def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
                     k_scales=None, v_scales=None, pages_per_block=8,
-                    window=None, bias=None):
+                    window=None, bias=None, softcap=None):
     """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere).
 
     ``bias``: optional additive score bias over absolute cache positions —
@@ -216,7 +222,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
             k_pages = k_pages.astype(jnp.float32) * k_scales
             v_pages = v_pages.astype(jnp.float32) * v_scales
         return paged_attention_reference(q, k_pages, v_pages, lengths,
-                                         page_indices, scale, window, bias)
+                                         page_indices, scale, window, bias,
+                                         softcap)
 
     squeeze = q.ndim == 3
     if squeeze:
@@ -296,7 +303,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
     kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
                                n_blocks=n_blocks, npb=npb,
                                quantized=quantized, window=window, sq=sq,
-                               g=g, has_bias=bias is not None)
+                               g=g, has_bias=bias is not None,
+                               softcap=softcap)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -12,13 +12,38 @@ import jax
 import jax.numpy as jnp
 
 
-def _angles(positions, d, base):
+def _scale_inv_freq(inv_freq, scaling):
+    """Apply a RoPE frequency-scaling rule (long-context checkpoints).
+
+    ``scaling`` is a hashable tuple (it rides custom_vjp nondiff args):
+    ("linear", factor) — position-interpolation: all frequencies / factor;
+    ("llama3", factor, low_freq_factor, high_freq_factor, original_max) —
+    Llama-3.1 piecewise NTK: long wavelengths (> original_max /
+    low_freq_factor) divide by factor, short ones (< original_max /
+    high_freq_factor) stay, the band between interpolates smoothly."""
+    kind = scaling[0]
+    if kind == "linear":
+        return inv_freq / scaling[1]
+    assert kind == "llama3", f"unknown rope scaling {kind!r}"
+    _, factor, low_f, high_f, orig = scaling
+    wavelen = 2.0 * jnp.pi / inv_freq
+    low_wl = orig / low_f        # longest wavelength left unscaled-ish
+    high_wl = orig / high_f
+    smooth = (orig / wavelen - low_f) / (high_f - low_f)
+    mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = jnp.where(wavelen > low_wl, inv_freq / factor, mid)
+    return jnp.where(wavelen < high_wl, inv_freq, out)
+
+
+def _angles(positions, d, base, scaling=None):
     # [**pos, d/2]
     inv_freq = base ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    if scaling is not None:
+        inv_freq = _scale_inv_freq(inv_freq, scaling)
     return positions.astype(jnp.float32)[..., None] * inv_freq
 
 
-def _rotate(x, positions, base, sign, rope_dim):
+def _rotate(x, positions, base, sign, rope_dim, scaling=None):
     """x: [b, h, s, d]; positions: [s] or [b, s]. sign=+1 fwd, -1 inverse.
     ``rope_dim``: rotate only the FIRST rope_dim features (partial rotary,
     GPT-NeoX/Phi style); the rest pass through unchanged."""
@@ -27,7 +52,7 @@ def _rotate(x, positions, base, sign, rope_dim):
     if rope_dim is not None and rope_dim < d:
         x, rest = x[..., :rope_dim], x[..., rope_dim:]
         d = rope_dim
-    ang = _angles(positions, d, base) * sign
+    ang = _angles(positions, d, base, scaling) * sign
     if ang.ndim == 2:                 # [s, d/2] -> broadcast over b, h
         ang = ang[None, None]
     else:                             # [b, s, d/2] -> broadcast over h
@@ -42,24 +67,29 @@ def _rotate(x, positions, base, sign, rope_dim):
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def apply_rope(x: jax.Array, positions: jax.Array,
                base: float = 10000.0,
-               rope_dim: int | None = None) -> jax.Array:
+               rope_dim: int | None = None,
+               scaling: tuple | None = None) -> jax.Array:
     """Rotate interleaved (even, odd) feature pairs by position-dependent
     angles. x: [b, h, s, d] (d even); positions: [s] or [b, s].
     ``rope_dim``: partial rotary — rotate only the first rope_dim features
-    (GPT-NeoX rotary_pct / Phi partial_rotary_factor)."""
-    return _rotate(x, positions, base, 1.0, rope_dim)
+    (GPT-NeoX rotary_pct / Phi partial_rotary_factor).
+    ``scaling``: frequency-scaling tuple for long-context checkpoints —
+    ("linear", factor) or ("llama3", factor, low, high, original_max);
+    see :func:`_scale_inv_freq`. Scaling is still an orthogonal rotation,
+    so the hand-written inverse-rotation VJP is unchanged."""
+    return _rotate(x, positions, base, 1.0, rope_dim, scaling)
 
 
-def _rope_fwd(x, positions, base, rope_dim):
-    return _rotate(x, positions, base, 1.0, rope_dim), positions
+def _rope_fwd(x, positions, base, rope_dim, scaling):
+    return _rotate(x, positions, base, 1.0, rope_dim, scaling), positions
 
 
-def _rope_bwd(base, rope_dim, positions, dy):
+def _rope_bwd(base, rope_dim, scaling, positions, dy):
     # Orthogonal map: VJP = inverse rotation of the cotangent.
-    return _rotate(dy, positions, base, -1.0, rope_dim), None
+    return _rotate(dy, positions, base, -1.0, rope_dim, scaling), None
 
 
 apply_rope.defvjp(_rope_fwd, _rope_bwd)

@@ -177,10 +177,13 @@ class GenerationEngine:
         heads = P(None, None, self.tp_axis, None)
         kv = P(self.tp_axis)
         quant = "k_scales" in kwargs
+        static = {k: v for k, v in kwargs.items()     # scale/softcap ride
+                  if k not in ("k_scales", "v_scales")}   # as Python floats
 
         def island(q_, kp_, vp_, len_, tab_, *scales):
-            kw = (dict(k_scales=scales[0], v_scales=scales[1])
-                  if quant else {})
+            kw = dict(static)
+            if quant:
+                kw.update(k_scales=scales[0], v_scales=scales[1])
             return ops.paged_attention(q_, kp_, vp_, len_, tab_,
                                        window=window, **kw)
 
@@ -765,7 +768,9 @@ class GenerationEngine:
         expires it)."""
         for ln in self._lanes():
             w = ln.gpt.config.attention_window
-            if w is None:
+            if w is None or ln.gpt.config.window_pattern > 1:
+                # Alternating local/global layers share one page table;
+                # the global layers still read the expired positions.
                 continue
             upd_slots, upd_poss = [], []
             for seq_id, slot in self._slots.items():
@@ -1070,7 +1075,11 @@ class GenerationEngine:
                                 preferred_element_type=jnp.float32)
         else:
             logits = gpt.lm_head.apply(params["lm_head"], x)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        cap = gpt.config.final_logit_softcap
+        if cap is not None:
+            logits = cap * jnp.tanh(logits / cap)
+        return logits
 
     def _device_step(self, state, params, key, gpt=None, trash=None,
                      return_logits=False):
@@ -1115,6 +1124,14 @@ class GenerationEngine:
             v_new.astype(state["v_pages"][li].dtype))
         return state
 
+    @staticmethod
+    def _window_for(li, c):
+        """Layer li's sliding window (None = global). Mirrors
+        GPT._block_for's Gemma-2 alternation."""
+        if c.window_pattern > 1 and li % c.window_pattern != 0:
+            return None
+        return c.attention_window
+
     def _block_step(self, bp, x, li, state, gpt, trash, lora=None):
         """One transformer block on the [S, t, d] decode slice (t = 1 for
         plain decode; t = gamma+1 for speculative verification): batched
@@ -1144,11 +1161,15 @@ class GenerationEngine:
                 return t_ if d_ is None else t_ + d_.astype(t_.dtype)
 
             q, k, v = _adapt(q, "wq"), _adapt(k, "wk"), _adapt(v, "wv")
+        if attn.qk_norm:
+            q, k = attn._apply_qk_norm(ap, q, k)
         if attn.rope:
             from np_modeling_tpu.ops.rope import apply_rope
             pos = lengths[:, None] + jnp.arange(t)          # [S, t]
-            q = apply_rope(q, pos, attn.rope_base, attn.rope_dim)
-            k = apply_rope(k, pos, attn.rope_base, attn.rope_dim)
+            q = apply_rope(q, pos, attn.rope_base, attn.rope_dim,
+                           attn.rope_scaling)
+            k = apply_rope(k, pos, attn.rope_base, attn.rope_dim,
+                           attn.rope_scaling)
 
         # Batched append: slot n's token i writes
         # (page_of(lengths[n] + i), (lengths[n] + i) % ps);
@@ -1169,10 +1190,14 @@ class GenerationEngine:
         if self.quantize_kv:
             kwargs = {"k_scales": state["k_scales"][li],
                       "v_scales": state["v_scales"][li]}
+        if attn.attn_scale is not None:
+            kwargs["scale"] = attn.attn_scale
+        if attn.attn_softcap is not None:
+            kwargs["softcap"] = attn.attn_softcap
         o = self._paged(jnp.swapaxes(q, 1, 2),              # [S, t, hq, dk]
                         state["k_pages"][li], state["v_pages"][li],
                         att_len, state["table"],
-                        window=c.attention_window, kwargs=kwargs)
+                        window=self._window_for(li, c), kwargs=kwargs)
         hq, dk, d_out = ap["wo"].shape
         o4 = o.astype(x.dtype)                              # [S, t, hq, dk]
         o = o4.reshape(x.shape[0], t, hq * dk)
@@ -1183,6 +1208,8 @@ class GenerationEngine:
             d_ = self._lora_o_delta(lora, li, o4, state["adapter"])
             if d_ is not None:
                 y = y + d_.astype(y.dtype)
+        if block.sandwich_norm:
+            y = block.post_norm1.apply(bp["post_norm1"], y)
         if block.parallel_residual:
             # x + attn(n1(x)) + ffn(norm2(x) | n1(x)) — mirrors
             # TransformerEncoderBlock.apply's parallel form.
@@ -1203,6 +1230,8 @@ class GenerationEngine:
             z, _ = block.moe.apply_with_aux(bp["moe"], z)
         else:
             z = block._ffn(bp, z, x.shape[-1]).astype(x.dtype)
+        if block.sandwich_norm:
+            z = block.post_norm2.apply(bp["post_norm2"], z)
         z = z + skip
         if not block.norm_first:
             z = block.norm2.apply(bp["norm2"], z)

@@ -176,11 +176,33 @@ def export_gpt2_state_dict(params, config) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _rope_scaling_tuple(hf_config):
+    """HF ``rope_scaling`` dict -> our hashable scaling tuple (or None).
+
+    Supports "linear" (position interpolation) and "llama3" (Llama-3.1's
+    piecewise NTK frequency scaling). "default" means none."""
+    rs = getattr(hf_config, "rope_scaling", None)
+    if not rs:
+        return None
+    kind = rs.get("rope_type", rs.get("type", "default"))
+    if kind == "default":
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return ("llama3", float(rs["factor"]),
+                float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
+                float(rs["original_max_position_embeddings"]))
+    raise NotImplementedError(
+        f"rope_scaling type {kind!r} (supported: linear, llama3)")
+
+
 def llama_config(hf_config, **overrides):
     """``transformers.LlamaConfig`` -> :class:`GPTConfig`."""
     from np_modeling_tpu.models import GPTConfig
 
     kw = dict(
+        rope_scaling=_rope_scaling_tuple(hf_config),
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
         num_heads=hf_config.num_attention_heads,
@@ -952,3 +974,84 @@ def import_vit(model, **config_overrides):
         config_overrides.setdefault("pooler", True)
     cfg = vit_config(model.config, **config_overrides)
     return cfg, vit_params(sd, cfg)
+
+
+# ---- Gemma 2 (softcapped, sandwich-norm, alternating-window family) ------
+
+def import_gemma2(model, **config_overrides):
+    """``transformers.Gemma2ForCausalLM`` -> (GPTConfig, params).
+
+    Gemma 2 = Gemma (zero-centered RMSNorm, geglu, embed scaling,
+    decoupled head_dim, tied embeddings) plus four new architecture knobs,
+    all first-class here:
+
+    - ``attn_logit_softcap``: cap*tanh(s/cap) on the scaled attention
+      scores — runs INSIDE the flash kernels (fwd + both backwards);
+    - ``final_logit_softcap`` on the LM-head logits;
+    - ``query_pre_attn_scalar``: attention scale q_p**-0.5 instead of
+      head_dim**-0.5;
+    - sandwich norms (``sandwich_norm``): a second RMSNorm on each
+      sublayer OUTPUT before its residual add — HF's
+      ``post_attention_layernorm`` is that post-norm (NOT the LLaMA
+      pre-FFN norm llama_params assumes), and ``pre/post_feedforward
+      _layernorm`` bracket the FFN;
+    - alternating local/global attention (``window_pattern=2``: even
+      layers slide, odd attend globally — HF masks sliding on
+      ``not bool(layer_idx % 2)``).
+    """
+    hc = model.config
+    act = getattr(hc, "hidden_activation", None)
+    assert act in (None, "gelu_pytorch_tanh"), act
+    kw = dict(rms_offset=True, ffn="geglu", embed_scale=True,
+              sandwich_norm=True,
+              attention_window=hc.sliding_window, window_pattern=2,
+              attn_logit_softcap=hc.attn_logit_softcapping,
+              final_logit_softcap=hc.final_logit_softcapping,
+              query_pre_attn_scalar=float(hc.query_pre_attn_scalar))
+    kw.update(config_overrides)
+    cfg = llama_config(hc, **kw)
+    state_dict = model.state_dict()
+    params = llama_params(state_dict, cfg)
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}"
+        lp = params[f"layer_{i}"]
+        # llama_params put HF post_attention_layernorm into norm2; in
+        # Gemma 2 that weight is the attention POST-norm.
+        lp["post_norm1"] = lp.pop("norm2")
+        lp["norm2"] = {
+            "gamma": _np(sd[f"{p}.pre_feedforward_layernorm.weight"])}
+        lp["post_norm2"] = {
+            "gamma": _np(sd[f"{p}.post_feedforward_layernorm.weight"])}
+    return cfg, params
+
+
+# ---- Qwen3 (QK-norm family) -----------------------------------------------
+
+def import_qwen3(model, **config_overrides):
+    """``transformers.Qwen3ForCausalLM`` -> (GPTConfig, params).
+
+    Qwen3 = the LLaMA layout (biasless, GQA, decoupled head_dim) plus
+    per-head RMSNorm on q and k over head_dim BEFORE RoPE (``qk_norm``;
+    eps = rms_norm_eps). The q/k projections get the usual half-split ->
+    interleaved RoPE feature permutation — and so must the norm gammas:
+    the RMS reduction is permutation-invariant, but the elementwise gamma
+    multiply must follow its feature (gamma_ours = gamma_hf[perm])."""
+    hc = model.config
+    kw = dict(qk_norm=True,
+              attention_window=(hc.sliding_window
+                                if getattr(hc, "use_sliding_window", False)
+                                else None))
+    kw.update(config_overrides)
+    cfg = llama_config(hc, **kw)
+    state_dict = model.state_dict()
+    params = llama_params(state_dict, cfg)
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    dk = cfg.head_dim or cfg.d_model // cfg.num_heads
+    perm = _rope_perm(dk)
+    for i in range(cfg.num_layers):
+        ap = params[f"layer_{i}"]["self_attention"]
+        p = f"layers.{i}.self_attn"
+        ap["q_norm"] = {"gamma": _np(sd[f"{p}.q_norm.weight"])[perm]}
+        ap["k_norm"] = {"gamma": _np(sd[f"{p}.k_norm.weight"])[perm]}
+    return cfg, params

@@ -787,3 +787,86 @@ def test_dual_kv_forward_equals_single():
                                            block_kv=128)
         np.testing.assert_array_equal(np.asarray(o_dual),
                                       np.asarray(o_single))
+
+
+class TestLogitSoftcap:
+    """Gemma-2-style logit soft-capping: cap*tanh(s/cap) on the SCALED
+    scores before bias/mask/softmax, applied inside the kernels with the
+    (1 - tanh^2) factor chained through both backward variants."""
+
+    def _inputs(self, seed=17):
+        r = np.random.default_rng(seed)
+        q = jnp.asarray(r.standard_normal((2, 4, 256, 64)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((2, 2, 256, 64)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((2, 2, 256, 64)), jnp.float32)
+        bias = jnp.asarray(0.1 * r.standard_normal((1, 4, 256, 256)),
+                           jnp.float32)
+        return q, k, v, bias
+
+    @staticmethod
+    def _oracle(q, k, v, bias, causal, cap):
+        d = q.shape[-1]
+        g = q.shape[1] // k.shape[1]
+        kk, vv = jnp.repeat(k, g, 1), jnp.repeat(v, g, 1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kk) / jnp.sqrt(1.0 * d)
+        s = cap * jnp.tanh(s / cap)
+        if bias is not None:
+            s = s + bias
+        if causal:
+            sq = s.shape[-2]
+            s = jnp.where(jnp.tril(jnp.ones((sq, sq), bool)), s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vv)
+
+    @pytest.mark.parametrize("causal,use_bias", [
+        (False, False), (True, False), (True, True)])
+    def test_softcap_fwd_bwd_vs_autodiff_oracle(self, causal, use_bias):
+        q, k, v, bias = self._inputs()
+        b = bias if use_bias else None
+        cap = 20.0
+        argnums = (0, 1, 2, 3) if use_bias else (0, 1, 2)
+        loss_o = lambda *a: jnp.sum(jnp.sin(self._oracle(
+            *(list(a) + [None] * (4 - len(a))), causal, cap)))
+        loss_f = lambda *a: jnp.sum(jnp.sin(ops.flash_attention(
+            a[0], a[1], a[2], bias=a[3] if use_bias else None,
+            causal=causal, softcap=cap)))
+        args = (q, k, v, b) if use_bias else (q, k, v)
+        want = self._oracle(q, k, v, b, causal, cap)
+        g_want = jax.grad(loss_o, argnums)(*args)
+        # jnp path
+        got = ops.flash_attention(q, k, v, bias=b, causal=causal,
+                                  softcap=cap)
+        assert_allclose(got, want, rtol=1e-5, atol=2e-5)
+        g_got = jax.grad(loss_f, argnums)(*args)
+        for a, w in zip(g_got, g_want):
+            assert_allclose(a, w, rtol=1e-4, atol=2e-4)
+        # pallas kernels (fused backward default)
+        with dispatch.force_pallas(True, interpret=True):
+            got_p = ops.flash_attention(q, k, v, bias=b, causal=causal,
+                                        softcap=cap)
+            g_p = jax.grad(loss_f, argnums)(*args)
+        assert_allclose(got_p, want, rtol=1e-5, atol=2e-5)
+        for a, w in zip(g_p, g_want):
+            assert_allclose(a, w, rtol=1e-4, atol=2e-4)
+
+    def test_softcap_split_backward(self, monkeypatch):
+        """The split dq/dkv kernels carry the same tanh chain."""
+        import np_modeling_tpu.ops.attention as A
+        q, k, v, _ = self._inputs(seed=18)
+        cap = 30.0
+        loss = lambda q, k, v: jnp.sum(jnp.sin(ops.flash_attention(
+            q, k, v, causal=True, softcap=cap)))
+        g_want = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(self._oracle(
+            q, k, v, None, True, cap))), (0, 1, 2))(q, k, v)
+        monkeypatch.setattr(A, "FUSED_BWD", False)
+        with dispatch.force_pallas(True, interpret=True):
+            g_got = jax.grad(loss, (0, 1, 2))(q, k, v)
+        for a, w in zip(g_got, g_want):
+            assert_allclose(a, w, rtol=1e-4, atol=2e-4)
+
+    def test_softcap_changes_output(self):
+        """Guard against the cap silently not applying."""
+        q, k, v, _ = self._inputs(seed=19)
+        o_cap = ops.flash_attention(q, k, v, causal=True, softcap=0.5)
+        o_flat = ops.flash_attention(q, k, v, causal=True)
+        assert np.abs(np.asarray(o_cap) - np.asarray(o_flat)).max() > 1e-3

@@ -573,3 +573,178 @@ def test_mixtral_serves_in_engine():
     for _ in range(7):
         got.append(eng.step()[0])
     assert got == [int(t) for t in want]
+
+
+def _tiny_gemma2(seed=11, layers=4):
+    cfg = transformers.Gemma2Config(
+        vocab_size=89, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=layers, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, max_position_embeddings=64,
+        rms_norm_eps=1e-6, attention_dropout=0.0,
+        sliding_window=8, query_pre_attn_scalar=16.0,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        attn_implementation="eager")   # sdpa skips softcapping
+    torch.manual_seed(seed)
+    model = transformers.Gemma2ForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_gemma2_logits_match_torch():
+    """Gemma 2: attention-logit + final-logit softcapping (IN the flash
+    kernels), query_pre_attn_scalar scale, sandwich norms, alternating
+    sliding/global attention. 4 layers + seq > window so both window
+    parities and the cap actually bite."""
+    model = _tiny_gemma2()
+    ours_cfg, params = hf_compat.import_gemma2(model)
+    assert (ours_cfg.sandwich_norm and ours_cfg.window_pattern == 2
+            and ours_cfg.attn_logit_softcap == 50.0
+            and ours_cfg.final_logit_softcap == 30.0
+            and ours_cfg.attention_window == 8)
+    assert "post_norm1" in params["layer_0"]
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(12)
+    tokens = rng2.integers(0, 89, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+    # The window must matter: a no-window import of the same weights
+    # diverges (guards against silently ignoring the alternation).
+    flat_cfg, flat_params = hf_compat.import_gemma2(
+        model, attention_window=None, window_pattern=1)
+    flat = np.asarray(models.GPT(flat_cfg).apply(
+        flat_params, jnp.asarray(tokens, jnp.int32)))
+    assert np.abs(flat - want).max() > 1e-2
+
+
+def test_gemma2_kv_cache_decode_matches_torch():
+    """Greedy decode with per-layer (sliding/global) KV caches == HF
+    generate."""
+    model = _tiny_gemma2(seed=13)
+    ours_cfg, params = hf_compat.import_gemma2(model)
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(14)
+    prompt = rng2.integers(0, 89, size=(1, 11))
+    with torch.no_grad():
+        want = model.generate(torch.from_numpy(prompt), max_new_tokens=10,
+                              do_sample=False).numpy()[0, 11:]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.generate(params, jnp.asarray(prompt, jnp.int32),
+                                      steps=10))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gemma2_serves_in_engine():
+    """Gemma 2 through the paged engine: per-layer sliding/global windows,
+    in-kernel score softcap, sandwich norms, query_pre_attn_scalar and
+    final-logit softcap must all reach the serving forward — tokens must
+    equal model.generate for both eager and chunked prefill."""
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_gemma2(seed=15, layers=4)
+    ours_cfg, params = hf_compat.import_gemma2(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(16).integers(0, 89, 11)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    for chunk in (None, 4):
+        eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                               prefill_chunk_size=chunk)
+        got = [eng.add_request(0, prompt)]
+        for _ in range(7):
+            got.append(eng.step()[0])
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def _tiny_qwen3(seed=21):
+    cfg = transformers.Qwen3Config(
+        vocab_size=91, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, tie_word_embeddings=False)
+    torch.manual_seed(seed)
+    model = transformers.Qwen3ForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_qwen3_logits_match_torch():
+    """Qwen3: per-head q/k RMSNorm before RoPE (gammas carry the same
+    half-split -> interleaved feature permutation as the projections)."""
+    model = _tiny_qwen3()
+    ours_cfg, params = hf_compat.import_qwen3(model)
+    assert ours_cfg.qk_norm and not ours_cfg.use_bias
+    assert "q_norm" in params["layer_0"]["self_attention"]
+    gpt = models.GPT(ours_cfg)
+    rng2 = np.random.default_rng(22)
+    tokens = rng2.integers(0, 91, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+
+def test_qwen3_decode_and_engine_match():
+    """KV-cache decode == HF generate; engine (QK-norm in the paged
+    forward) == model.generate."""
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_qwen3(seed=23)
+    ours_cfg, params = hf_compat.import_qwen3(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(24).integers(0, 91, 9)
+    with torch.no_grad():
+        want_hf = model.generate(torch.from_numpy(prompt[None]),
+                                 max_new_tokens=8, do_sample=False)
+    want_hf = want_hf.numpy()[0, 9:]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                      steps=8))[0]
+    np.testing.assert_array_equal(got, want_hf)
+
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    toks = [eng.add_request(0, prompt)]
+    for _ in range(7):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), want)
+
+
+def test_llama31_rope_scaling_logits_match_torch():
+    """Llama-3.1-style checkpoint: rope_scaling={'rope_type': 'llama3'}
+    must reach our RoPE frequency transform (and 'linear' too)."""
+    for rs in (
+        {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+         "high_freq_factor": 4.0,
+         "original_max_position_embeddings": 16},
+        {"rope_type": "linear", "factor": 4.0},
+    ):
+        cfg = transformers.LlamaConfig(
+            vocab_size=87, hidden_size=32, intermediate_size=48,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-6, attention_dropout=0.0, rope_theta=10000.0,
+            rope_scaling=dict(rs), tie_word_embeddings=False)
+        torch.manual_seed(31)
+        model = transformers.LlamaForCausalLM(cfg)
+        model.eval()
+        ours_cfg, params = hf_compat.import_llama(model)
+        assert ours_cfg.rope_scaling[0] == rs["rope_type"]
+        gpt = models.GPT(ours_cfg)
+        tokens = np.random.default_rng(32).integers(0, 87, size=(2, 24))
+        with torch.no_grad():
+            want = model(torch.from_numpy(tokens)).logits.numpy()
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(gpt.apply(params,
+                                       jnp.asarray(tokens, jnp.int32)))
+        np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+        # Scaling must actually change the output (guard vs silent no-op).
+        flat_cfg, flat_params = hf_compat.import_llama(model,
+                                                       rope_scaling=None)
+        flat = np.asarray(models.GPT(flat_cfg).apply(
+            flat_params, jnp.asarray(tokens, jnp.int32)))
+        assert np.abs(flat - want).max() > 1e-3
