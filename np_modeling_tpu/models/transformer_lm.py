@@ -44,6 +44,12 @@ class GPTConfig:
                                   # None = NO-DROP routing (ragged_dot):
                                   # population-independent, so the serving
                                   # engine can chunk-prefill MoE exactly
+    moe_router_weights: str = "default"   # nn.MoE.router_weights
+    moe_routed_scaling: float = 1.0       # DeepSeek routed_scaling_factor
+    moe_shared_units: int = 0     # DeepSeek always-on shared experts width
+    moe_hidden_units: int | None = None   # expert width != dense FFN width
+    moe_first_dense: int = 0      # DeepSeek first_k_dense_replace: layers
+                                  # i < this keep a DENSE FFN
     positional: str = "learned"   # "learned" | "rope"
     activation: str = "relu"      # FFN activation ("relu" | "gelu" | "silu";
                                   # "gelu" is the tanh form = HF "gelu_new")
@@ -87,6 +93,10 @@ class GPTConfig:
                                   # output before its residual add
     qk_norm: bool = False         # Qwen3: per-head RMSNorm on q/k over
                                   # head_dim (eps = ln_eps), before RoPE
+    mla: dict | None = None       # DeepSeek-V2 multi-head LATENT attention
+                                  # (per-token cache = kv_lora_rank + rope
+                                  # numbers; absorbed decode): dims dict for
+                                  # nn.mla.MLAttention
     fused_loss: bool = False      # chunked LM-head+CE: [N, vocab] logits
                                   # never materialized (tied AND untied
                                   # heads). Measured v32k/b8/s2048: 0.82x
@@ -105,12 +115,16 @@ class GPT(Module):
         attn_scale = (c.query_pre_attn_scalar ** -0.5
                       if c.query_pre_attn_scalar is not None else None)
 
-        def make_block(window):
+        def make_block(window, moe_experts=c.moe_experts):
             return TransformerEncoderBlock(
                 c.num_heads, c.hidden_units, c.norm_first, c.drop_rate,
                 causal=True, num_kv_heads=c.num_kv_heads, dtype=c.dtype,
-                moe_experts=c.moe_experts, moe_top_k=c.moe_top_k,
+                moe_experts=moe_experts, moe_top_k=c.moe_top_k,
                 moe_capacity_factor=c.moe_capacity_factor,
+                moe_router_weights=c.moe_router_weights,
+                moe_routed_scaling=c.moe_routed_scaling,
+                moe_shared_units=c.moe_shared_units,
+                moe_hidden_units=c.moe_hidden_units,
                 rope=(c.positional == "rope"),
                 window=window, activation=c.activation,
                 ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,
@@ -118,9 +132,19 @@ class GPT(Module):
                 head_dim=c.head_dim, parallel_residual=c.parallel_residual,
                 parallel_shared_norm=c.parallel_shared_norm,
                 attn_scale=attn_scale, attn_softcap=c.attn_logit_softcap,
-                qk_norm=c.qk_norm, sandwich_norm=c.sandwich_norm)
+                qk_norm=c.qk_norm, mla=c.mla, sandwich_norm=c.sandwich_norm)
 
         self.block = make_block(c.attention_window)
+        if c.moe_first_dense > 0:
+            # DeepSeek first_k_dense_replace: the first layers keep a
+            # dense FFN. A twin block with moe_experts=0 — here the PARAM
+            # STRUCTURE differs per layer too, so init also routes through
+            # _block_for.
+            assert c.moe_experts and not c.scan_layers
+            assert c.window_pattern == 1, (
+                "window_pattern and moe_first_dense both fork the block; "
+                "composing them is not wired")
+            self.block_dense = make_block(c.attention_window, moe_experts=0)
         if c.window_pattern > 1:
             # Alternating local/global attention (Gemma-2): a twin block
             # with NO window for the global layers. Identical param
@@ -132,8 +156,12 @@ class GPT(Module):
             assert c.attention_window is not None
             self.block_global = make_block(None)
         if c.positional == "rope":
-            for blk in ([self.block, self.block_global]
-                        if c.window_pattern > 1 else [self.block]):
+            twins = [self.block]
+            if c.window_pattern > 1:
+                twins.append(self.block_global)
+            if c.moe_first_dense > 0:
+                twins.append(self.block_dense)
+            for blk in twins:
                 blk.attn.rope_base = c.rope_base
                 blk.attn.rope_dim = c.rope_dim
                 blk.attn.rope_scaling = c.rope_scaling
@@ -152,6 +180,8 @@ class GPT(Module):
         c = self.config
         if c.window_pattern > 1 and i % c.window_pattern != 0:
             return self.block_global
+        if c.moe_first_dense > 0 and i < c.moe_first_dense:
+            return self.block_dense
         return self.block
 
     def init(self, key, tokens):
@@ -170,7 +200,7 @@ class GPT(Module):
                 lambda k: self.block.init(k, x))(layer_keys)
         else:
             for i in range(c.num_layers):
-                params[f"layer_{i}"] = self.block.init(ks[3 + i], x)
+                params[f"layer_{i}"] = self._block_for(i).init(ks[3 + i], x)
         if not c.tie_embeddings:
             params["lm_head"] = self.lm_head.init(ks[-1], x)
         return params

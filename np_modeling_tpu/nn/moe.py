@@ -62,6 +62,17 @@ class MoE(Module):
     hidden_units: int
     capacity_factor: Optional[float] = 1.25   # None = NO-DROP routing
     router_top_k: int = 2         # 2 = GShard; 1 = Switch routing
+    router_weights: str = "default"  # combine weights: "default" (GShard:
+                                  # renormalize iff k == 2, raw for k == 1)
+                                  # | "softmax" (raw top-k softmax gates,
+                                  # any k — DeepSeek greedy) |
+                                  # "softmax_norm" (renormalized, any k —
+                                  # Mixtral generalized)
+    routed_scaling: float = 1.0   # multiply combine weights (DeepSeek
+                                  # routed_scaling_factor)
+    shared_experts_units: int = 0 # >0: an ALWAYS-ON gated FFN of this many
+                                  # hidden units added to the routed output
+                                  # (DeepSeek shared experts; gated ffn only)
     activation: str = "relu"      # mlp experts only (gated forms fix silu/gelu)
     ffn: str = "mlp"              # "mlp" | "swiglu" | "geglu"
     kernel_init: Callable = initializers.lecun_normal
@@ -72,21 +83,37 @@ class MoE(Module):
                                   # f(params, x) -> (out, aux)
 
     def __post_init__(self):
-        assert self.router_top_k in (1, 2), "router_top_k must be 1 or 2"
+        assert self.router_top_k >= 1
+        assert self.router_weights in ("default", "softmax", "softmax_norm")
+        if self.router_weights == "default":
+            assert self.router_top_k in (1, 2), (
+                "k > 2 needs an explicit weight rule: router_weights="
+                "'softmax' (DeepSeek) or 'softmax_norm'")
         assert self.dispatch_impl in ("auto", "dense", "sorted")
         assert self.ffn in ("mlp", "swiglu", "geglu"), self.ffn
+        if self.shared_experts_units:
+            assert self.ffn != "mlp", "shared experts are gated-FFN only"
 
     def init(self, key, x):
         d = x.shape[-1]
         e, ff = self.num_experts, self.hidden_units
         ks = jax.random.split(key, 4 if self.ffn != "mlp" else 3)
         if self.ffn != "mlp":
-            return {
+            params = {
                 "router": self.kernel_init(ks[0], (d, e)),
                 "w_gate": self.kernel_init(ks[1], (e, d, ff)),
                 "w_up": self.kernel_init(ks[2], (e, d, ff)),
                 "w_down": self.kernel_init(ks[3], (e, ff, d)),
             }
+            if self.shared_experts_units:
+                sf = self.shared_experts_units
+                sk = jax.random.split(jax.random.fold_in(key, 404), 3)
+                params["shared"] = {
+                    "w_gate": self.kernel_init(sk[0], (d, sf)),
+                    "w_up": self.kernel_init(sk[1], (d, sf)),
+                    "w_down": self.kernel_init(sk[2], (sf, d)),
+                }
+            return params
         return {
             "router": self.kernel_init(ks[0], (d, e)),
             "w1": self.kernel_init(ks[1], (e, d, ff)),
@@ -127,11 +154,17 @@ class MoE(Module):
         logits = xt @ params["router"]              # [T, E]
         gates = jax.nn.softmax(logits, axis=-1)
         g, i = jax.lax.top_k(gates, self.router_top_k)
-        if self.router_top_k == 2:
+        if self.router_weights == "softmax":
+            w = g                                   # raw gates (DeepSeek)
+        elif self.router_weights == "softmax_norm":
+            w = g / jnp.maximum(jnp.sum(g, axis=1, keepdims=True), 1e-9)
+        elif self.router_top_k == 2:                # legacy GShard
             denom = jnp.maximum(g[:, 0] + g[:, 1], 1e-9)
             w = jnp.stack([g[:, 0] / denom, g[:, 1] / denom], axis=1)
         else:
             w = g
+        if self.routed_scaling != 1.0:
+            w = w * self.routed_scaling
         return gates, i, w
 
     @staticmethod
@@ -162,6 +195,11 @@ class MoE(Module):
             out, aux, stats = self._apply_sorted(params, xt)
         else:
             out, aux, stats = self._apply_nodrop(params, xt)
+        if self.shared_experts_units:
+            sp = params["shared"]
+            g = self._gate_act()(xt @ sp["w_gate"])
+            out = out + ((g * (xt @ sp["w_up"])) @ sp["w_down"]).astype(
+                out.dtype)
         out = out.reshape(orig)
         if collect_stats:
             return out, aux, stats
@@ -174,30 +212,24 @@ class MoE(Module):
         e = self.num_experts
         cap = self._capacity(t)
         gates, i_k, w_k = self._route(xt, params)
-        idx1 = i_k[:, 0]
-        w1g = w_k[:, 0]
 
         # Position of each token within its expert's capacity buffer.
-        # Second choices are slotted AFTER all first choices of that expert
-        # (GShard), so first/second slots can never collide.
-        mask1 = jax.nn.one_hot(idx1, e)             # [T, E]
-        pos1 = (jnp.cumsum(mask1, axis=0) - 1.0) * mask1
-        keep1 = mask1 * (pos1 < cap)
-
+        # Rank-r choices are slotted AFTER all rank-(r-1) choices of that
+        # expert (GShard), so slots of different ranks never collide.
         def routing_tensor(keep, pos, w):
             slot = jax.nn.one_hot(jnp.sum(pos, axis=1).astype(jnp.int32), cap)
             return keep[:, :, None] * slot[:, None, :] * w[:, None, None]
 
-        combine = routing_tensor(keep1, pos1, w1g)       # [T, E, C]
-        kept = jnp.sum(keep1)
-        if self.router_top_k == 2:
-            idx2, w2g = i_k[:, 1], w_k[:, 1]
-            mask2 = jax.nn.one_hot(idx2, e)
-            count1 = jnp.sum(mask1, axis=0, keepdims=True)   # [1, E]
-            pos2 = (jnp.cumsum(mask2, axis=0) - 1.0 + count1) * mask2
-            keep2 = mask2 * (pos2 < cap)
-            combine = combine + routing_tensor(keep2, pos2, w2g)
-            kept = kept + jnp.sum(keep2)
+        combine = jnp.zeros((t, e, cap), jnp.float32)
+        kept = jnp.zeros(())
+        count_prev = jnp.zeros((1, e))
+        for r in range(self.router_top_k):
+            mask_r = jax.nn.one_hot(i_k[:, r], e)        # [T, E]
+            pos_r = (jnp.cumsum(mask_r, axis=0) - 1.0 + count_prev) * mask_r
+            keep_r = mask_r * (pos_r < cap)
+            combine = combine + routing_tensor(keep_r, pos_r, w_k[:, r])
+            kept = kept + jnp.sum(keep_r)
+            count_prev = count_prev + jnp.sum(mask_r, axis=0, keepdims=True)
         dispatch = (combine > 0.0).astype(xt.dtype)
 
         # Dispatch -> per-expert FFN -> combine: all dense einsums.
@@ -209,7 +241,7 @@ class MoE(Module):
                          preferred_element_type=jnp.float32).astype(xt.dtype)
         stats = {
             "dropped_fraction": 1.0 - kept / (self.router_top_k * t),
-            "expert_load": jnp.mean(jax.nn.one_hot(idx1, e), axis=0),
+            "expert_load": jnp.mean(jax.nn.one_hot(i_k[:, 0], e), axis=0),
         }
         return out, self._aux(gates, i_k), stats
 

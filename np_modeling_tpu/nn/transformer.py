@@ -39,6 +39,12 @@ class TransformerEncoderBlock(Module):
     moe_experts: int = 0            # >0: FFN becomes a routed MoE
     moe_top_k: int = 2              # 2 = GShard, 1 = Switch routing
     moe_capacity_factor: Optional[float] = 1.25  # None = no-drop routing
+    moe_router_weights: str = "default"  # see nn.MoE.router_weights
+    moe_routed_scaling: float = 1.0
+    moe_shared_units: int = 0       # DeepSeek always-on shared experts
+    moe_hidden_units: Optional[int] = None  # expert FFN width (DeepSeek's
+                                    # moe_intermediate_size differs from
+                                    # the dense layers' intermediate_size)
     rope: bool = False              # rotary position embeddings
     window: Optional[int] = None    # sliding-window attention (causal only)
     activation: object = "relu"     # FFN activation (reference default ReLU)
@@ -57,22 +63,36 @@ class TransformerEncoderBlock(Module):
                                     # query_pre_attn_scalar**-0.5)
     attn_softcap: Optional[float] = None  # Gemma-2 logit soft-capping
     qk_norm: bool = False           # Qwen3: per-head RMSNorm on q/k
+    mla: Optional[dict] = None      # DeepSeek-V2 multi-head latent
+                                    # attention: dict of MLAttention dims
+                                    # (kv_lora_rank, q_lora_rank,
+                                    # qk_nope/rope_head_dim, v_head_dim)
+                                    # — replaces MultiHeadAttention
     sandwich_norm: bool = False     # Gemma-2: a SECOND norm on each
                                     # sublayer OUTPUT before its residual
                                     # add (post_norm1 / post_norm2)
 
     def __post_init__(self):
-        self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
-                                       head_dim=self.head_dim,
-                                       causal=self.causal, dtype=self.dtype,
-                                       rope=self.rope, window=self.window,
-                                       use_bias=self.use_bias,
-                                       qkv_bias=self.qkv_bias,
-                                       attn_scale=self.attn_scale,
-                                       attn_softcap=self.attn_softcap,
-                                       qk_norm=self.qk_norm,
-                                       qk_norm_eps=self.ln_eps
-                                       if self.qk_norm else 1e-6)
+        if self.mla is not None:
+            from np_modeling_tpu.nn.mla import MLAttention
+            assert self.window is None and self.attn_softcap is None, (
+                "MLA composes with neither sliding windows nor softcap")
+            self.attn = MLAttention(self.num_heads, causal=self.causal,
+                                    dtype=self.dtype, ln_eps=self.ln_eps,
+                                    **self.mla)
+        else:
+            self.attn = MultiHeadAttention(self.num_heads, self.num_kv_heads,
+                                           head_dim=self.head_dim,
+                                           causal=self.causal,
+                                           dtype=self.dtype,
+                                           rope=self.rope, window=self.window,
+                                           use_bias=self.use_bias,
+                                           qkv_bias=self.qkv_bias,
+                                           attn_scale=self.attn_scale,
+                                           attn_softcap=self.attn_softcap,
+                                           qk_norm=self.qk_norm,
+                                           qk_norm_eps=self.ln_eps
+                                           if self.qk_norm else 1e-6)
         if self.parallel_residual:
             assert self.norm_first, "parallel residual is a pre-norm form"
         if self.parallel_shared_norm:
@@ -101,10 +121,14 @@ class TransformerEncoderBlock(Module):
                 self.post_norm2 = LayerNorm(epsilon=self.ln_eps)
         if self.moe_experts:
             from np_modeling_tpu.nn.moe import MoE
-            self.moe = MoE(self.moe_experts, self.hidden_units,
+            self.moe = MoE(self.moe_experts,
+                           self.moe_hidden_units or self.hidden_units,
                            capacity_factor=self.moe_capacity_factor,
                            router_top_k=self.moe_top_k,
-                           activation=self.activation, ffn=self.ffn)
+                           activation=self.activation, ffn=self.ffn,
+                           router_weights=self.moe_router_weights,
+                           routed_scaling=self.moe_routed_scaling,
+                           shared_experts_units=self.moe_shared_units)
         elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
                                 activation=self.activation,

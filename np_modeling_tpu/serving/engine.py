@@ -264,6 +264,12 @@ class GenerationEngine:
     def __post_init__(self):
         c = self.gpt.config
         assert not c.scan_layers, "engine requires scan_layers=False"
+        assert not getattr(c, "mla", None), (
+            "MLA models are not served by the paged engine yet — the "
+            "paged cache stores per-head K/V, not MLA latents; use "
+            "GPT.generate's dense latent cache")
+        assert getattr(c, "moe_first_dense", 0) == 0, (
+            "per-layer dense/MoE alternation is not wired in the engine")
         hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
         self._dims = (hq, hkv, dk)
         if self.mesh is not None:

@@ -1055,3 +1055,120 @@ def import_qwen3(model, **config_overrides):
         ap["q_norm"] = {"gamma": _np(sd[f"{p}.q_norm.weight"])[perm]}
         ap["k_norm"] = {"gamma": _np(sd[f"{p}.k_norm.weight"])[perm]}
     return cfg, params
+
+
+# ---- DeepSeek-V2 (MLA: multi-head latent attention + shared-expert MoE) ---
+
+def import_deepseek_v2(model, **config_overrides):
+    """``transformers.DeepseekV2ForCausalLM`` -> (GPTConfig, params).
+
+    DeepSeek-V2 brings TWO architecture families in one checkpoint:
+
+    - MLA (``mla=`` on the config -> nn.mla.MLAttention): low-rank q
+      (optional), a per-token latent cache of kv_lora_rank + rope numbers,
+      per-head (k_nope, v) expanded from the latent, a SHARED rope key.
+      HF's rotary here is the complex/interleaved form — exactly our
+      apply_rope pairing, so q_pe/k_pe import with NO feature permutation
+      (unlike LLaMA's half-split layout).
+    - DeepSeek MoE: softmax router, top-k with RAW gate weights
+      (``router_weights="softmax"``) scaled by routed_scaling_factor,
+      always-on shared experts, and the first ``first_k_dense_replace``
+      layers dense (``moe_first_dense``). No-drop dispatch: exact.
+
+    ``topk_method="group_limited_greedy"`` (device-grouped routing) is
+    not implemented — import the -Lite checkpoints (``greedy``)."""
+    hc = model.config
+    assert not getattr(hc, "attention_bias", False)
+    moe = hc.n_routed_experts is not None
+    if moe:
+        assert hc.topk_method == "greedy", (
+            f"topk_method {hc.topk_method!r} unsupported (greedy only)")
+    kw = dict(
+        ffn="swiglu",
+        tie_embeddings=bool(hc.tie_word_embeddings),
+        mla=dict(kv_lora_rank=hc.kv_lora_rank,
+                 q_lora_rank=hc.q_lora_rank,
+                 qk_nope_head_dim=hc.qk_nope_head_dim,
+                 qk_rope_head_dim=hc.qk_rope_head_dim,
+                 v_head_dim=hc.v_head_dim),
+    )
+    if moe:
+        kw.update(
+            moe_experts=hc.n_routed_experts,
+            moe_top_k=hc.num_experts_per_tok,
+            moe_capacity_factor=None,            # exact no-drop routing
+            moe_router_weights="softmax",
+            moe_routed_scaling=float(hc.routed_scaling_factor),
+            moe_shared_units=(hc.moe_intermediate_size
+                              * (hc.n_shared_experts or 0)),
+            moe_hidden_units=hc.moe_intermediate_size,
+            moe_first_dense=hc.first_k_dense_replace,
+        )
+    kw.update(config_overrides)
+    cfg = llama_config(hc, **kw)
+    c = cfg
+
+    sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
+    hq = c.num_heads
+    m = c.mla
+    nope, rope = m["qk_nope_head_dim"], m["qk_rope_head_dim"]
+    vd, rank = m["v_head_dim"], m["kv_lora_rank"]
+
+    def gamma(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"])}
+
+    params = {
+        "embedding": {"table": _np(sd["embed_tokens.weight"])},
+        "final_norm": gamma("norm"),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = {"w": _np(model.state_dict()["lm_head.weight"]).T}
+
+    def swiglu(prefix):
+        return {"w_gate": _np(sd[f"{prefix}.gate_proj.weight"]).T,
+                "w_up": _np(sd[f"{prefix}.up_proj.weight"]).T,
+                "w_down": _np(sd[f"{prefix}.down_proj.weight"]).T}
+
+    for i in range(c.num_layers):
+        p = f"layers.{i}"
+        a = f"{p}.self_attn"
+        attn = {
+            "kv_a": _np(sd[f"{a}.kv_a_proj_with_mqa.weight"]).T,
+            "kv_a_norm": gamma(f"{a}.kv_a_layernorm"),
+            "kv_b": _np(sd[f"{a}.kv_b_proj.weight"]).T.reshape(
+                rank, hq, nope + vd),
+            "wo": _np(sd[f"{a}.o_proj.weight"]).T.reshape(hq, vd, -1),
+        }
+        if m["q_lora_rank"] is None:
+            attn["wq"] = _np(sd[f"{a}.q_proj.weight"]).T.reshape(
+                -1, hq, nope + rope)
+        else:
+            attn["q_a"] = _np(sd[f"{a}.q_a_proj.weight"]).T
+            attn["q_a_norm"] = gamma(f"{a}.q_a_layernorm")
+            attn["q_b"] = _np(sd[f"{a}.q_b_proj.weight"]).T.reshape(
+                m["q_lora_rank"], hq, nope + rope)
+        lp = {
+            "self_attention": attn,
+            "norm1": gamma(f"{p}.input_layernorm"),
+            "norm2": gamma(f"{p}.post_attention_layernorm"),
+        }
+        if moe and i >= c.moe_first_dense:
+            moe_p = {
+                "router": _np(sd[f"{p}.mlp.gate.weight"]).T,   # [d, E]
+                "w_gate": np.stack([
+                    _np(sd[f"{p}.mlp.experts.{e}.gate_proj.weight"]).T
+                    for e in range(c.moe_experts)]),
+                "w_up": np.stack([
+                    _np(sd[f"{p}.mlp.experts.{e}.up_proj.weight"]).T
+                    for e in range(c.moe_experts)]),
+                "w_down": np.stack([
+                    _np(sd[f"{p}.mlp.experts.{e}.down_proj.weight"]).T
+                    for e in range(c.moe_experts)]),
+            }
+            if c.moe_shared_units:
+                moe_p["shared"] = swiglu(f"{p}.mlp.shared_experts")
+            lp["moe"] = moe_p
+        else:
+            lp["swiglu"] = swiglu(f"{p}.mlp")
+        params[f"layer_{i}"] = lp
+    return cfg, params

@@ -748,3 +748,82 @@ def test_llama31_rope_scaling_logits_match_torch():
         flat = np.asarray(models.GPT(flat_cfg).apply(
             flat_params, jnp.asarray(tokens, jnp.int32)))
         assert np.abs(flat - want).max() > 1e-3
+
+
+def _tiny_deepseek_v2(seed=41, q_lora_rank=24, moe=True):
+    kw = dict(
+        vocab_size=93, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=16, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=16, q_lora_rank=q_lora_rank,
+        qk_rope_head_dim=4, qk_nope_head_dim=8, v_head_dim=8,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, attention_bias=False,
+        tie_word_embeddings=False, rope_theta=10000.0)
+    if moe:
+        kw.update(n_routed_experts=4, num_experts_per_tok=2,
+                  n_shared_experts=1, first_k_dense_replace=1,
+                  topk_method="greedy", n_group=1, topk_group=1,
+                  routed_scaling_factor=1.5, norm_topk_prob=False,
+                  aux_loss_alpha=0.0, seq_aux=False)
+    else:
+        # HF's DeepseekV2MoE cannot be built with n_routed_experts=None;
+        # "dense variant" = every layer below first_k_dense_replace.
+        kw.update(n_routed_experts=4, num_experts_per_tok=2,
+                  n_shared_experts=1, first_k_dense_replace=3,
+                  topk_method="greedy", n_group=1, topk_group=1,
+                  routed_scaling_factor=1.0, norm_topk_prob=False,
+                  aux_loss_alpha=0.0, seq_aux=False)
+    torch.manual_seed(seed)
+    model = transformers.DeepseekV2ForCausalLM(
+        transformers.DeepseekV2Config(**kw))
+    model.eval()
+    return model
+
+
+@pytest.mark.parametrize("q_lora_rank,moe", [(24, True), (None, False)])
+def test_deepseek_v2_logits_match_torch(q_lora_rank, moe):
+    """DeepSeek-V2: MLA attention (low-rank q optional, latent kv, shared
+    rope key) + DeepSeek MoE (raw softmax top-k * scaling, shared experts,
+    first layer dense). HF's rotary is the complex/interleaved form = our
+    apply_rope pairing directly (no permutation)."""
+    model = _tiny_deepseek_v2(q_lora_rank=q_lora_rank, moe=moe)
+    ours_cfg, params = hf_compat.import_deepseek_v2(model)
+    assert ours_cfg.mla["kv_lora_rank"] == 16
+    if moe:
+        assert (ours_cfg.moe_first_dense == 1
+                and ours_cfg.moe_router_weights == "softmax"
+                and ours_cfg.moe_routed_scaling == 1.5
+                and ours_cfg.moe_shared_units == 16)
+    else:
+        assert ours_cfg.moe_first_dense == 3   # all layers dense
+    gpt = models.GPT(ours_cfg)
+    tokens = np.random.default_rng(42).integers(0, 93, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+
+def test_deepseek_v2_latent_cache_decode_matches_torch():
+    """Greedy decode through the ABSORBED latent cache (per-token cache =
+    kv_lora_rank + rope numbers, k_nope/v never materialized) == HF
+    generate (which caches full per-head K/V) — the two are a linear-
+    algebra identity."""
+    model = _tiny_deepseek_v2(seed=43)
+    ours_cfg, params = hf_compat.import_deepseek_v2(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(44).integers(0, 93, size=(1, 9))
+    with torch.no_grad():
+        want = model.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                              do_sample=False).numpy()[0, 9:]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.generate(params, jnp.asarray(prompt, jnp.int32),
+                                      steps=8))[0]
+    np.testing.assert_array_equal(got, want)
+
+    # The cache really is latent-sized: rank + rope per token, ONE kv head.
+    cache = gpt.init_cache(1, 16)
+    assert cache[0]["k"].shape == (1, 1, 16, 16 + 4)
+    assert "v" not in cache[0]
