@@ -46,7 +46,7 @@ def _block_fwd(q, k_blk, v_blk, mask, scale, block_q, block_kv):
     """(o, lse) of the local q shard vs one KV block — Pallas kernel when
     the dispatch policy picks it, jnp otherwise (ops/attention.py seams)."""
     return _attn_fwd_impl(q, k_blk, v_blk, mask, None, None, None, False,
-                          None, scale, block_q, block_kv)
+                          None, scale, block_q, block_kv, None)
 
 
 def _block_bwd(q, k_blk, v_blk, o, lse, do, mask, scale, block_q, block_kv):

@@ -108,7 +108,14 @@ class GenerationEngine:
 
     def _make_lane_state(self, gpt, total_pages):
         c = gpt.config
-        hq, hkv, dk = gpt.block.attn._dims(c.d_model)
+        mla = getattr(c, "mla", None)
+        if mla:
+            # Latent pages: ONE shared "kv head" of kv_lora_rank + rope
+            # numbers per token; the latent row doubles as v, so there is
+            # no v_pages buffer at all.
+            hkv, dk = 1, mla["kv_lora_rank"] + mla["qk_rope_head_dim"]
+        else:
+            _, hkv, dk = gpt.block.attn._dims(c.d_model)
         store = (jnp.int8 if self.quantize_kv
                  else (self.kv_dtype or jnp.float32))
         # One page array PER LAYER (not one stacked [L, ...] array): the
@@ -119,13 +126,14 @@ class GenerationEngine:
         L = c.num_layers
         state = {
             "k_pages": [jnp.zeros(shape, store) for _ in range(L)],
-            "v_pages": [jnp.zeros(shape, store) for _ in range(L)],
             "table": jnp.zeros((self.max_seqs, self.max_pages), jnp.int32),
             "lengths": jnp.zeros((self.max_seqs,), jnp.int32),
             "last_tok": jnp.zeros((self.max_seqs,), jnp.int32),
             "active": jnp.zeros((self.max_seqs,), bool),
             "adapter": jnp.zeros((self.max_seqs,), jnp.int32),
         }
+        if not mla:
+            state["v_pages"] = [jnp.zeros(shape, store) for _ in range(L)]
         if self.quantize_kv:
             sshape = shape[:-1] + (1,)
             state["k_scales"] = [jnp.zeros(sshape, jnp.float32)
@@ -264,14 +272,28 @@ class GenerationEngine:
     def __post_init__(self):
         c = self.gpt.config
         assert not c.scan_layers, "engine requires scan_layers=False"
-        assert not getattr(c, "mla", None), (
-            "MLA models are not served by the paged engine yet — the "
-            "paged cache stores per-head K/V, not MLA latents; use "
-            "GPT.generate's dense latent cache")
-        assert getattr(c, "moe_first_dense", 0) == 0, (
-            "per-layer dense/MoE alternation is not wired in the engine")
-        hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
-        self._dims = (hq, hkv, dk)
+        self._mla = bool(getattr(c, "mla", None))
+        if self._mla:
+            # Paged MLA serving: the pages hold LATENTS (rank+rope per
+            # token, one shared head) and decode runs the absorbed form.
+            assert self.prefill_chunk_size is not None, (
+                "MLA serving requires chunked prefill (the eager path "
+                "collects per-head K/V, which MLA never materializes)")
+            assert (not c.moe_experts
+                    or c.moe_capacity_factor is None), (
+                "MLA + capacity-limited MoE would fall back to the eager "
+                "prefill; use no-drop routing (moe_capacity_factor=None)")
+            assert self.draft_gpt is None and self.lora_adapters is None
+            assert self.mesh is None, (
+                "tensor-parallel MLA serving is not wired (the latent "
+                "cache has ONE shared kv head — nothing to shard by head)")
+            assert not self.quantize_kv and c.attention_window is None
+            m = c.mla
+            self._dims = (c.num_heads, 1,
+                          m["kv_lora_rank"] + m["qk_rope_head_dim"])
+        else:
+            hq, hkv, dk = self.gpt.block.attn._dims(c.d_model)
+            self._dims = (hq, hkv, dk)
         if self.mesh is not None:
             tp = self._tp_size()
             assert tp > 1, (
@@ -1126,8 +1148,9 @@ class GenerationEngine:
             k_new, v_new = kq.values, vq.values
         state["k_pages"][li] = state["k_pages"][li].at[:, pages, offs].set(
             k_new.astype(state["k_pages"][li].dtype))
-        state["v_pages"][li] = state["v_pages"][li].at[:, pages, offs].set(
-            v_new.astype(state["v_pages"][li].dtype))
+        if v_new is not None:
+            state["v_pages"][li] = state["v_pages"][li].at[
+                :, pages, offs].set(v_new.astype(state["v_pages"][li].dtype))
         return state
 
     @staticmethod
@@ -1138,6 +1161,70 @@ class GenerationEngine:
             return None
         return c.attention_window
 
+    def _block_step_mla(self, bp, x, li, state, gpt, trash):
+        """One MLA block on the [S, t, d] decode slice: latent page append
+        + ABSORBED paged attention. The pages hold concat(c_kv, k_pe)
+        (kv_lora_rank + rope numbers per token, one shared head); the page
+        row doubles as v — k_pages is passed as BOTH paged-attention
+        operands and the latent output is the first kv_lora_rank columns.
+        Mirrors nn.mla.MLAttention._decode over non-contiguous pages."""
+        import math as _math
+        block = gpt._block_for(li)
+        attn = block.attn
+        assert block.norm_first and not block.parallel_residual
+        active, lengths = state["active"], state["lengths"]
+        t = x.shape[1]
+
+        skip = x
+        y = block.norm1.apply(bp["norm1"], x)
+        ap = bp["self_attention"]
+        q = attn._q_heads(ap, y)              # [S, hq, t, nope+rope]
+        q_nope, q_pe = jnp.split(q, [attn.qk_nope_head_dim], axis=-1)
+        c_lat, k_pe = attn._latent(ap, y)     # [S, 1, t, rank] / [.., rope]
+
+        from np_modeling_tpu.ops.rope import apply_rope
+        pos = lengths[:, None] + jnp.arange(t)              # [S, t]
+        q_pe = apply_rope(q_pe, pos, attn.rope_base, None, attn.rope_scaling)
+        k_pe = apply_rope(k_pe, pos, attn.rope_base, None, attn.rope_scaling)
+        k_new = jnp.concatenate([c_lat, k_pe], axis=-1)     # [S, 1, t, w]
+
+        tok_pos = pos
+        page_pos = tok_pos // self.page_size
+        slot_off = (tok_pos % self.page_size).reshape(-1)
+        pages = jnp.take_along_axis(state["table"], page_pos, axis=1)
+        pages = jnp.where(active[:, None], pages, trash).reshape(-1)
+        width = k_new.shape[-1]
+        k_flat = jnp.swapaxes(k_new, 0, 1).reshape(1, -1, width)
+        state = self._append(state, li, pages, slot_off, k_flat, None)
+
+        att_len = jnp.where(active, lengths + t, 0)
+        wk = ap["kv_b"][:, :, :attn.qk_nope_head_dim]       # [rank, hq, n]
+        q_abs = jnp.einsum("bhtn,rhn->bhtr", q_nope,
+                           wk.astype(q_nope.dtype))
+        q_eff = jnp.concatenate([q_abs, q_pe], axis=-1)     # [S, hq, t, w]
+        scale = 1.0 / _math.sqrt(attn.qk_head_dim)
+        kp = state["k_pages"][li]
+        o = ops.paged_attention(jnp.swapaxes(q_eff, 1, 2), kp, kp,
+                                att_len, state["table"], scale=scale)
+        o_lat = o[..., :attn.kv_lora_rank]                  # [S, t, hq, r]
+        wv = ap["kv_b"][:, :, attn.qk_nope_head_dim:]       # [rank, hq, v]
+        o_heads = jnp.einsum("bthr,rhv->bthv",
+                             o_lat.astype(jnp.float32),
+                             wv.astype(jnp.float32))
+        hq, vd = o_heads.shape[2], o_heads.shape[3]
+        wo = ap["wo"].astype(x.dtype)
+        y = ops.linear(o_heads.reshape(x.shape[0], t, hq * vd).astype(
+            x.dtype), wo.reshape(hq * vd, -1), None)
+        y = y + skip
+
+        skip = y
+        z = block.norm2.apply(bp["norm2"], y)
+        if "moe" in bp:
+            z, _ = block.moe.apply_with_aux(bp["moe"], z)
+        else:
+            z = block._ffn(bp, z, x.shape[-1]).astype(x.dtype)
+        return z + skip, state
+
     def _block_step(self, bp, x, li, state, gpt, trash, lora=None):
         """One transformer block on the [S, t, d] decode slice (t = 1 for
         plain decode; t = gamma+1 for speculative verification): batched
@@ -1147,8 +1234,10 @@ class GenerationEngine:
         added to the q/k/v/o projections (slot's adapter index from
         ``state['adapter']``; 0 = base)."""
         c = gpt.config
-        block = gpt.block
+        block = gpt._block_for(li)
         attn = block.attn
+        if self._mla:
+            return self._block_step_mla(bp, x, li, state, gpt, trash)
         active, lengths = state["active"], state["lengths"]
         t = x.shape[1]
 
@@ -1221,7 +1310,7 @@ class GenerationEngine:
             # TransformerEncoderBlock.apply's parallel form.
             f_in = (n1 if block.parallel_shared_norm
                     else block.norm2.apply(bp["norm2"], x))
-            if c.moe_experts:
+            if "moe" in bp:
                 z, _ = block.moe.apply_with_aux(bp["moe"], f_in)
             else:
                 z = block._ffn(bp, f_in, x.shape[-1]).astype(x.dtype)
@@ -1232,7 +1321,7 @@ class GenerationEngine:
 
         skip = y
         z = block.norm2.apply(bp["norm2"], y) if block.norm_first else y
-        if c.moe_experts:
+        if "moe" in bp:
             z, _ = block.moe.apply_with_aux(bp["moe"], z)
         else:
             z = block._ffn(bp, z, x.shape[-1]).astype(x.dtype)

@@ -156,14 +156,76 @@ def test_mla_gpt_trains_and_decodes():
         cur = jnp.concatenate([cur, jnp.full((1, 1), nxt, cur.dtype)], 1)
 
 
-def test_engine_rejects_mla():
-    from np_modeling_tpu.serving import GenerationEngine
-    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
-                           num_layers=1, hidden_units=48, max_len=32,
-                           positional="rope", norm="rms", ffn="swiglu",
-                           use_bias=False, mla=dict(**DIMS))
+def _mla_gpt(moe=False):
+    kw = dict(vocab_size=64, d_model=32, num_heads=4, num_layers=2,
+              hidden_units=48, max_len=32, positional="rope", norm="rms",
+              ffn="swiglu", use_bias=False, tie_embeddings=False,
+              mla=dict(**DIMS))
+    if moe:
+        kw.update(moe_experts=4, moe_top_k=2, moe_capacity_factor=None,
+                  moe_router_weights="softmax", moe_shared_units=16,
+                  moe_hidden_units=16, moe_first_dense=1, num_layers=3)
+    cfg = models.GPTConfig(**kw)
     gpt = models.GPT(cfg)
-    toks = jnp.zeros((1, 4), jnp.int32)
-    params = gpt.init(jax.random.PRNGKey(0), toks)
-    with pytest.raises(AssertionError, match="MLA"):
-        GenerationEngine(gpt, params, total_pages=8, page_size=4)
+    toks = jnp.asarray(rng.integers(0, 64, (1, 12)))
+    params = gpt.init(jax.random.PRNGKey(3), toks)
+    return gpt, params
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_mla_engine_serving_matches_generate(moe):
+    """Paged MLA serving: the engine's pages hold LATENTS (rank + rope per
+    token, ONE shared head, no v buffer) and decode runs the absorbed
+    form — tokens must equal the model's dense latent-cache generate.
+    The MoE case also exercises per-layer dense/MoE alternation
+    (moe_first_dense) in the engine."""
+    from np_modeling_tpu.serving import GenerationEngine
+    gpt, params = _mla_gpt(moe)
+    prompt = rng.integers(0, 64, 11)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    for chunk in (256, 4):
+        eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                               prefill_chunk_size=chunk)
+        # Latent pages: one shared head, rank+rope wide, no v buffer.
+        width = DIMS["kv_lora_rank"] + DIMS["qk_rope_head_dim"]
+        assert eng._state["k_pages"][0].shape == (1, 32, 8, width)
+        assert "v_pages" not in eng._state
+        got = [eng.add_request(0, prompt)]
+        for _ in range(7):
+            got.append(eng.step()[0])
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_mla_engine_continuous_batching():
+    """Sequences join/leave between steps; per-slot latent isolation."""
+    from np_modeling_tpu.serving import GenerationEngine
+    gpt, params = _mla_gpt()
+    p1 = rng.integers(0, 64, 9)
+    p2 = rng.integers(0, 64, 5)
+    w1 = np.asarray(gpt.generate(params, jnp.asarray(p1)[None], steps=6))[0]
+    w2 = np.asarray(gpt.generate(params, jnp.asarray(p2)[None], steps=4))[0]
+
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    g1 = [eng.add_request(1, p1)]
+    g1.append(eng.step()[1])
+    g2 = [eng.add_request(2, p2)]          # joins mid-stream
+    out = eng.step()
+    g1.append(out[1]); g2.append(out[2])
+    out = eng.step()
+    g1.append(out[1]); g2.append(out[2])
+    out = eng.step()
+    g1.append(out[1]); g2.append(out[2])
+    eng.finish(2)
+    out = eng.step()
+    g1.append(out[1])
+    np.testing.assert_array_equal(np.asarray(g1), w1)
+    np.testing.assert_array_equal(np.asarray(g2), w2[:4])
+
+
+def test_mla_engine_requires_chunked_prefill():
+    from np_modeling_tpu.serving import GenerationEngine
+    gpt, params = _mla_gpt()
+    with pytest.raises(AssertionError, match="chunked"):
+        GenerationEngine(gpt, params, total_pages=8, page_size=4,
+                         prefill_chunk_size=None)
