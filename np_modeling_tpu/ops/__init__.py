@@ -8,6 +8,7 @@ reference, see /root/reference/README.md:11 and SURVEY.md §4).
 
 from np_modeling_tpu.ops import dispatch
 from np_modeling_tpu.ops.activations import (ACTIVATIONS, gelu,
+                                              gelu_exact,
                                              get_activation, relu, silu,
                                              softmax)
 from np_modeling_tpu.ops.attention import (DEFAULT_MASK_VALUE,
@@ -50,7 +51,7 @@ __all__ = [
     "embedding_lookup", "flash_attention", "gelu", "seed_from_key",
     "softmax_cross_entropy_fused",
     "get_activation", "layer_norm", "linear", "make_dropout_mask", "matmul",
-    "QuantizedTensor", "apply_rope", "dequantize_int8", "mse",
+    "QuantizedTensor", "apply_rope", "dequantize_int8", "gelu_exact", "mse",
     "paged_attention",
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
     "quantize_params_int4", "quantize_params_int8", "dequantize_params",

@@ -1172,3 +1172,98 @@ def import_deepseek_v2(model, **config_overrides):
             lp["swiglu"] = swiglu(f"{p}.mlp")
         params[f"layer_{i}"] = lp
     return cfg, params
+
+
+# ---- Whisper (speech-to-text encoder-decoder — the first audio family) ---
+
+def import_whisper(model, **config_overrides):
+    """``transformers.WhisperForConditionalGeneration`` ->
+    (WhisperConfig, params) for :class:`models.Whisper`.
+
+    Input layout: HF takes [b, n_mels, frames]; ours is time-major
+    [b, frames, n_mels] (transpose with ``mel.swapaxes(1, 2)``). torch
+    Conv1d kernels [out, in, k] become our height-1 HWIO [1, k, in, out].
+    HF's k_proj has NO bias — imported as zeros (exact). The sinusoidal
+    encoder position table is stored in the checkpoint and loaded
+    verbatim."""
+    from np_modeling_tpu.models.whisper import WhisperConfig
+    hc = model.config
+    kw = dict(
+        vocab_size=hc.vocab_size,
+        n_mels=hc.num_mel_bins,
+        num_audio_positions=hc.max_source_positions,
+        max_target_positions=hc.max_target_positions,
+        d_model=hc.d_model,
+        num_heads=hc.encoder_attention_heads,
+        num_encoder_layers=hc.encoder_layers,
+        num_decoder_layers=hc.decoder_layers,
+        d_ff=hc.encoder_ffn_dim,
+    )
+    kw.update(config_overrides)
+    cfg = WhisperConfig(**kw)
+    assert hc.activation_function == "gelu", hc.activation_function
+
+    sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
+    d, h = cfg.d_model, cfg.num_heads
+    dk = d // h
+
+    def conv(prefix):                        # torch [out, in, k] -> HWIO
+        w = _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0)
+        return {"w": w[None], "b": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    def attn(prefix):
+        def wmat(name):
+            return _np(sd[f"{prefix}.{name}.weight"]).T.reshape(d, h, dk)
+
+        def bvec(name):                      # k_proj carries no bias in HF
+            key = f"{prefix}.{name}.bias"
+            b = (_np(sd[key]) if key in sd
+                 else np.zeros((d,), np.float32))
+            return b.reshape(h, dk)
+
+        return {
+            "wq": wmat("q_proj"), "bq": bvec("q_proj"),
+            "wk": wmat("k_proj"), "bk": bvec("k_proj"),
+            "wv": wmat("v_proj"), "bv": bvec("v_proj"),
+            "wo": _np(sd[f"{prefix}.out_proj.weight"]).T.reshape(h, dk, d),
+            "bo": _np(sd[f"{prefix}.out_proj.bias"]),
+        }
+
+    def ffn(prefix):
+        return {"wi": _np(sd[f"{prefix}.fc1.weight"]).T,
+                "bi": _np(sd[f"{prefix}.fc1.bias"]),
+                "wo": _np(sd[f"{prefix}.fc2.weight"]).T,
+                "bo": _np(sd[f"{prefix}.fc2.bias"])}
+
+    params = {
+        "embedding": {"table": _np(sd["decoder.embed_tokens.weight"])},
+        "conv1": conv("encoder.conv1"),
+        "conv2": conv("encoder.conv2"),
+        "enc_positions": _np(sd["encoder.embed_positions.weight"]),
+        "dec_positions": _np(sd["decoder.embed_positions.weight"]),
+        "enc_norm": ln("encoder.layer_norm"),
+        "dec_norm": ln("decoder.layer_norm"),
+    }
+    for i in range(cfg.num_encoder_layers):
+        p = f"encoder.layers.{i}"
+        params[f"enc_{i}"] = {
+            "self_attention": attn(f"{p}.self_attn"),
+            "norm1": ln(f"{p}.self_attn_layer_norm"),
+            "norm2": ln(f"{p}.final_layer_norm"),
+            "ffn": ffn(p),
+        }
+    for i in range(cfg.num_decoder_layers):
+        p = f"decoder.layers.{i}"
+        params[f"dec_{i}"] = {
+            "self_attention": attn(f"{p}.self_attn"),
+            "cross_attention": attn(f"{p}.encoder_attn"),
+            "norm1": ln(f"{p}.self_attn_layer_norm"),
+            "norm2": ln(f"{p}.encoder_attn_layer_norm"),
+            "norm3": ln(f"{p}.final_layer_norm"),
+            "ffn": ffn(p),
+        }
+    return cfg, params

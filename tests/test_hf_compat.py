@@ -827,3 +827,24 @@ def test_deepseek_v2_latent_cache_decode_matches_torch():
     cache = gpt.init_cache(1, 16)
     assert cache[0]["k"].shape == (1, 1, 16, 16 + 4)
     assert "v" not in cache[0]
+
+
+def test_deepseek_v2_serves_in_engine():
+    """Imported DeepSeek-V2 through PAGED MLA serving: latent pages
+    (rank+rope per token), absorbed decode, per-layer dense/MoE FFN —
+    tokens equal the model's own generate (which equals HF, above)."""
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_deepseek_v2(seed=45)
+    ours_cfg, params = hf_compat.import_deepseek_v2(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(46).integers(0, 93, 11)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=8))[0]
+    for chunk in (256, 4):
+        eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                               prefill_chunk_size=chunk)
+        assert "v_pages" not in eng._state
+        got = [eng.add_request(0, prompt)]
+        for _ in range(7):
+            got.append(eng.step()[0])
+        np.testing.assert_array_equal(np.asarray(got), want)
