@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from np_modeling_tpu import ops
-from np_modeling_tpu.nn import Embedding, LayerNorm, initializers
+from np_modeling_tpu.nn import Dropout, Embedding, LayerNorm, initializers
 from np_modeling_tpu.nn.attention import MultiHeadAttention
 from np_modeling_tpu.nn.module import Module, maybe_cast
 
@@ -69,6 +69,7 @@ class Whisper(Module):
         self.dec_attn = MultiHeadAttention(causal=True, **mha)
         self.cross_attn = MultiHeadAttention(**mha)
         self.norm = LayerNorm(epsilon=c.ln_eps)
+        self.dropout = Dropout(c.drop_rate)
 
     # ---- params ---------------------------------------------------------
 
@@ -137,12 +138,7 @@ class Whisper(Module):
                           maybe_cast(fp["bo"], c.dtype))
 
     def _drop(self, x, training, rngs, salt):
-        if not training or self.config.drop_rate == 0.0 or rngs is None:
-            return x
-        key = jax.random.fold_in(rngs["dropout"], salt)
-        keep = jax.random.bernoulli(key, 1.0 - self.config.drop_rate,
-                                    x.shape)
-        return jnp.where(keep, x / (1.0 - self.config.drop_rate), 0.0)
+        return self.dropout.apply({}, x, training, rngs, salt=salt)
 
     def _stem(self, params, mel):
         """[b, frames, n_mels] -> [b, frames // 2, d]: two k=3 convs
@@ -178,7 +174,10 @@ class Whisper(Module):
         return self.norm.apply(params["enc_norm"], x)
 
     def _decoder_stack(self, params, y, memory, training, rngs,
-                       caches=None, decode=False):
+                       caches=None, decode=False, cross_kv=None):
+        """``cross_kv``: per-layer precomputed (k, v) of the encoder
+        memory (see :meth:`_cross_kv`) — decode projects the static
+        memory ONCE instead of per generated token."""
         c = self.config
         new_caches = [] if decode else None
         for i in range(c.num_decoder_layers):
@@ -192,7 +191,10 @@ class Whisper(Module):
                 h = self.dec_attn.apply(lp["self_attention"], h)
             y = y + self._drop(h, training, rngs, 1000 + 3 * i)
             h = self.norm.apply(lp["norm2"], y)
-            h = self.cross_attn.apply(lp["cross_attention"], h, memory)
+            h = self.cross_attn.apply(
+                lp["cross_attention"], h,
+                memory if cross_kv is None else None,
+                precomputed_kv=None if cross_kv is None else cross_kv[i])
             y = y + self._drop(h, training, rngs, 1000 + 3 * i + 1)
             h = self.norm.apply(lp["norm3"], y)
             y = y + self._drop(self._ffn(lp["ffn"], h), training, rngs,
@@ -235,6 +237,18 @@ class Whisper(Module):
             return jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
         return jnp.mean(ce)
 
+    def _cross_kv(self, params, memory):
+        """Project the encoder memory through every decoder layer's
+        cross-attention k/v ONCE (the memory is static across decode)."""
+        out = []
+        for i in range(self.config.num_decoder_layers):
+            ap = params[f"dec_{i}"]["cross_attention"]
+            out.append((self.cross_attn._project(memory, ap["wk"],
+                                                 ap.get("bk")),
+                        self.cross_attn._project(memory, ap["wv"],
+                                                 ap.get("bv"))))
+        return out
+
     def greedy_decode(self, params, mel, prompt_tokens, steps: int):
         """KV-cached greedy decode from a forced prompt (Whisper prefixes
         <sot><lang><task>...): encode once, prefill the prompt through the
@@ -248,9 +262,11 @@ class Whisper(Module):
         max_len = prompt.shape[1] + steps + 1
         caches = [self.dec_attn.init_cache(b, max_len, c.d_model)
                   for _ in range(c.num_decoder_layers)]
+        cross_kv = self._cross_kv(params, memory)
         y = self._embed_tgt(params, prompt)
         y, caches = self._decoder_stack(params, y, memory, False, None,
-                                        caches=caches, decode=True)
+                                        caches=caches, decode=True,
+                                        cross_kv=cross_kv)
         tok0 = jnp.argmax(self._head(params, y[:, -1:]),
                           axis=-1).astype(jnp.int32)
 
@@ -259,7 +275,8 @@ class Whisper(Module):
             y = self._embed_tgt(params, tok,
                                 offset=prompt.shape[1] + i)
             y, caches = self._decoder_stack(params, y, memory, False, None,
-                                            caches=caches, decode=True)
+                                            caches=caches, decode=True,
+                                            cross_kv=cross_kv)
             nxt = jnp.argmax(self._head(params, y[:, -1:]),
                              axis=-1).astype(jnp.int32)
             return (nxt, caches), tok

@@ -155,16 +155,41 @@ class MultiHeadAttention(Module):
     def apply(self, params, query, key=None, value=None, mask=None,
               training=False, rngs=None, cache=None, decode=False,
               collect_kv=False, segment_ids=None, positions=None,
-              bias=None):
+              bias=None, precomputed_kv=None):
         """``collect_kv=True`` additionally returns the projected (k, v)
         ([b, hkv, s, dk]) — used by serving prefill to seed paged caches.
         ``bias``: additive score bias [b|1, h, sq, skv] (T5 relative
-        position / ALiBi), streamed into the flash kernels."""
+        position / ALiBi), streamed into the flash kernels.
+        ``precomputed_kv``: (k, v) already projected to [b, hkv, s, dk] —
+        cross-attention decode projects the (static) encoder memory ONCE
+        instead of once per generated token; qk_norm/RoPE are assumed to
+        have been applied at projection time (they are position-of-the-
+        MEMORY transforms, not of the query)."""
         del training, rngs
         if key is None:
             key = query
         if value is None:
             value = key
+
+        if precomputed_kv is not None:
+            assert cache is None and not collect_kv
+            q = self._project(query, params["wq"], params.get("bq"))
+            k, v = precomputed_kv
+            if self.qk_norm:
+                q = ops.rms_norm(q.astype(jnp.float32),
+                                 params["q_norm"]["gamma"],
+                                 self.qk_norm_eps).astype(q.dtype)
+            o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
+                                    segment_ids=segment_ids,
+                                    causal=self.causal, window=self.window,
+                                    scale=self.attn_scale,
+                                    softcap=self.attn_softcap)
+            o = jnp.swapaxes(o, -3, -2)
+            wo = maybe_cast(params["wo"], self.dtype)
+            bo = maybe_cast(params.get("bo"), self.dtype)
+            hq, dk, d_out = wo.shape
+            o = o.reshape(*o.shape[:-2], hq * dk)
+            return ops.linear(o, wo.reshape(hq * dk, d_out), bo)
 
         if FUSED_QKV and key is query and value is query:
             # Self-attention: ONE fused qkv matmul (x is read once; the

@@ -75,8 +75,10 @@ class TransformerEncoderBlock(Module):
     def __post_init__(self):
         if self.mla is not None:
             from np_modeling_tpu.nn.mla import MLAttention
-            assert self.window is None and self.attn_softcap is None, (
-                "MLA composes with neither sliding windows nor softcap")
+            assert (self.window is None and self.attn_softcap is None
+                    and not self.qk_norm and not self.sandwich_norm), (
+                "MLA composes with none of: sliding windows, softcap, "
+                "qk_norm, sandwich_norm (they would be silently dropped)")
             self.attn = MLAttention(self.num_heads, causal=self.causal,
                                     dtype=self.dtype, ln_eps=self.ln_eps,
                                     **self.mla)

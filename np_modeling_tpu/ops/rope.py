@@ -7,12 +7,13 @@ the cotangent — no residuals beyond the positions.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 
 
-def _scale_inv_freq(inv_freq, scaling):
+def _scale_inv_freq(inv_freq, scaling, base, d):
     """Apply a RoPE frequency-scaling rule (long-context checkpoints).
 
     ``scaling`` is a hashable tuple (it rides custom_vjp nondiff args):
@@ -20,10 +21,30 @@ def _scale_inv_freq(inv_freq, scaling):
     ("llama3", factor, low_freq_factor, high_freq_factor, original_max) —
     Llama-3.1 piecewise NTK: long wavelengths (> original_max /
     low_freq_factor) divide by factor, short ones (< original_max /
-    high_freq_factor) stay, the band between interpolates smoothly."""
+    high_freq_factor) stay, the band between interpolates smoothly;
+    ("yarn", factor, beta_fast, beta_slow, original_max, mscale) — YaRN
+    (DeepSeek-V2 / Qwen long): interpolated and extrapolated frequencies
+    mixed by a linear ramp between the beta correction dims, with
+    ``mscale`` multiplying the rotated features (HF applies it to
+    cos/sin; both q and k are rotated, so scores scale by mscale^2)."""
     kind = scaling[0]
     if kind == "linear":
         return inv_freq / scaling[1]
+    if kind == "yarn":
+        _, factor, beta_fast, beta_slow, orig, _ = scaling
+
+        def corr_dim(n_rot):          # dim whose wavelength = orig/n_rot
+            return (d * math.log(orig / (n_rot * 2.0 * math.pi))
+                    / (2.0 * math.log(base)))
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), d - 1)
+        if low == high:
+            high = high + 0.001       # HF's singularity guard
+        ramp = jnp.clip((jnp.arange(d // 2, dtype=jnp.float32) - low)
+                        / (high - low), 0.0, 1.0)
+        extrap = 1.0 - ramp           # 1 at low-dim (short-wavelength) end
+        return inv_freq / factor * (1.0 - extrap) + inv_freq * extrap
     assert kind == "llama3", f"unknown rope scaling {kind!r}"
     _, factor, low_f, high_f, orig = scaling
     wavelen = 2.0 * jnp.pi / inv_freq
@@ -39,7 +60,7 @@ def _angles(positions, d, base, scaling=None):
     # [**pos, d/2]
     inv_freq = base ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
     if scaling is not None:
-        inv_freq = _scale_inv_freq(inv_freq, scaling)
+        inv_freq = _scale_inv_freq(inv_freq, scaling, base, d)
     return positions.astype(jnp.float32)[..., None] * inv_freq
 
 
@@ -58,6 +79,11 @@ def _rotate(x, positions, base, sign, rope_dim, scaling=None):
     else:                             # [b, s, d/2] -> broadcast over h
         ang = ang[:, None]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
+    if scaling is not None and scaling[0] == "yarn" and scaling[5] != 1.0:
+        # YaRN attention factor rides cos/sin (HF semantics). The map
+        # stays a scaled rotation, so the inverse-rotation VJP only needs
+        # the same scalar (d(m*R x)/dx^T = m*R^-1).
+        cos, sin = cos * scaling[5], sin * scaling[5]
     x1, x2 = x[..., 0::2], x[..., 1::2]
     r1 = x1 * cos - x2 * sin
     r2 = x2 * cos + x1 * sin

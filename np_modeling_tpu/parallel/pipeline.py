@@ -194,6 +194,11 @@ def pipeline_gpt(mesh: Mesh, gpt, axis: str = "pp",
     while stages pipeline over ``axis``.
     """
     c = gpt.config
+    assert c.window_pattern == 1 and getattr(c, "moe_first_dense", 0) == 0, (
+        "pipeline_gpt scans ONE homogeneous block over the stacked layers; "
+        "per-layer window/FFN alternation (Gemma-2 / DeepSeek) would "
+        "silently apply the wrong block to half the layers")
+    c = gpt.config
     n_dev = mesh.shape[axis]
     n_stages = n_dev * virtual_stages
     assert c.num_layers % n_stages == 0, (c.num_layers, n_stages)

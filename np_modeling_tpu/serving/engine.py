@@ -1171,7 +1171,8 @@ class GenerationEngine:
         import math as _math
         block = gpt._block_for(li)
         attn = block.attn
-        assert block.norm_first and not block.parallel_residual
+        assert (block.norm_first and not block.parallel_residual
+                and not block.sandwich_norm)
         active, lengths = state["active"], state["lengths"]
         t = x.shape[1]
 

@@ -193,8 +193,23 @@ def _rope_scaling_tuple(hf_config):
         return ("llama3", float(rs["factor"]),
                 float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
                 float(rs["original_max_position_embeddings"]))
+    if kind == "yarn":
+        import math
+        factor = float(rs["factor"])
+        af = rs.get("attention_factor")
+        if af is None:
+            def get_mscale(scale, ms=1.0):
+                return (1.0 if scale <= 1
+                        else 0.1 * ms * math.log(scale) + 1.0)
+            ms, msad = rs.get("mscale"), rs.get("mscale_all_dim")
+            af = (get_mscale(factor, ms) / get_mscale(factor, msad)
+                  if ms and msad else get_mscale(factor))
+        orig = (rs.get("original_max_position_embeddings")
+                or hf_config.max_position_embeddings)
+        return ("yarn", factor, float(rs.get("beta_fast") or 32),
+                float(rs.get("beta_slow") or 1), float(orig), float(af))
     raise NotImplementedError(
-        f"rope_scaling type {kind!r} (supported: linear, llama3)")
+        f"rope_scaling type {kind!r} (supported: linear, llama3, yarn)")
 
 
 def llama_config(hf_config, **overrides):
@@ -1076,13 +1091,20 @@ def import_deepseek_v2(model, **config_overrides):
       layers dense (``moe_first_dense``). No-drop dispatch: exact.
 
     ``topk_method="group_limited_greedy"`` (device-grouped routing) is
-    not implemented — import the -Lite checkpoints (``greedy``)."""
+    not implemented — import the -Lite checkpoints (``greedy``). The
+    production checkpoints' YaRN ``rope_scaling`` is supported (the
+    mscale/mscale_all_dim pair cancels to attention_factor 1.0 for
+    DeepSeek's configs; parity tested)."""
     hc = model.config
     assert not getattr(hc, "attention_bias", False)
     moe = hc.n_routed_experts is not None
     if moe:
         assert hc.topk_method == "greedy", (
             f"topk_method {hc.topk_method!r} unsupported (greedy only)")
+        assert not getattr(hc, "norm_topk_prob", False), (
+            "norm_topk_prob=True checkpoints renormalize the kept gate "
+            "weights; map with moe_router_weights='softmax_norm' "
+            "explicitly after checking the target's actual semantics")
     kw = dict(
         ffn="swiglu",
         tie_embeddings=bool(hc.tie_word_embeddings),
@@ -1202,6 +1224,10 @@ def import_whisper(model, **config_overrides):
     kw.update(config_overrides)
     cfg = WhisperConfig(**kw)
     assert hc.activation_function == "gelu", hc.activation_function
+    assert hc.decoder_attention_heads == hc.encoder_attention_heads, (
+        "our Whisper shares one head count across stacks; a divergent "
+        "decoder_attention_heads would silently regroup q/k/v")
+    assert hc.decoder_ffn_dim == hc.encoder_ffn_dim
 
     sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
     d, h = cfg.d_model, cfg.num_heads

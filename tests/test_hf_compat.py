@@ -848,3 +848,62 @@ def test_deepseek_v2_serves_in_engine():
         for _ in range(7):
             got.append(eng.step()[0])
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_yarn_rope_scaling_matches_torch():
+    """YaRN (DeepSeek-V2 / long-context Qwen): ramp-mixed frequencies +
+    the attention factor on cos/sin. Covered for a LLaMA (factor-inferred
+    attention_factor) and a DeepSeek-V2 with the production-style
+    mscale == mscale_all_dim config (cancels to attention_factor 1)."""
+    cfg = transformers.LlamaConfig(
+        vocab_size=87, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 16})
+    torch.manual_seed(5)
+    m = transformers.LlamaForCausalLM(cfg)
+    m.eval()
+    ocfg, params = hf_compat.import_llama(m)
+    assert ocfg.rope_scaling[0] == "yarn"
+    assert abs(ocfg.rope_scaling[5] - (0.1 * np.log(4.0) + 1.0)) < 1e-9
+    toks = np.random.default_rng(6).integers(0, 87, size=(2, 24))
+    with torch.no_grad():
+        want = m(torch.from_numpy(toks)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(models.GPT(ocfg).apply(
+            params, jnp.asarray(toks, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+
+def test_deepseek_v2_yarn_matches_torch():
+    dcfg = transformers.DeepseekV2Config(
+        vocab_size=93, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=16, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, kv_lora_rank=16,
+        q_lora_rank=24, qk_rope_head_dim=8, qk_nope_head_dim=8,
+        v_head_dim=8, max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, attention_bias=False,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, topk_method="greedy", n_group=1,
+        topk_group=1, routed_scaling_factor=1.0, norm_topk_prob=False,
+        aux_loss_alpha=0.0, seq_aux=False,
+        rope_scaling={"type": "yarn", "factor": 40.0, "beta_fast": 32,
+                      "beta_slow": 1, "mscale": 0.707,
+                      "mscale_all_dim": 0.707,
+                      "original_max_position_embeddings": 16})
+    torch.manual_seed(7)
+    dm = transformers.DeepseekV2ForCausalLM(dcfg)
+    dm.eval()
+    oc2, p2 = hf_compat.import_deepseek_v2(dm)
+    assert oc2.rope_scaling[5] == 1.0       # mscale pair cancels
+    toks2 = np.random.default_rng(8).integers(0, 93, size=(1, 24))
+    with torch.no_grad():
+        want2 = dm(torch.from_numpy(toks2)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got2 = np.asarray(models.GPT(oc2).apply(
+            p2, jnp.asarray(toks2, jnp.int32)))
+    np.testing.assert_allclose(got2, want2, rtol=7e-4, atol=7e-4)
