@@ -12,6 +12,7 @@ from np_modeling_tpu.models.speculative import speculative_generate
 from np_modeling_tpu.models.t5 import T5, T5Config
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
 from np_modeling_tpu.models.vit import ViT, ViTConfig, patchify
+from np_modeling_tpu.models.audio import log_mel_spectrogram, mel_filter_bank
 from np_modeling_tpu.models.whisper import Whisper, WhisperConfig
 
 __all__ = [
@@ -19,5 +20,6 @@ __all__ = [
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
     "Seq2SeqTransformer", "T5", "T5Config", "beam_search", "euclidean_distance",
     "mlm_mask_tokens", "speculative_generate", "ViT", "ViTConfig",
-    "patchify", "Whisper", "WhisperConfig",
+    "patchify", "Whisper", "WhisperConfig", "log_mel_spectrogram",
+    "mel_filter_bank",
 ]

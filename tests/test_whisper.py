@@ -99,3 +99,35 @@ def test_whisper_trains():
         p, st, l = step(p, st)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_log_mel_matches_hf_extractor():
+    """Raw waveform -> log-mel features == transformers'
+    WhisperFeatureExtractor (itself 1e-5-equal to the original torch)."""
+    from np_modeling_tpu.models.audio import log_mel_spectrogram
+    audio = (rng.standard_normal((2, 48000)) * 0.1).astype(np.float32)
+    fe = transformers.WhisperFeatureExtractor(feature_size=8)
+    want = fe(list(audio), sampling_rate=16000, return_tensors="np",
+              padding=False, do_normalize=False).input_features
+    got = np.asarray(log_mel_spectrogram(audio, n_mels=8))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_whisper_end_to_end_from_raw_audio():
+    """Raw audio -> our log-mel -> our encoder == HF extractor -> HF
+    encoder: the full speech path with no external preprocessing."""
+    from np_modeling_tpu.models.audio import log_mel_spectrogram
+    model = _tiny_hf(seed=2)
+    cfg, params = hf_compat.import_whisper(model)
+    ours = models.Whisper(cfg)
+    audio = (rng.standard_normal((1, FRAMES * 160)) * 0.1).astype(np.float32)
+    fe = transformers.WhisperFeatureExtractor(feature_size=8)
+    mel_hf = fe(list(audio), sampling_rate=16000, return_tensors="np",
+                padding=False, do_normalize=False).input_features
+    with torch.no_grad():
+        want = model.model.encoder(
+            torch.tensor(mel_hf)).last_hidden_state.numpy()
+    mel_ours = log_mel_spectrogram(audio, n_mels=8)
+    got = np.asarray(ours.encode(params, mel_ours))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
