@@ -283,7 +283,7 @@ class GenerationEngine:
                     or c.moe_capacity_factor is None), (
                 "MLA + capacity-limited MoE would fall back to the eager "
                 "prefill; use no-drop routing (moe_capacity_factor=None)")
-            assert self.draft_gpt is None and self.lora_adapters is None
+            assert self.lora_adapters is None
             assert self.mesh is None, (
                 "tensor-parallel MLA serving is not wired (the latent "
                 "cache has ONE shared kv head — nothing to shard by head)")
@@ -1237,7 +1237,9 @@ class GenerationEngine:
         c = gpt.config
         block = gpt._block_for(li)
         attn = block.attn
-        if self._mla:
+        # Route by THIS gpt's config, not the engine flag: an MLA target
+        # can verify with a dense MHA draft (separate lane, same step fn).
+        if getattr(c, "mla", None):
             return self._block_step_mla(bp, x, li, state, gpt, trash)
         active, lengths = state["active"], state["lengths"]
         t = x.shape[1]

@@ -229,3 +229,35 @@ def test_mla_engine_requires_chunked_prefill():
     with pytest.raises(AssertionError, match="chunked"):
         GenerationEngine(gpt, params, total_pages=8, page_size=4,
                          prefill_chunk_size=None)
+
+
+def test_mla_engine_speculative_token_exact():
+    """Speculative decoding with an MLA TARGET and a dense MHA draft:
+    the two lanes carry different cache layouts (latent pages vs per-head
+    K/V pages) in one engine; greedy step_speculative must be token-exact
+    vs plain step()."""
+    from np_modeling_tpu.serving import GenerationEngine
+    gpt, params = _mla_gpt()
+    dcfg = models.GPTConfig(vocab_size=64, d_model=16, num_heads=2,
+                            num_layers=1, hidden_units=32, max_len=32,
+                            positional="rope", norm="rms", ffn="swiglu",
+                            use_bias=False)
+    draft = models.GPT(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(9),
+                         jnp.zeros((1, 8), jnp.int32))
+    prompt = rng.integers(0, 64, 9)
+
+    ref = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    want = [ref.add_request(0, prompt)]
+    for _ in range(7):
+        want.append(ref.step()[0])
+
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                           draft_gpt=draft, draft_params=dparams)
+    assert "v_pages" not in eng._state          # target lane: latents
+    assert "v_pages" in eng._dstate             # draft lane: per-head K/V
+    got = [eng.add_request(0, prompt)]
+    while len(got) < 8:
+        toks = eng.step_speculative(gamma=2)[0]
+        got.extend(int(t) for t in np.atleast_1d(toks))
+    np.testing.assert_array_equal(np.asarray(got[:8]), np.asarray(want))
