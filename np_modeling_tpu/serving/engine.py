@@ -138,8 +138,9 @@ class GenerationEngine:
             sshape = shape[:-1] + (1,)
             state["k_scales"] = [jnp.zeros(sshape, jnp.float32)
                                  for _ in range(L)]
-            state["v_scales"] = [jnp.zeros(sshape, jnp.float32)
-                                 for _ in range(L)]
+            if not mla:       # the latent row IS v — one scale set
+                state["v_scales"] = [jnp.zeros(sshape, jnp.float32)
+                                     for _ in range(L)]
         return self._shard_state(state)
 
     # ---- tensor-parallel serving helpers ----------------------------------
@@ -287,7 +288,7 @@ class GenerationEngine:
             assert self.mesh is None, (
                 "tensor-parallel MLA serving is not wired (the latent "
                 "cache has ONE shared kv head — nothing to shard by head)")
-            assert not self.quantize_kv and c.attention_window is None
+            assert c.attention_window is None
             m = c.mla
             self._dims = (c.num_heads, 1,
                           m["kv_lora_rank"] + m["qk_rope_head_dim"])
@@ -1140,12 +1141,15 @@ class GenerationEngine:
         on the donated per-layer buffer."""
         if self.quantize_kv:
             from np_modeling_tpu.ops.quantization import quantize_int8
-            kq, vq = quantize_int8(k_new), quantize_int8(v_new)
+            kq = quantize_int8(k_new)
             state["k_scales"][li] = state["k_scales"][li].at[
                 :, pages, offs].set(kq.scales)
-            state["v_scales"][li] = state["v_scales"][li].at[
-                :, pages, offs].set(vq.scales)
-            k_new, v_new = kq.values, vq.values
+            k_new = kq.values
+            if v_new is not None:
+                vq = quantize_int8(v_new)
+                state["v_scales"][li] = state["v_scales"][li].at[
+                    :, pages, offs].set(vq.scales)
+                v_new = vq.values
         state["k_pages"][li] = state["k_pages"][li].at[:, pages, offs].set(
             k_new.astype(state["k_pages"][li].dtype))
         if v_new is not None:
@@ -1199,6 +1203,11 @@ class GenerationEngine:
         state = self._append(state, li, pages, slot_off, k_flat, None)
 
         att_len = jnp.where(active, lengths + t, 0)
+        kwargs = {}
+        if self.quantize_kv:
+            # One scale set: the dequantized latent serves as both k and v.
+            sc = state["k_scales"][li]
+            kwargs = {"k_scales": sc, "v_scales": sc}
         wk = ap["kv_b"][:, :, :attn.qk_nope_head_dim]       # [rank, hq, n]
         q_abs = jnp.einsum("bhtn,rhn->bhtr", q_nope,
                            wk.astype(q_nope.dtype))
@@ -1206,7 +1215,8 @@ class GenerationEngine:
         scale = 1.0 / _math.sqrt(attn.qk_head_dim)
         kp = state["k_pages"][li]
         o = ops.paged_attention(jnp.swapaxes(q_eff, 1, 2), kp, kp,
-                                att_len, state["table"], scale=scale)
+                                att_len, state["table"], scale=scale,
+                                **kwargs)
         o_lat = o[..., :attn.kv_lora_rank]                  # [S, t, hq, r]
         wv = ap["kv_b"][:, :, attn.qk_nope_head_dim:]       # [rank, hq, v]
         o_heads = jnp.einsum("bthr,rhv->bthv",

@@ -261,3 +261,24 @@ def test_mla_engine_speculative_token_exact():
         toks = eng.step_speculative(gamma=2)[0]
         got.extend(int(t) for t in np.atleast_1d(toks))
     np.testing.assert_array_equal(np.asarray(got[:8]), np.asarray(want))
+
+
+@pytest.mark.parametrize("kv_dtype,quantize", [
+    (jnp.bfloat16, False), (None, True)])
+def test_mla_engine_compressed_latent_pages(kv_dtype, quantize):
+    """bf16 latent pages stay argmax-stable on this tiny model; int8
+    latents (one per-token scale set — the dequantized latent serves as
+    both k and v) must keep the greedy stream close to exact (same
+    tolerance style as the MHA int8 test: compare prefix agreement)."""
+    from np_modeling_tpu.serving import GenerationEngine
+    gpt, params = _mla_gpt()
+    prompt = rng.integers(0, 64, 9)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=6))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8,
+                           kv_dtype=kv_dtype, quantize_kv=quantize)
+    got = [eng.add_request(0, prompt)]
+    for _ in range(5):
+        got.append(eng.step()[0])
+    agree = int(np.sum(np.cumprod(np.asarray(got) == want)))
+    assert agree >= (6 if kv_dtype == jnp.bfloat16 else 3), (got, want)
