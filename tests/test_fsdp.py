@@ -139,3 +139,45 @@ def test_fsdp_composes_with_zero1():
     p2, s2, loss = step(ps, state, ts)
     jax.block_until_ready(loss)
     assert jnp.isfinite(loss)
+
+
+@pytest.mark.parametrize("flavor", ["mla", "gemma2"])
+def test_fsdp_composes_with_new_architectures(flavor):
+    """FSDP sharding is architecture-agnostic: MLA's low-rank projections
+    and Gemma-2-style blocks (softcap, sandwich norms, window twins)
+    train under an fsdp mesh with grads equal to single-device."""
+    if flavor == "mla":
+        cfg = models.GPTConfig(
+            vocab_size=64, d_model=32, num_heads=4, num_layers=2,
+            hidden_units=48, max_len=32, positional="rope", norm="rms",
+            ffn="swiglu", use_bias=False, tie_embeddings=False,
+            mla=dict(kv_lora_rank=16, q_lora_rank=24, qk_nope_head_dim=8,
+                     qk_rope_head_dim=4, v_head_dim=8))
+    else:
+        cfg = models.GPTConfig(
+            vocab_size=64, d_model=32, num_heads=4, num_layers=2,
+            hidden_units=48, max_len=32, positional="rope", norm="rms",
+            ffn="geglu", use_bias=False, rms_offset=True, embed_scale=True,
+            sandwich_norm=True, attention_window=8, window_pattern=2,
+            attn_logit_softcap=30.0, final_logit_softcap=20.0,
+            query_pre_attn_scalar=16.0, tie_embeddings=False)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (8, 16)))
+    params0 = gpt.init(jax.random.PRNGKey(11), tokens)
+
+    grad_fn = jax.jit(jax.grad(lambda p, t: gpt.loss(p, t)))
+    g_single = grad_fn(params0, tokens)
+
+    mesh = parallel.make_mesh({"dp": 2, "fsdp": 4})
+    ps = parallel.fsdp_params(params0, mesh, min_size=256)
+    ts = parallel.shard_batch(tokens, mesh)
+    g_shard = grad_fn(ps, ts)
+
+    leaves_s, _ = jax.tree_util.tree_flatten(g_single)
+    leaves_p, _ = jax.tree_util.tree_flatten(g_shard)
+    for a, b in zip(leaves_p, leaves_s):
+        assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    # Something big actually got sharded.
+    big = ps["embedding"]["table"]
+    assert not big.sharding.is_fully_replicated
