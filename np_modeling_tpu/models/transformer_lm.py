@@ -47,6 +47,7 @@ class GPTConfig:
     moe_router_weights: str = "default"   # nn.MoE.router_weights
     moe_routed_scaling: float = 1.0       # DeepSeek routed_scaling_factor
     moe_shared_units: int = 0     # DeepSeek always-on shared experts width
+    moe_router_groups: tuple | None = None   # (n_group, topk_group)
     moe_hidden_units: int | None = None   # expert width != dense FFN width
     moe_first_dense: int = 0      # DeepSeek first_k_dense_replace: layers
                                   # i < this keep a DENSE FFN
@@ -125,6 +126,7 @@ class GPT(Module):
                 moe_routed_scaling=c.moe_routed_scaling,
                 moe_shared_units=c.moe_shared_units,
                 moe_hidden_units=c.moe_hidden_units,
+                moe_router_groups=c.moe_router_groups,
                 rope=(c.positional == "rope"),
                 window=window, activation=c.activation,
                 ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,

@@ -70,6 +70,11 @@ class MoE(Module):
                                   # Mixtral generalized)
     routed_scaling: float = 1.0   # multiply combine weights (DeepSeek
                                   # routed_scaling_factor)
+    router_groups: object = None  # (n_group, topk_group): DeepSeek
+                                  # group-limited routing — experts are
+                                  # split into n_group equal groups, only
+                                  # the topk_group groups with the highest
+                                  # per-group max score stay eligible
     shared_experts_units: int = 0 # >0: an ALWAYS-ON gated FFN of this many
                                   # hidden units added to the routed output
                                   # (DeepSeek shared experts; gated ffn only)
@@ -153,7 +158,19 @@ class MoE(Module):
         """Per-token top-k choice: (gates [T,E], idx [T,k], w [T,k])."""
         logits = xt @ params["router"]              # [T, E]
         gates = jax.nn.softmax(logits, axis=-1)
-        g, i = jax.lax.top_k(gates, self.router_top_k)
+        pool = gates
+        if self.router_groups is not None:
+            n_group, topk_group = self.router_groups
+            e = self.num_experts
+            assert e % n_group == 0
+            gg = gates.reshape(-1, n_group, e // n_group)
+            group_best = jnp.max(gg, axis=-1)                  # [T, G]
+            _, gi = jax.lax.top_k(group_best, topk_group)
+            keep_g = jnp.sum(jax.nn.one_hot(gi, n_group), axis=1)  # [T, G]
+            # Ineligible groups' scores -> 0 (HF masked_fill semantics);
+            # the top-k below then never selects them.
+            pool = (gg * keep_g[:, :, None]).reshape(-1, e)
+        g, i = jax.lax.top_k(pool, self.router_top_k)
         if self.router_weights == "softmax":
             w = g                                   # raw gates (DeepSeek)
         elif self.router_weights == "softmax_norm":

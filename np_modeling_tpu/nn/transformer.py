@@ -42,6 +42,7 @@ class TransformerEncoderBlock(Module):
     moe_router_weights: str = "default"  # see nn.MoE.router_weights
     moe_routed_scaling: float = 1.0
     moe_shared_units: int = 0       # DeepSeek always-on shared experts
+    moe_router_groups: object = None  # (n_group, topk_group) group-limited
     moe_hidden_units: Optional[int] = None  # expert FFN width (DeepSeek's
                                     # moe_intermediate_size differs from
                                     # the dense layers' intermediate_size)
@@ -130,7 +131,8 @@ class TransformerEncoderBlock(Module):
                            activation=self.activation, ffn=self.ffn,
                            router_weights=self.moe_router_weights,
                            routed_scaling=self.moe_routed_scaling,
-                           shared_experts_units=self.moe_shared_units)
+                           shared_experts_units=self.moe_shared_units,
+                           router_groups=self.moe_router_groups)
         elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
                                 activation=self.activation,

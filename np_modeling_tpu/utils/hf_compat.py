@@ -1090,8 +1090,9 @@ def import_deepseek_v2(model, **config_overrides):
       always-on shared experts, and the first ``first_k_dense_replace``
       layers dense (``moe_first_dense``). No-drop dispatch: exact.
 
-    ``topk_method="group_limited_greedy"`` (device-grouped routing) is
-    not implemented — import the -Lite checkpoints (``greedy``). The
+    Both ``topk_method="greedy"`` (-Lite) and ``"group_limited_greedy"``
+    (the full V2/V2-Chat device-grouped routing, ``moe_router_groups=
+    (n_group, topk_group)``) are supported and parity tested. The
     production checkpoints' YaRN ``rope_scaling`` is supported (the
     mscale/mscale_all_dim pair cancels to attention_factor 1.0 for
     DeepSeek's configs; parity tested)."""
@@ -1099,8 +1100,8 @@ def import_deepseek_v2(model, **config_overrides):
     assert not getattr(hc, "attention_bias", False)
     moe = hc.n_routed_experts is not None
     if moe:
-        assert hc.topk_method == "greedy", (
-            f"topk_method {hc.topk_method!r} unsupported (greedy only)")
+        assert hc.topk_method in ("greedy", "group_limited_greedy"), (
+            f"topk_method {hc.topk_method!r} unsupported")
         assert not getattr(hc, "norm_topk_prob", False), (
             "norm_topk_prob=True checkpoints renormalize the kept gate "
             "weights; map with moe_router_weights='softmax_norm' "
@@ -1125,6 +1126,9 @@ def import_deepseek_v2(model, **config_overrides):
                               * (hc.n_shared_experts or 0)),
             moe_hidden_units=hc.moe_intermediate_size,
             moe_first_dense=hc.first_k_dense_replace,
+            moe_router_groups=((hc.n_group, hc.topk_group)
+                               if hc.topk_method == "group_limited_greedy"
+                               else None),
         )
     kw.update(config_overrides)
     cfg = llama_config(hc, **kw)

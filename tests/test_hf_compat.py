@@ -907,3 +907,33 @@ def test_deepseek_v2_yarn_matches_torch():
         got2 = np.asarray(models.GPT(oc2).apply(
             p2, jnp.asarray(toks2, jnp.int32)))
     np.testing.assert_allclose(got2, want2, rtol=7e-4, atol=7e-4)
+
+
+def test_deepseek_v2_group_limited_routing_matches_torch():
+    """topk_method='group_limited_greedy' (full DeepSeek-V2/V2-Chat):
+    experts split into n_group groups; only the topk_group groups with
+    the highest per-group max softmax score stay eligible for top-k."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=93, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=16, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, kv_lora_rank=16,
+        q_lora_rank=24, qk_rope_head_dim=4, qk_nope_head_dim=8,
+        v_head_dim=8, max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, attention_bias=False,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, topk_method="group_limited_greedy",
+        n_group=4, topk_group=2, routed_scaling_factor=1.0,
+        norm_topk_prob=False, aux_loss_alpha=0.0, seq_aux=False)
+    torch.manual_seed(51)
+    model = transformers.DeepseekV2ForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_deepseek_v2(model)
+    assert ours_cfg.moe_router_groups == (4, 2)
+    gpt = models.GPT(ours_cfg)
+    tokens = np.random.default_rng(52).integers(0, 93, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
