@@ -1297,3 +1297,59 @@ def import_whisper(model, **config_overrides):
             "ffn": ffn(p),
         }
     return cfg, params
+
+
+def import_qwen3_moe(model, **config_overrides):
+    """``transformers.Qwen3MoeForCausalLM`` -> (GPTConfig, params).
+
+    Qwen3 attention (QK-norm, permuted gammas — see :func:`import_qwen3`)
+    with Mixtral-layout SwiGLU experts and RENORMALIZED top-k routing:
+    HF softmaxes the router logits, takes top-k, then (norm_topk_prob,
+    True for the published checkpoints) divides the kept weights by
+    their sum — exactly ``moe_router_weights="softmax_norm"`` on the
+    no-drop dispatch. Only the all-sparse layout is supported
+    (``decoder_sparse_step == 1``, no ``mlp_only_layers``)."""
+    hc = model.config
+    assert getattr(hc, "decoder_sparse_step", 1) == 1, (
+        "interleaved dense/sparse layers (decoder_sparse_step > 1) are "
+        "not mapped")
+    assert not getattr(hc, "mlp_only_layers", []), (
+        "mlp_only_layers (per-index dense layers) is not mapped")
+    kw = dict(
+        qk_norm=True,
+        moe_experts=hc.num_experts,
+        moe_top_k=hc.num_experts_per_tok,
+        moe_capacity_factor=None,          # exact no-drop routing
+        moe_router_weights=("softmax_norm" if hc.norm_topk_prob
+                            else "softmax"),
+        moe_hidden_units=hc.moe_intermediate_size,
+        attention_window=(hc.sliding_window
+                          if getattr(hc, "use_sliding_window", False)
+                          else None),
+    )
+    kw.update(config_overrides)
+    cfg = llama_config(hc, **kw)
+    state_dict = model.state_dict()
+    params = llama_params(state_dict, cfg)
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
+    dk = cfg.head_dim or cfg.d_model // cfg.num_heads
+    perm = _rope_perm(dk)
+    for i in range(cfg.num_layers):
+        ap = params[f"layer_{i}"]["self_attention"]
+        a = f"layers.{i}.self_attn"
+        ap["q_norm"] = {"gamma": _np(sd[f"{a}.q_norm.weight"])[perm]}
+        ap["k_norm"] = {"gamma": _np(sd[f"{a}.k_norm.weight"])[perm]}
+        p = f"layers.{i}.mlp"
+        params[f"layer_{i}"]["moe"] = {
+            "router": _np(sd[f"{p}.gate.weight"]).T,
+            "w_gate": np.stack([
+                _np(sd[f"{p}.experts.{e}.gate_proj.weight"]).T
+                for e in range(cfg.moe_experts)]),
+            "w_up": np.stack([
+                _np(sd[f"{p}.experts.{e}.up_proj.weight"]).T
+                for e in range(cfg.moe_experts)]),
+            "w_down": np.stack([
+                _np(sd[f"{p}.experts.{e}.down_proj.weight"]).T
+                for e in range(cfg.moe_experts)]),
+        }
+    return cfg, params

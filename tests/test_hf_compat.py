@@ -937,3 +937,65 @@ def test_deepseek_v2_group_limited_routing_matches_torch():
     with jax.default_matmul_precision("highest"):
         got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+
+def test_qwen3_moe_logits_and_decode_match_torch():
+    """Qwen3-MoE: QK-norm attention + Mixtral-layout experts with
+    RENORMALIZED top-k weights (norm_topk_prob -> softmax_norm)."""
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=91, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=16, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        decoder_sparse_step=1, mlp_only_layers=[])
+    torch.manual_seed(61)
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_qwen3_moe(model)
+    assert (ours_cfg.qk_norm
+            and ours_cfg.moe_router_weights == "softmax_norm"
+            and ours_cfg.moe_capacity_factor is None)
+    gpt = models.GPT(ours_cfg)
+    tokens = np.random.default_rng(62).integers(0, 91, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+    prompt = np.random.default_rng(63).integers(0, 91, size=(1, 9))
+    with torch.no_grad():
+        want_t = model.generate(torch.from_numpy(prompt), max_new_tokens=6,
+                                do_sample=False).numpy()[0, 9:]
+    with jax.default_matmul_precision("highest"):
+        got_t = np.asarray(gpt.generate(params,
+                                        jnp.asarray(prompt, jnp.int32),
+                                        steps=6))[0]
+    np.testing.assert_array_equal(got_t[:len(want_t)], want_t)
+
+
+def test_qwen3_moe_serves_in_engine():
+    from np_modeling_tpu.serving import GenerationEngine
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=91, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=16, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        decoder_sparse_step=1, mlp_only_layers=[])
+    torch.manual_seed(64)
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    model.eval()
+    ours_cfg, params = hf_compat.import_qwen3_moe(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(65).integers(0, 91, 11)
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt)[None],
+                                   steps=6))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    got = [eng.add_request(0, prompt)]
+    for _ in range(5):
+        got.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(got), want)
