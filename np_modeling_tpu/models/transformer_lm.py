@@ -94,6 +94,9 @@ class GPTConfig:
                                   # output before its residual add
     qk_norm: bool = False         # Qwen3: per-head RMSNorm on q/k over
                                   # head_dim (eps = ln_eps), before RoPE
+    attn_sinks: bool = False      # gpt-oss: learnable per-head attention
+                                  # sinks (virtual no-value key)
+    moe_router_bias: bool = False # gpt-oss: biased router linear
     mla: dict | None = None       # DeepSeek-V2 multi-head LATENT attention
                                   # (per-token cache = kv_lora_rank + rope
                                   # numbers; absorbed decode): dims dict for
@@ -134,7 +137,9 @@ class GPT(Module):
                 head_dim=c.head_dim, parallel_residual=c.parallel_residual,
                 parallel_shared_norm=c.parallel_shared_norm,
                 attn_scale=attn_scale, attn_softcap=c.attn_logit_softcap,
-                qk_norm=c.qk_norm, mla=c.mla, sandwich_norm=c.sandwich_norm)
+                qk_norm=c.qk_norm, mla=c.mla, attn_sinks=c.attn_sinks,
+                moe_router_bias=c.moe_router_bias,
+                sandwich_norm=c.sandwich_norm)
 
         self.block = make_block(c.attention_window)
         if c.moe_first_dense > 0:

@@ -64,6 +64,9 @@ class MultiHeadAttention(Module):
     qk_norm: bool = False                 # Qwen3: per-head RMSNorm over
                                           # head_dim on q and k, BEFORE RoPE
     qk_norm_eps: float = 1e-6
+    attn_sinks: bool = False              # gpt-oss: per-head learnable
+                                          # attention-sink logits (a
+                                          # virtual no-value key)
     dtype: Optional[Any] = None           # compute dtype (mixed precision)
     attn_impl: Optional[Callable] = None  # override the attention core for
                                           # the non-decode path, e.g. a
@@ -110,6 +113,8 @@ class MultiHeadAttention(Module):
                 jax.random.fold_in(key, 31), (dk,))}
             params["k_norm"] = {"gamma": initializers.ones(
                 jax.random.fold_in(key, 32), (dk,))}
+        if self.attn_sinks:
+            params["sinks"] = jnp.zeros((hq,), jnp.float32)
         return params
 
     def _apply_qk_norm(self, params, q, k):
@@ -183,7 +188,8 @@ class MultiHeadAttention(Module):
                                     segment_ids=segment_ids,
                                     causal=self.causal, window=self.window,
                                     scale=self.attn_scale,
-                                    softcap=self.attn_softcap)
+                                    softcap=self.attn_softcap,
+                                    sinks=params.get("sinks"))
             o = jnp.swapaxes(o, -3, -2)
             wo = maybe_cast(params["wo"], self.dtype)
             bo = maybe_cast(params.get("bo"), self.dtype)
@@ -226,7 +232,8 @@ class MultiHeadAttention(Module):
             k, v, mask, new_cache = self._update_cache(cache, k, v)
             o = ops.flash_attention(q, k, v, mask=mask, bias=bias,
                                     causal=False, scale=self.attn_scale,
-                                    softcap=self.attn_softcap)
+                                    softcap=self.attn_softcap,
+                                    sinks=params.get("sinks"))
         elif self.attn_impl is not None:
             assert mask is None and bias is None, (
                 "attn_impl overrides (e.g. ring attention) take structural "
@@ -241,7 +248,8 @@ class MultiHeadAttention(Module):
                                     segment_ids=segment_ids,
                                     causal=self.causal, window=self.window,
                                     scale=self.attn_scale,
-                                    softcap=self.attn_softcap)
+                                    softcap=self.attn_softcap,
+                                    sinks=params.get("sinks"))
 
         # [b, h, s, dk] -> [b, s, h*dk] -> out projection.
         o = jnp.swapaxes(o, -3, -2)

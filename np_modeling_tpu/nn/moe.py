@@ -67,7 +67,10 @@ class MoE(Module):
                                   # | "softmax" (raw top-k softmax gates,
                                   # any k — DeepSeek greedy) |
                                   # "softmax_norm" (renormalized, any k —
-                                  # Mixtral generalized)
+                                  # Mixtral generalized) | "topk_softmax"
+                                  # (gpt-oss: top-k over the raw LOGITS,
+                                  # then softmax over the kept k values)
+    router_bias: bool = False     # router linear carries a bias (gpt-oss)
     routed_scaling: float = 1.0   # multiply combine weights (DeepSeek
                                   # routed_scaling_factor)
     router_groups: object = None  # (n_group, topk_group): DeepSeek
@@ -89,15 +92,17 @@ class MoE(Module):
 
     def __post_init__(self):
         assert self.router_top_k >= 1
-        assert self.router_weights in ("default", "softmax", "softmax_norm")
+        assert self.router_weights in ("default", "softmax",
+                                       "softmax_norm", "topk_softmax")
         if self.router_weights == "default":
             assert self.router_top_k in (1, 2), (
                 "k > 2 needs an explicit weight rule: router_weights="
                 "'softmax' (DeepSeek) or 'softmax_norm'")
         assert self.dispatch_impl in ("auto", "dense", "sorted")
-        assert self.ffn in ("mlp", "swiglu", "geglu"), self.ffn
+        assert self.ffn in ("mlp", "swiglu", "geglu", "glu_clamp"), self.ffn
         if self.shared_experts_units:
-            assert self.ffn != "mlp", "shared experts are gated-FFN only"
+            assert self.ffn not in ("mlp", "glu_clamp"), (
+                "shared experts are plain-gated-FFN only")
 
     def init(self, key, x):
         d = x.shape[-1]
@@ -110,6 +115,12 @@ class MoE(Module):
                 "w_up": self.kernel_init(ks[2], (e, d, ff)),
                 "w_down": self.kernel_init(ks[3], (e, ff, d)),
             }
+            if self.router_bias:
+                params["router_b"] = jnp.zeros((e,))
+            if self.ffn == "glu_clamp":      # gpt-oss: biased experts
+                params["b_gate"] = jnp.zeros((e, ff))
+                params["b_up"] = jnp.zeros((e, ff))
+                params["b_down"] = jnp.zeros((e, d))
             if self.shared_experts_units:
                 sf = self.shared_experts_units
                 sk = jax.random.split(jax.random.fold_in(key, 404), 3)
@@ -134,6 +145,14 @@ class MoE(Module):
     def _gate_act(self):
         return ops.get_activation("silu" if self.ffn == "swiglu" else "gelu")
 
+    @staticmethod
+    def _glu_clamp(gate, up, limit=7.0, alpha=1.702):
+        """gpt-oss expert nonlinearity: clamped gate through a scaled
+        sigmoid GLU, (up + 1) residual-style multiplier."""
+        gate = jnp.minimum(gate, limit)
+        up = jnp.clip(up, -limit, limit)
+        return (up + 1.0) * (gate * jax.nn.sigmoid(alpha * gate))
+
     def _capacity(self, tokens):
         # ceil(k * T / E * factor), at least 4, rounded to a multiple of 4.
         c = int(self.router_top_k * tokens / self.num_experts
@@ -157,7 +176,16 @@ class MoE(Module):
     def _route(self, xt, params):
         """Per-token top-k choice: (gates [T,E], idx [T,k], w [T,k])."""
         logits = xt @ params["router"]              # [T, E]
+        if "router_b" in params:
+            logits = logits + params["router_b"]
         gates = jax.nn.softmax(logits, axis=-1)
+        if self.router_weights == "topk_softmax":
+            # gpt-oss: top-k over the raw logits, softmax over the kept k.
+            g, i = jax.lax.top_k(logits, self.router_top_k)
+            w = jax.nn.softmax(g, axis=-1)
+            if self.routed_scaling != 1.0:
+                w = w * self.routed_scaling
+            return gates, i, w
         pool = gates
         if self.router_groups is not None:
             n_group, topk_group = self.router_groups
@@ -264,6 +292,14 @@ class MoE(Module):
 
     def _expert_ffn(self, params, expert_in):
         """[E, C, d] -> [E, C, d] batched expert FFN (mlp or gated)."""
+        if self.ffn == "glu_clamp":
+            g = (jnp.einsum("ecd,edf->ecf", expert_in, params["w_gate"])
+                 + params["b_gate"][:, None])
+            u = (jnp.einsum("ecd,edf->ecf", expert_in, params["w_up"])
+                 + params["b_up"][:, None])
+            h = self._glu_clamp(g, u)
+            return (jnp.einsum("ecf,efd->ecd", h, params["w_down"])
+                    + params["b_down"][:, None])
         if self.ffn != "mlp":
             g = self._gate_act()(
                 jnp.einsum("ecd,edf->ecf", expert_in, params["w_gate"]))
@@ -332,7 +368,18 @@ class MoE(Module):
             self._assignments(xt, params)
         x_s = xt[tok_s]
         gs = counts.astype(jnp.int32)
-        if self.ffn != "mlp":
+        if self.ffn == "glu_clamp":
+            # jnp.asarray: imported params may be host numpy arrays, which
+            # cannot be fancy-indexed by a traced exp_s inside scan.
+            g = (jax.lax.ragged_dot(x_s, params["w_gate"].astype(x_s.dtype),
+                                    gs) + jnp.asarray(params["b_gate"])[exp_s])
+            u = (jax.lax.ragged_dot(x_s, params["w_up"].astype(x_s.dtype),
+                                    gs) + jnp.asarray(params["b_up"])[exp_s])
+            h = self._glu_clamp(g, u)
+            y = (jax.lax.ragged_dot(h.astype(x_s.dtype),
+                                    params["w_down"].astype(x_s.dtype), gs)
+                 + jnp.asarray(params["b_down"])[exp_s])
+        elif self.ffn != "mlp":
             g = self._gate_act()(jax.lax.ragged_dot(
                 x_s, params["w_gate"].astype(x_s.dtype), gs))
             h = g * jax.lax.ragged_dot(
@@ -343,10 +390,10 @@ class MoE(Module):
             act = ops.get_activation(self.activation)
             h = act(jax.lax.ragged_dot(x_s, params["w1"].astype(x_s.dtype),
                                        gs)
-                    + params["b1"][exp_s])
+                    + jnp.asarray(params["b1"])[exp_s])
             y = (jax.lax.ragged_dot(h.astype(x_s.dtype),
                                     params["w2"].astype(x_s.dtype), gs)
-                 + params["b2"][exp_s])
+                 + jnp.asarray(params["b2"])[exp_s])
         out = jnp.zeros((t, d), jnp.float32).at[tok_s].add(
             wgt_s[:, None] * y)
         stats = {

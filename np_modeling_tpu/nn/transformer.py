@@ -64,6 +64,8 @@ class TransformerEncoderBlock(Module):
                                     # query_pre_attn_scalar**-0.5)
     attn_softcap: Optional[float] = None  # Gemma-2 logit soft-capping
     qk_norm: bool = False           # Qwen3: per-head RMSNorm on q/k
+    attn_sinks: bool = False        # gpt-oss: per-head sink logits
+    moe_router_bias: bool = False   # gpt-oss: biased router linear
     mla: Optional[dict] = None      # DeepSeek-V2 multi-head latent
                                     # attention: dict of MLAttention dims
                                     # (kv_lora_rank, q_lora_rank,
@@ -95,7 +97,8 @@ class TransformerEncoderBlock(Module):
                                            attn_softcap=self.attn_softcap,
                                            qk_norm=self.qk_norm,
                                            qk_norm_eps=self.ln_eps
-                                           if self.qk_norm else 1e-6)
+                                           if self.qk_norm else 1e-6,
+                                           attn_sinks=self.attn_sinks)
         if self.parallel_residual:
             assert self.norm_first, "parallel residual is a pre-norm form"
         if self.parallel_shared_norm:
@@ -132,7 +135,8 @@ class TransformerEncoderBlock(Module):
                            router_weights=self.moe_router_weights,
                            routed_scaling=self.moe_routed_scaling,
                            shared_experts_units=self.moe_shared_units,
-                           router_groups=self.moe_router_groups)
+                           router_groups=self.moe_router_groups,
+                           router_bias=self.moe_router_bias)
         elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
                                 activation=self.activation,

@@ -140,7 +140,7 @@ def _apply_masks(s, mask, causal, window=None):
 
 def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
                     causal=False, window=None, scale=None, block_q=1024,
-                    block_kv=1024, softcap=None):
+                    block_kv=1024, softcap=None, sinks=None):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
@@ -160,6 +160,13 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
     through ``cap * tanh(s / cap)`` BEFORE bias/mask/softmax, inside the
     kernels (one extra VPU pass per score tile; the backward chains the
     ``1 - tanh^2`` factor through the same recompute).
+    ``sinks``: per-head learnable attention-sink logits [hq] (gpt-oss) —
+    a virtual no-value key joining each row's softmax. Mathematically
+    ``o = o_std * sigmoid(lse_std - sink)``, so it runs as a POST-KERNEL
+    rescale; the standard FA2 backward is already exact given the
+    sink-inclusive ``lse_tot = logaddexp(lse_std, sink)`` (ds keeps the
+    p*(dp - di) form because the sink row has no value), plus
+    ``dsink = -sum_q exp(sink - lse_tot) * di``. Differentiable.
     """
     d = q.shape[-1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
@@ -184,6 +191,11 @@ def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
     if q_seg is not None:
         assert q_seg.shape == (q.shape[0], q.shape[2])
         assert kv_seg.shape == (k.shape[0], k.shape[2])
+    if sinks is not None:
+        assert sinks.shape == (q.shape[1],), sinks.shape
+        return _attn_sinks(q, k, v, sinks, mask, bias, q_seg, kv_seg,
+                           causal, window, scale, block_q, block_kv,
+                           softcap)
     return _attn(q, k, v, mask, bias, q_seg, kv_seg, causal, window, scale,
                  block_q, block_kv, softcap)
 
@@ -287,6 +299,54 @@ def _attn_bwd(causal, window, scale, block_q, block_kv, softcap, res, do):
 
 
 _attn.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---- attention sinks (gpt-oss): a virtual no-value key per head ----------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _attn_sinks(q, k, v, sinks, mask, bias, q_seg, kv_seg, causal, window,
+                scale, block_q, block_kv, softcap):
+    o, _ = _attn_sinks_fwd(q, k, v, sinks, mask, bias, q_seg, kv_seg,
+                           causal, window, scale, block_q, block_kv,
+                           softcap)
+    return o
+
+
+def _attn_sinks_fwd(q, k, v, sinks, mask, bias, q_seg, kv_seg, causal,
+                    window, scale, block_q, block_kv, softcap):
+    o_std, lse = _attn_fwd_impl(q, k, v, mask, bias, q_seg, kv_seg, causal,
+                                window, scale, block_q, block_kv, softcap)
+    sink3 = sinks.astype(jnp.float32)[None, :, None]      # [1, h, 1]
+    lse_tot = jnp.logaddexp(lse, sink3)
+    o = (o_std.astype(jnp.float32)
+         * jnp.exp(lse - lse_tot)[..., None]).astype(q.dtype)
+    # Residuals carry the SINK-INCLUSIVE o and lse: the standard FA2
+    # backward is then exact for dq/dk/dv/dbias (the sink's value is zero,
+    # so ds = p*(dp - di) is unchanged with p = exp(s - lse_tot) and
+    # di = rowsum(do * o)).
+    return o, (q, k, v, o, lse_tot, mask, bias, q_seg, kv_seg, sinks)
+
+
+def _attn_sinks_bwd(causal, window, scale, block_q, block_kv, softcap, res,
+                    do):
+    q, k, v, o, lse_tot, mask, bias, q_seg, kv_seg, sinks = res
+    if _use_flash_kernel(q, k, mask, bias):
+        dq, dk, dv, dbias = _flash_bwd_pallas(q, k, v, o, lse_tot, do, mask,
+                                              bias, q_seg, kv_seg, causal,
+                                              window, scale, block_q,
+                                              block_kv, softcap)
+    else:
+        mask_m = _merge_seg_into_mask(mask, q_seg, kv_seg)
+        dq, dk, dv, dbias = _attn_bwd_jnp(q, k, v, o, lse_tot, do, mask_m,
+                                          bias, causal, window, scale,
+                                          softcap)
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse_tot)
+    dsinks = (-jnp.sum(p_sink * di, axis=(0, 2))).astype(sinks.dtype)
+    return dq, dk, dv, dsinks, None, dbias, None, None
+
+
+_attn_sinks.defvjp(_attn_sinks_fwd, _attn_sinks_bwd)
 
 
 def _unbroadcast_bias(dbias, bias):

@@ -66,7 +66,7 @@ def _normalize_bias(bias, b, hq, sq):
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
                               scale=None, window=None, bias=None,
-                              softcap=None):
+                              softcap=None, sinks=None):
     """Pure-jnp oracle: gather each sequence's pages, masked attention.
 
     ``window``: sliding-window width W — query token at position p attends
@@ -110,7 +110,15 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
     if window is not None:
         keep = keep & (pos > own - window)
     s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
-    p = jax.nn.softmax(s, axis=-1)
+    if sinks is not None:
+        # gpt-oss attention sinks: a per-q-head no-value logit joins the
+        # softmax. s is [b, hkv, sq, g, kv]; head = hkv_idx * g + g_idx.
+        sk = sinks.reshape(hkv, g)[None, :, None, :, None]
+        comb = jnp.concatenate(
+            [s, jnp.broadcast_to(sk, (*s.shape[:-1], 1))], axis=-1)
+        p = jax.nn.softmax(comb, axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhtgk,bhkd->bhtgd", p, v_seq,
                    preferred_element_type=jnp.float32)
     o = jnp.moveaxis(o, 2, 1).reshape(b, sq, hq, d).astype(q.dtype)
@@ -119,8 +127,8 @@ def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices,
 
 def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
                   n_blocks, npb, quantized, window, sq, g, has_bias=False,
-                  softcap=None):
-    """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], [bias],
+                  softcap=None, has_sinks=False):
+    """rest = k_0..k_{npb-1}, [ks_0..], v_0.., [vs_0..], [bias], [sinks],
     o_ref, m, l, acc."""
     del page_idx_ref
     if quantized:
@@ -142,6 +150,9 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
     bias_ref = None
     if has_bias:
         bias_ref, rest = rest[0], rest[1:]
+    sinks_ref = None
+    if has_sinks:
+        sinks_ref, rest = rest[0], rest[1:]
     o_ref, m_scr, l_scr, acc_scr = rest
 
     b_idx, blk = pl.program_id(0), pl.program_id(2)
@@ -198,13 +209,18 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
     @pl.when(blk == n_blocks - 1)
     def _store():
         l = l_scr[...]
+        if sinks_ref is not None:
+            # Sink joins the denominator: l_tot = l + exp(sink - m). Rows
+            # are token-major (row t*g + j -> q head h_i*g + j); the input
+            # tile is pre-broadcast to [rows, lanes].
+            l = l + jnp.exp(sinks_ref[0] - m_scr[...])
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
 
 
 def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
                     k_scales=None, v_scales=None, pages_per_block=8,
-                    window=None, bias=None, softcap=None):
+                    window=None, bias=None, softcap=None, sinks=None):
     """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere).
 
     ``bias``: optional additive score bias over absolute cache positions —
@@ -223,7 +239,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
             v_pages = v_pages.astype(jnp.float32) * v_scales
         return paged_attention_reference(q, k_pages, v_pages, lengths,
                                          page_indices, scale, window, bias,
-                                         softcap)
+                                         softcap, sinks)
 
     squeeze = q.ndim == 3
     if squeeze:
@@ -300,11 +316,27 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
         in_specs.append(pl.BlockSpec((1, 1, g_pad, block_tokens), bias_map))
         inputs.append(bg)
 
+    if sinks is not None:
+        # Per-row sink logits, token-major fold (row t*g + j -> head
+        # h_i*g + j), pre-broadcast to the [rows, 128] residual tile.
+        sk = jnp.asarray(sinks, jnp.float32).reshape(hkv, g)
+        rows_sink = jnp.tile(sk[:, None, :], (1, sq, 1)).reshape(hkv, rows)
+        rows_sink = jnp.pad(rows_sink, ((0, 0), (0, g_pad - rows)))
+        rows_sink = jnp.broadcast_to(rows_sink[:, :, None],
+                                     (hkv, g_pad, 128))
+
+        def sink_map(b_i, h_i, blk, lengths_ref, page_idx_ref):
+            del b_i, blk, lengths_ref, page_idx_ref
+            return (h_i, 0, 0)
+
+        in_specs.append(pl.BlockSpec((1, g_pad, 128), sink_map))
+        inputs.append(rows_sink)
+
     kernel = functools.partial(_paged_kernel, scale=scale, page_size=psize,
                                n_blocks=n_blocks, npb=npb,
                                quantized=quantized, window=window, sq=sq,
                                g=g, has_bias=bias is not None,
-                               softcap=softcap)
+                               softcap=softcap, has_sinks=sinks is not None)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -1302,6 +1302,8 @@ class GenerationEngine:
             kwargs["scale"] = attn.attn_scale
         if attn.attn_softcap is not None:
             kwargs["softcap"] = attn.attn_softcap
+        if attn.attn_sinks:
+            kwargs["sinks"] = ap["sinks"]
         o = self._paged(jnp.swapaxes(q, 1, 2),              # [S, t, hq, dk]
                         state["k_pages"][li], state["v_pages"][li],
                         att_len, state["table"],

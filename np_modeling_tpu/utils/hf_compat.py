@@ -1353,3 +1353,102 @@ def import_qwen3_moe(model, **config_overrides):
                 for e in range(cfg.moe_experts)]),
         }
     return cfg, params
+
+
+# ---- gpt-oss (attention sinks + clamped-GLU MoE) --------------------------
+
+def import_gpt_oss(model, **config_overrides):
+    """``transformers.GptOssForCausalLM`` -> (GPTConfig, params).
+
+    OpenAI's open-weight architecture, all parts first-class here:
+
+    - ATTENTION SINKS (``attn_sinks``): a learnable per-head logit joins
+      every row's softmax as a virtual no-value key. Runs as a
+      post-flash-kernel rescale ``o * sigmoid(lse - sink)`` with the
+      standard FA2 backward exact against the sink-inclusive lse
+      (ops.attention._attn_sinks) — fully differentiable incl. dsinks.
+    - Alternating sliding/full attention (``layer_types``: even layers
+      slide — our ``window_pattern=2``), biased q/k/v/o projections
+      (RoPE feature permutation applied to weights AND biases), YaRN
+      rope scaling.
+    - MoE with a BIASED router, top-k over the raw LOGITS then softmax
+      over the kept k (``router_weights="topk_softmax"``), and
+      clamped-GLU experts (``ffn="glu_clamp"``: gate clamped at +7, up
+      at +-7, ``(up+1) * gate*sigmoid(1.702*gate)``, biased matmuls).
+      HF stores gate/up INTERLEAVED in one [E, d, 2ff] tensor —
+      deinterleaved here. No-drop dispatch: exact.
+    """
+    hc = model.config
+    lt = list(getattr(hc, "layer_types", []))
+    assert lt and all(
+        t == ("sliding_attention" if i % 2 == 0 else "full_attention")
+        for i, t in enumerate(lt)), (
+        f"unexpected layer_types {lt} (expected even-sliding alternation)")
+    kw = dict(
+        use_bias=True,                    # q/k/v/o biased (FFN is MoE)
+        ffn="glu_clamp",
+        attn_sinks=True,
+        attention_window=hc.sliding_window, window_pattern=2,
+        moe_experts=hc.num_local_experts,
+        moe_top_k=hc.num_experts_per_tok,
+        moe_capacity_factor=None,
+        moe_router_weights="topk_softmax",
+        moe_router_bias=True,
+        moe_hidden_units=hc.intermediate_size,
+    )
+    kw.update(config_overrides)
+    cfg = llama_config(hc, **kw)
+    c = cfg
+
+    sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
+    d = c.d_model
+    hq = c.num_heads
+    hkv = c.num_kv_heads or hq
+    dk = c.head_dim or d // hq
+    perm = _rope_perm(dk)
+
+    def gamma(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"])}
+
+    params = {
+        "embedding": {"table": _np(sd["embed_tokens.weight"])},
+        "final_norm": gamma("norm"),
+    }
+    if not c.tie_embeddings:
+        params["lm_head"] = {"w": _np(model.state_dict()["lm_head.weight"]).T}
+    for i in range(c.num_layers):
+        p = f"layers.{i}"
+        a = f"{p}.self_attn"
+
+        def heads(name, h, rope=True):
+            w = _np(sd[f"{a}.{name}.weight"]).T.reshape(d, h, dk)
+            return w[..., perm] if rope else w
+
+        def hbias(name, h, rope=True):
+            b = _np(sd[f"{a}.{name}.bias"]).reshape(h, dk)
+            return b[:, perm] if rope else b
+
+        gu_w = _np(sd[f"{p}.mlp.experts.gate_up_proj"])      # [E, d, 2ff]
+        gu_b = _np(sd[f"{p}.mlp.experts.gate_up_proj_bias"])  # [E, 2ff]
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": heads("q_proj", hq), "bq": hbias("q_proj", hq),
+                "wk": heads("k_proj", hkv), "bk": hbias("k_proj", hkv),
+                "wv": heads("v_proj", hkv, rope=False),
+                "bv": hbias("v_proj", hkv, rope=False),
+                "wo": _np(sd[f"{a}.o_proj.weight"]).T.reshape(hq, dk, d),
+                "bo": _np(sd[f"{a}.o_proj.bias"]),
+                "sinks": _np(sd[f"{a}.sinks"]),
+            },
+            "norm1": gamma(f"{p}.input_layernorm"),
+            "norm2": gamma(f"{p}.post_attention_layernorm"),
+            "moe": {
+                "router": _np(sd[f"{p}.mlp.router.weight"]).T,
+                "router_b": _np(sd[f"{p}.mlp.router.bias"]),
+                "w_gate": gu_w[..., 0::2], "b_gate": gu_b[:, 0::2],
+                "w_up": gu_w[..., 1::2], "b_up": gu_b[:, 1::2],
+                "w_down": _np(sd[f"{p}.mlp.experts.down_proj"]),
+                "b_down": _np(sd[f"{p}.mlp.experts.down_proj_bias"]),
+            },
+        }
+    return cfg, params

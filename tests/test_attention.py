@@ -870,3 +870,49 @@ class TestLogitSoftcap:
         o_cap = ops.flash_attention(q, k, v, causal=True, softcap=0.5)
         o_flat = ops.flash_attention(q, k, v, causal=True)
         assert np.abs(np.asarray(o_cap) - np.asarray(o_flat)).max() > 1e-3
+
+
+class TestAttentionSinks:
+    """gpt-oss attention sinks: a learnable per-head no-value logit in
+    every row's softmax — runs as a post-kernel sigmoid(lse - sink)
+    rescale; the standard FA2 backward is exact against the
+    sink-inclusive lse, plus the dsinks reduction."""
+
+    @staticmethod
+    def _oracle(q, k, v, sinks, causal):
+        d = q.shape[-1]
+        g = q.shape[1] // k.shape[1]
+        kk, vv = jnp.repeat(k, g, 1), jnp.repeat(v, g, 1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kk) / jnp.sqrt(1.0 * d)
+        if causal:
+            sq = s.shape[-2]
+            s = jnp.where(jnp.tril(jnp.ones((sq, sq), bool)), s, -1e30)
+        comb = jnp.concatenate(
+            [s, jnp.broadcast_to(sinks[None, :, None, None],
+                                 (*s.shape[:-1], 1))], -1)
+        p = jax.nn.softmax(comb, -1)[..., :-1]
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vv)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_sinks_fwd_bwd_vs_autodiff_oracle(self, causal):
+        r = np.random.default_rng(81)
+        q = jnp.asarray(r.standard_normal((2, 4, 256, 64)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((2, 2, 256, 64)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((2, 2, 256, 64)), jnp.float32)
+        sinks = jnp.asarray(r.standard_normal(4), jnp.float32)
+        want = self._oracle(q, k, v, sinks, causal)
+        lf = lambda q, k, v, s: jnp.sum(jnp.sin(ops.flash_attention(
+            q, k, v, causal=causal, sinks=s)))
+        lo = lambda q, k, v, s: jnp.sum(jnp.sin(self._oracle(
+            q, k, v, s, causal)))
+        g_want = jax.grad(lo, (0, 1, 2, 3))(q, k, v, sinks)
+        for pallas in (False, True):
+            ctx = (dispatch.force_pallas(True, interpret=True) if pallas
+                   else dispatch.force_pallas(False))
+            with ctx:
+                got = ops.flash_attention(q, k, v, causal=causal,
+                                          sinks=sinks)
+                g_got = jax.grad(lf, (0, 1, 2, 3))(q, k, v, sinks)
+            assert_allclose(got, want, rtol=1e-5, atol=2e-5)
+            for a, w in zip(g_got, g_want):
+                assert_allclose(a, w, rtol=1e-4, atol=2e-4)

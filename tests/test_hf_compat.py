@@ -999,3 +999,71 @@ def test_qwen3_moe_serves_in_engine():
     for _ in range(5):
         got.append(eng.step()[0])
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def _tiny_gpt_oss(seed=71):
+    cfg = transformers.GptOssConfig(
+        vocab_size=89, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8, max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        rope_theta=10000.0, attention_bias=True,
+        layer_types=["sliding_attention", "full_attention"] * 2,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 16,
+                      "beta_fast": 32, "beta_slow": 1},
+        attn_implementation="eager")
+    torch.manual_seed(seed)
+    model = transformers.GptOssForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_gpt_oss_logits_match_torch():
+    """gpt-oss: attention sinks (post-kernel sigmoid(lse - sink) rescale),
+    alternating sliding/full attention, biased projections under the RoPE
+    permutation, YaRN, biased router with topk-then-softmax weights, and
+    clamped-GLU experts (interleaved gate/up deinterleaved)."""
+    model = _tiny_gpt_oss()
+    ours_cfg, params = hf_compat.import_gpt_oss(model)
+    assert (ours_cfg.attn_sinks and ours_cfg.window_pattern == 2
+            and ours_cfg.moe_router_weights == "topk_softmax"
+            and ours_cfg.ffn == "glu_clamp"
+            and ours_cfg.rope_scaling[0] == "yarn")
+    gpt = models.GPT(ours_cfg)
+    tokens = np.random.default_rng(72).integers(0, 89, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+
+def test_gpt_oss_decode_and_engine_match():
+    """Cached decode == full-forward argmax at every step (the forward is
+    HF-parity above; this tiny random model has near-tie argmax margins
+    down to ~1e-3, so cross-implementation token equality vs HF generate
+    is not a meaningful oracle), and the paged engine == generate."""
+    model = _tiny_gpt_oss(seed=73)
+    ours_cfg, params = hf_compat.import_gpt_oss(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(74).integers(0, 89, size=(1, 9))
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.generate(params, jnp.asarray(prompt, jnp.int32),
+                                      steps=8))[0]
+        cur = jnp.asarray(prompt, jnp.int32)
+        for t in range(8):
+            nxt = int(jnp.argmax(gpt.apply(params, cur)[0, -1]))
+            assert nxt == got[t], (t, nxt, got)
+            cur = jnp.concatenate([cur, jnp.full((1, 1), nxt, cur.dtype)],
+                                  axis=1)
+
+    from np_modeling_tpu.serving import GenerationEngine
+    want = np.asarray(gpt.generate(params, jnp.asarray(prompt, jnp.int32),
+                                   steps=8))[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(7):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), want)

@@ -284,3 +284,33 @@ class TestMultiTokenQueries:
                                       v_scales=vq.scales,
                                       pages_per_block=2)
         assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_paged_sinks_match_reference():
+    """gpt-oss sinks through the paged decode kernel: the sink joins the
+    denominator at _store (l + exp(sink - m)), per-row token-major."""
+    from np_modeling_tpu.ops import dispatch
+    import importlib
+    P = importlib.import_module("np_modeling_tpu.ops.paged_attention")
+    r = np.random.default_rng(91)
+    hkv, pages, psize, d = 2, 8, 4, 32
+    hq, b = 4, 3
+    k_pages = jnp.asarray(r.standard_normal((hkv, pages, psize, d)),
+                          jnp.float32)
+    v_pages = jnp.asarray(r.standard_normal((hkv, pages, psize, d)),
+                          jnp.float32)
+    table = jnp.asarray(r.permuted(np.arange(pages))[:6].reshape(3, 2)
+                        % pages, jnp.int32)
+    lengths = jnp.asarray([7, 3, 5], jnp.int32)
+    q = jnp.asarray(r.standard_normal((b, hq, d)), jnp.float32)
+    sinks = jnp.asarray(r.standard_normal(hq), jnp.float32)
+    want = P.paged_attention_reference(q, k_pages, v_pages, lengths, table,
+                                       sinks=sinks)
+    with dispatch.force_pallas(True, interpret=True):
+        got = P.paged_attention(q, k_pages, v_pages, lengths, table,
+                                sinks=sinks, pages_per_block=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
+    # And the sink actually changes the output.
+    base = P.paged_attention_reference(q, k_pages, v_pages, lengths, table)
+    assert np.abs(np.asarray(want) - np.asarray(base)).max() > 1e-3
