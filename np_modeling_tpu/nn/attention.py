@@ -239,9 +239,10 @@ class MultiHeadAttention(Module):
                 "attn_impl overrides (e.g. ring attention) take structural "
                 "masking at construction; explicit masks/biases are "
                 "unsupported")
-            assert self.attn_scale is None and self.attn_softcap is None, (
-                "attn_impl overrides bake their own score scale/softcap; "
-                "set them at the override's construction")
+            assert (self.attn_scale is None and self.attn_softcap is None
+                    and not self.attn_sinks), (
+                "attn_impl overrides bake their own score scale/softcap/"
+                "sinks; set them at the override's construction")
             o = self.attn_impl(q, k, v, segment_ids=segment_ids)
         else:
             o = ops.flash_attention(q, k, v, mask=mask, bias=bias,

@@ -405,7 +405,10 @@ class MoE(Module):
     def load_balancing_loss(self, params, x):
         """GShard aux loss: E * Σ_e mean(gate_e) * mean(route1_e)."""
         xt = x.reshape(-1, x.shape[-1])
-        gates = jax.nn.softmax(xt @ params["router"], axis=-1)
+        logits = xt @ params["router"]
+        if "router_b" in params:
+            logits = logits + params["router_b"]
+        gates = jax.nn.softmax(logits, axis=-1)
         top1 = jax.nn.one_hot(jnp.argmax(gates, axis=-1), self.num_experts)
         return self.num_experts * jnp.sum(
             jnp.mean(gates, axis=0) * jnp.mean(top1, axis=0))

@@ -186,13 +186,18 @@ class GenerationEngine:
         heads = P(None, None, self.tp_axis, None)
         kv = P(self.tp_axis)
         quant = "k_scales" in kwargs
+        sinks = kwargs.get("sinks")
         static = {k: v for k, v in kwargs.items()     # scale/softcap ride
-                  if k not in ("k_scales", "v_scales")}   # as Python floats
+                  if k not in ("k_scales", "v_scales",   # as Python floats
+                               "sinks")}
 
-        def island(q_, kp_, vp_, len_, tab_, *scales):
+        def island(q_, kp_, vp_, len_, tab_, *extra):
             kw = dict(static)
+            extra = list(extra)
             if quant:
-                kw.update(k_scales=scales[0], v_scales=scales[1])
+                kw.update(k_scales=extra.pop(0), v_scales=extra.pop(0))
+            if sinks is not None:
+                kw["sinks"] = extra.pop(0)   # per-shard q-head slice
             return ops.paged_attention(q_, kp_, vp_, len_, tab_,
                                        window=window, **kw)
 
@@ -200,6 +205,11 @@ class GenerationEngine:
         args = (q, k_pages, v_pages, lengths, table)
         if quant:
             args += (kwargs["k_scales"], kwargs["v_scales"])
+        if sinks is not None:
+            # [hq] sharded by head: shard j's g*hkv/tp q heads are exactly
+            # its kv-head block's groups (same contiguity argument as q).
+            in_specs = in_specs + (P(self.tp_axis),)
+            args = args + (sinks,)
         return jax.shard_map(island, mesh=self.mesh, in_specs=in_specs,
                              out_specs=heads, check_vma=False)(*args)
 

@@ -1400,55 +1400,33 @@ def import_gpt_oss(model, **config_overrides):
     cfg = llama_config(hc, **kw)
     c = cfg
 
-    sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
-    d = c.d_model
+    # llama_params handles the shared plumbing (embeddings, norms,
+    # RoPE-permuted q/k reshapes, wo, lm_head); gpt-oss adds the biases
+    # (same permutation), the sinks, and the fused-expert MoE tensors.
+    state_dict = model.state_dict()
+    params = llama_params(state_dict, cfg)
+    sd = {k.removeprefix("model."): v for k, v in state_dict.items()}
     hq = c.num_heads
     hkv = c.num_kv_heads or hq
-    dk = c.head_dim or d // hq
+    dk = c.head_dim or c.d_model // hq
     perm = _rope_perm(dk)
-
-    def gamma(prefix):
-        return {"gamma": _np(sd[f"{prefix}.weight"])}
-
-    params = {
-        "embedding": {"table": _np(sd["embed_tokens.weight"])},
-        "final_norm": gamma("norm"),
-    }
-    if not c.tie_embeddings:
-        params["lm_head"] = {"w": _np(model.state_dict()["lm_head.weight"]).T}
     for i in range(c.num_layers):
         p = f"layers.{i}"
         a = f"{p}.self_attn"
-
-        def heads(name, h, rope=True):
-            w = _np(sd[f"{a}.{name}.weight"]).T.reshape(d, h, dk)
-            return w[..., perm] if rope else w
-
-        def hbias(name, h, rope=True):
-            b = _np(sd[f"{a}.{name}.bias"]).reshape(h, dk)
-            return b[:, perm] if rope else b
-
+        ap = params[f"layer_{i}"]["self_attention"]
+        ap["bq"] = _np(sd[f"{a}.q_proj.bias"]).reshape(hq, dk)[:, perm]
+        ap["bk"] = _np(sd[f"{a}.k_proj.bias"]).reshape(hkv, dk)[:, perm]
+        ap["bv"] = _np(sd[f"{a}.v_proj.bias"]).reshape(hkv, dk)
+        ap["bo"] = _np(sd[f"{a}.o_proj.bias"])
+        ap["sinks"] = _np(sd[f"{a}.sinks"])
         gu_w = _np(sd[f"{p}.mlp.experts.gate_up_proj"])      # [E, d, 2ff]
         gu_b = _np(sd[f"{p}.mlp.experts.gate_up_proj_bias"])  # [E, 2ff]
-        params[f"layer_{i}"] = {
-            "self_attention": {
-                "wq": heads("q_proj", hq), "bq": hbias("q_proj", hq),
-                "wk": heads("k_proj", hkv), "bk": hbias("k_proj", hkv),
-                "wv": heads("v_proj", hkv, rope=False),
-                "bv": hbias("v_proj", hkv, rope=False),
-                "wo": _np(sd[f"{a}.o_proj.weight"]).T.reshape(hq, dk, d),
-                "bo": _np(sd[f"{a}.o_proj.bias"]),
-                "sinks": _np(sd[f"{a}.sinks"]),
-            },
-            "norm1": gamma(f"{p}.input_layernorm"),
-            "norm2": gamma(f"{p}.post_attention_layernorm"),
-            "moe": {
-                "router": _np(sd[f"{p}.mlp.router.weight"]).T,
-                "router_b": _np(sd[f"{p}.mlp.router.bias"]),
-                "w_gate": gu_w[..., 0::2], "b_gate": gu_b[:, 0::2],
-                "w_up": gu_w[..., 1::2], "b_up": gu_b[:, 1::2],
-                "w_down": _np(sd[f"{p}.mlp.experts.down_proj"]),
-                "b_down": _np(sd[f"{p}.mlp.experts.down_proj_bias"]),
-            },
+        params[f"layer_{i}"]["moe"] = {
+            "router": _np(sd[f"{p}.mlp.router.weight"]).T,
+            "router_b": _np(sd[f"{p}.mlp.router.bias"]),
+            "w_gate": gu_w[..., 0::2], "b_gate": gu_b[:, 0::2],
+            "w_up": gu_w[..., 1::2], "b_up": gu_b[:, 1::2],
+            "w_down": _np(sd[f"{p}.mlp.experts.down_proj"]),
+            "b_down": _np(sd[f"{p}.mlp.experts.down_proj_bias"]),
         }
     return cfg, params

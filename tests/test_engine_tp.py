@@ -150,3 +150,24 @@ def test_tp_requires_chunked_prefill():
     with pytest.raises(AssertionError, match="chunked prefill"):
         GenerationEngine(gpt, params, total_pages=16, page_size=4,
                          prefill_chunk_size=None, mesh=_mesh(2))
+
+
+def test_tp_engine_attention_sinks():
+    """gpt-oss-style sinks through the TP island: the [hq] sinks array is
+    SHARDED by head alongside q (a closed-over full-size array would
+    reshape-crash inside the per-shard paged_attention call)."""
+    gpt, params = _gpt(num_heads=8, num_kv_heads=2, attn_sinks=True,
+                       norm="rms", ffn="swiglu", use_bias=False,
+                       positional="rope", tie_embeddings=False)
+    # Nonzero sinks so the rescale actually bites.
+    for i in range(gpt.config.num_layers):
+        params[f"layer_{i}"]["self_attention"]["sinks"] = jnp.asarray(
+            rng.standard_normal(8), jnp.float32)
+    prompts = [jnp.asarray(rng.integers(0, 97, (n,))) for n in (6, 9)]
+    base = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                            max_seqs=4, prefill_chunk_size=4)
+    want = _decode(base, prompts, steps=6)
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           max_seqs=4, prefill_chunk_size=4, mesh=_mesh(2))
+    got = _decode(eng, prompts, steps=6)
+    np.testing.assert_array_equal(got, want)

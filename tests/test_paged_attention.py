@@ -314,3 +314,32 @@ def test_paged_sinks_match_reference():
     # And the sink actually changes the output.
     base = P.paged_attention_reference(q, k_pages, v_pages, lengths, table)
     assert np.abs(np.asarray(want) - np.asarray(base)).max() > 1e-3
+
+
+def test_paged_sinks_multi_token_queries():
+    """4-D (multi-token) q with sinks: exercises the token-major rows_sink
+    fold (row t*g + j -> head h*g + j), which a single-token query cannot
+    distinguish from a g-major layout — this is the layout speculative
+    verify and chunked prefill ride."""
+    from np_modeling_tpu.ops import dispatch
+    import importlib
+    P = importlib.import_module("np_modeling_tpu.ops.paged_attention")
+    r = np.random.default_rng(92)
+    hkv, pages, psize, d = 2, 8, 4, 32
+    hq, b, t = 4, 2, 3
+    k_pages = jnp.asarray(r.standard_normal((hkv, pages, psize, d)),
+                          jnp.float32)
+    v_pages = jnp.asarray(r.standard_normal((hkv, pages, psize, d)),
+                          jnp.float32)
+    table = jnp.asarray(np.arange(b * 3).reshape(b, 3) % pages, jnp.int32)
+    lengths = jnp.asarray([9, 6], jnp.int32)     # includes the t new slots
+    q = jnp.asarray(r.standard_normal((b, t, hq, d)), jnp.float32)
+    # DISTINCT per-head sinks so a head<->group transpose cannot cancel.
+    sinks = jnp.asarray(np.array([3.0, -2.0, 0.5, 5.0]), jnp.float32)
+    want = P.paged_attention_reference(q, k_pages, v_pages, lengths, table,
+                                       sinks=sinks)
+    with dispatch.force_pallas(True, interpret=True):
+        got = P.paged_attention(q, k_pages, v_pages, lengths, table,
+                                sinks=sinks, pages_per_block=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
