@@ -48,6 +48,9 @@ class GPTConfig:
     moe_routed_scaling: float = 1.0       # DeepSeek routed_scaling_factor
     moe_shared_units: int = 0     # DeepSeek always-on shared experts width
     moe_router_groups: tuple | None = None   # (n_group, topk_group)
+    moe_router_score: str = "softmax"     # "sigmoid" = DeepSeek-V3 scoring
+    moe_router_select_bias: bool = False  # DeepSeek-V3 noaux-tc bias
+    moe_group_metric: str = "max"         # "top2sum" = DeepSeek-V3 groups
     moe_hidden_units: int | None = None   # expert width != dense FFN width
     moe_first_dense: int = 0      # DeepSeek first_k_dense_replace: layers
                                   # i < this keep a DENSE FFN
@@ -130,6 +133,9 @@ class GPT(Module):
                 moe_shared_units=c.moe_shared_units,
                 moe_hidden_units=c.moe_hidden_units,
                 moe_router_groups=c.moe_router_groups,
+                moe_router_score=c.moe_router_score,
+                moe_router_select_bias=c.moe_router_select_bias,
+                moe_group_metric=c.moe_group_metric,
                 rope=(c.positional == "rope"),
                 window=window, activation=c.activation,
                 ln_eps=c.ln_eps, norm=c.norm, ffn=c.ffn, use_bias=c.use_bias,

@@ -71,13 +71,26 @@ class MoE(Module):
                                   # (gpt-oss: top-k over the raw LOGITS,
                                   # then softmax over the kept k values)
     router_bias: bool = False     # router linear carries a bias (gpt-oss)
+    router_score: str = "softmax" # expert scores from the router logits:
+                                  # "softmax" | "sigmoid" (DeepSeek-V3)
+    router_select_bias: bool = False  # DeepSeek-V3 noaux-tc: a per-expert
+                                  # bias ("e_score_correction_bias") added
+                                  # to the scores for SELECTION only —
+                                  # combine weights still come from the
+                                  # unbiased scores. (In DeepSeek's aux-
+                                  # free balancing this bias is adjusted
+                                  # online, not by gradient.)
     routed_scaling: float = 1.0   # multiply combine weights (DeepSeek
                                   # routed_scaling_factor)
     router_groups: object = None  # (n_group, topk_group): DeepSeek
                                   # group-limited routing — experts are
                                   # split into n_group equal groups, only
                                   # the topk_group groups with the highest
-                                  # per-group max score stay eligible
+                                  # per-group score stay eligible
+    router_group_metric: str = "max"  # per-group score: "max" (DeepSeek-V2
+                                  # group_limited_greedy) | "top2sum"
+                                  # (DeepSeek-V3: sum of the top-2 biased
+                                  # scores in the group)
     shared_experts_units: int = 0 # >0: an ALWAYS-ON gated FFN of this many
                                   # hidden units added to the routed output
                                   # (DeepSeek shared experts; gated ffn only)
@@ -94,6 +107,12 @@ class MoE(Module):
         assert self.router_top_k >= 1
         assert self.router_weights in ("default", "softmax",
                                        "softmax_norm", "topk_softmax")
+        assert self.router_score in ("softmax", "sigmoid")
+        assert self.router_group_metric in ("max", "top2sum")
+        if self.router_score == "sigmoid":
+            assert self.router_weights in ("softmax", "softmax_norm"), (
+                "sigmoid scoring takes raw ('softmax') or renormalized "
+                "('softmax_norm') kept weights")
         if self.router_weights == "default":
             assert self.router_top_k in (1, 2), (
                 "k > 2 needs an explicit weight rule: router_weights="
@@ -117,6 +136,8 @@ class MoE(Module):
             }
             if self.router_bias:
                 params["router_b"] = jnp.zeros((e,))
+            if self.router_select_bias:
+                params["router_sb"] = jnp.zeros((e,))
             if self.ffn == "glu_clamp":      # gpt-oss: biased experts
                 params["b_gate"] = jnp.zeros((e, ff))
                 params["b_up"] = jnp.zeros((e, ff))
@@ -130,13 +151,16 @@ class MoE(Module):
                     "w_down": self.kernel_init(sk[2], (sf, d)),
                 }
             return params
-        return {
+        params = {
             "router": self.kernel_init(ks[0], (d, e)),
             "w1": self.kernel_init(ks[1], (e, d, ff)),
             "b1": jnp.zeros((e, ff)),
             "w2": self.kernel_init(ks[2], (e, ff, d)),
             "b2": jnp.zeros((e, d)),
         }
+        if self.router_select_bias:
+            params["router_sb"] = jnp.zeros((e,))
+        return params
 
     def _expert_param_names(self):
         return (("w_gate", "w_up", "w_down") if self.ffn != "mlp"
@@ -178,7 +202,8 @@ class MoE(Module):
         logits = xt @ params["router"]              # [T, E]
         if "router_b" in params:
             logits = logits + params["router_b"]
-        gates = jax.nn.softmax(logits, axis=-1)
+        gates = (jax.nn.sigmoid(logits) if self.router_score == "sigmoid"
+                 else jax.nn.softmax(logits, axis=-1))
         if self.router_weights == "topk_softmax":
             # gpt-oss: top-k over the raw logits, softmax over the kept k.
             g, i = jax.lax.top_k(logits, self.router_top_k)
@@ -186,19 +211,28 @@ class MoE(Module):
             if self.routed_scaling != 1.0:
                 w = w * self.routed_scaling
             return gates, i, w
-        pool = gates
+        # Selection pool: scores plus the DeepSeek-V3 correction bias
+        # (bias steers WHICH experts win; combine weights stay unbiased).
+        pool = (gates + params["router_sb"] if "router_sb" in params
+                else gates)
         if self.router_groups is not None:
             n_group, topk_group = self.router_groups
             e = self.num_experts
             assert e % n_group == 0
-            gg = gates.reshape(-1, n_group, e // n_group)
-            group_best = jnp.max(gg, axis=-1)                  # [T, G]
+            gg = pool.reshape(-1, n_group, e // n_group)
+            if self.router_group_metric == "top2sum":   # DeepSeek-V3
+                group_best = jnp.sum(jax.lax.top_k(gg, 2)[0], axis=-1)
+            else:
+                group_best = jnp.max(gg, axis=-1)              # [T, G]
             _, gi = jax.lax.top_k(group_best, topk_group)
             keep_g = jnp.sum(jax.nn.one_hot(gi, n_group), axis=1)  # [T, G]
             # Ineligible groups' scores -> 0 (HF masked_fill semantics);
             # the top-k below then never selects them.
             pool = (gg * keep_g[:, :, None]).reshape(-1, e)
         g, i = jax.lax.top_k(pool, self.router_top_k)
+        if "router_sb" in params:
+            # The kept weights are the UNBIASED scores of the winners.
+            g = jnp.take_along_axis(gates, i, axis=1)
         if self.router_weights == "softmax":
             w = g                                   # raw gates (DeepSeek)
         elif self.router_weights == "softmax_norm":

@@ -43,6 +43,9 @@ class TransformerEncoderBlock(Module):
     moe_routed_scaling: float = 1.0
     moe_shared_units: int = 0       # DeepSeek always-on shared experts
     moe_router_groups: object = None  # (n_group, topk_group) group-limited
+    moe_router_score: str = "softmax"  # "softmax" | "sigmoid" (DeepSeek-V3)
+    moe_router_select_bias: bool = False  # DeepSeek-V3 noaux-tc bias
+    moe_group_metric: str = "max"   # "max" | "top2sum" (DeepSeek-V3)
     moe_hidden_units: Optional[int] = None  # expert FFN width (DeepSeek's
                                     # moe_intermediate_size differs from
                                     # the dense layers' intermediate_size)
@@ -136,7 +139,10 @@ class TransformerEncoderBlock(Module):
                            routed_scaling=self.moe_routed_scaling,
                            shared_experts_units=self.moe_shared_units,
                            router_groups=self.moe_router_groups,
-                           router_bias=self.moe_router_bias)
+                           router_bias=self.moe_router_bias,
+                           router_score=self.moe_router_score,
+                           router_select_bias=self.moe_router_select_bias,
+                           router_group_metric=self.moe_group_metric)
         elif self.ffn == "mlp":
             self.dense1 = Dense(self.hidden_units, dtype=self.dtype,
                                 activation=self.activation,

@@ -1132,8 +1132,11 @@ def import_deepseek_v2(model, **config_overrides):
         )
     kw.update(config_overrides)
     cfg = llama_config(hc, **kw)
-    c = cfg
+    return cfg, _deepseek_params(model, cfg, moe)
 
+
+def _deepseek_params(model, c, moe):
+    """Shared DeepSeek-V2/V3 state-dict mapping (MLA + MoE layers)."""
     sd = {k.removeprefix("model."): v for k, v in model.state_dict().items()}
     hq = c.num_heads
     m = c.mla
@@ -1181,6 +1184,9 @@ def import_deepseek_v2(model, **config_overrides):
         if moe and i >= c.moe_first_dense:
             moe_p = {
                 "router": _np(sd[f"{p}.mlp.gate.weight"]).T,   # [d, E]
+                **({"router_sb": _np(
+                        sd[f"{p}.mlp.gate.e_score_correction_bias"])}
+                   if c.moe_router_select_bias else {}),
                 "w_gate": np.stack([
                     _np(sd[f"{p}.mlp.experts.{e}.gate_proj.weight"]).T
                     for e in range(c.moe_experts)]),
@@ -1197,7 +1203,58 @@ def import_deepseek_v2(model, **config_overrides):
         else:
             lp["swiglu"] = swiglu(f"{p}.mlp")
         params[f"layer_{i}"] = lp
-    return cfg, params
+    return params
+
+
+def import_deepseek_v3(model, **config_overrides):
+    """``transformers.DeepseekV3ForCausalLM`` -> (GPTConfig, params).
+
+    DeepSeek-V3/R1 architecture = the V2 body (MLA latent attention,
+    shared experts, first-k-dense) with the noaux-tc router: SIGMOID
+    expert scores, a per-expert selection-only correction bias
+    (``e_score_correction_bias`` — DeepSeek's aux-free load balancing
+    adjusts it online instead of a gradient aux loss), group-limited
+    routing scored by the SUM OF THE TOP-2 biased scores per group, and
+    renormalized kept weights (``norm_topk_prob``) times
+    ``routed_scaling_factor``. Maps onto ``moe_router_score="sigmoid"``,
+    ``moe_router_select_bias=True``, ``moe_group_metric="top2sum"``,
+    ``moe_router_weights="softmax_norm"``. No-drop dispatch: exact.
+
+    HF reference: DeepseekV3TopkRouter.get_topk_indices/forward
+    (transformers 4.57). Only ``rope_interleave=True`` checkpoints (the
+    published ones) are supported — that is exactly our apply_rope
+    pairing, so q_pe/k_pe import with no feature permutation."""
+    hc = model.config
+    assert not getattr(hc, "attention_bias", False)
+    assert getattr(hc, "rope_interleave", True), (
+        "rope_interleave=False would need the LLaMA half-split feature "
+        "permutation on q_pe/k_pe")
+    kw = dict(
+        ffn="swiglu",
+        tie_embeddings=bool(hc.tie_word_embeddings),
+        mla=dict(kv_lora_rank=hc.kv_lora_rank,
+                 q_lora_rank=hc.q_lora_rank,
+                 qk_nope_head_dim=hc.qk_nope_head_dim,
+                 qk_rope_head_dim=hc.qk_rope_head_dim,
+                 v_head_dim=hc.v_head_dim),
+        moe_experts=hc.n_routed_experts,
+        moe_top_k=hc.num_experts_per_tok,
+        moe_capacity_factor=None,            # exact no-drop routing
+        moe_router_weights=("softmax_norm" if hc.norm_topk_prob
+                            else "softmax"),
+        moe_router_score="sigmoid",
+        moe_router_select_bias=True,
+        moe_group_metric="top2sum",
+        moe_routed_scaling=float(hc.routed_scaling_factor),
+        moe_shared_units=(hc.moe_intermediate_size
+                          * (hc.n_shared_experts or 0)),
+        moe_hidden_units=hc.moe_intermediate_size,
+        moe_first_dense=hc.first_k_dense_replace,
+        moe_router_groups=(hc.n_group, hc.topk_group),
+    )
+    kw.update(config_overrides)
+    cfg = llama_config(hc, **kw)
+    return cfg, _deepseek_params(model, cfg, moe=True)
 
 
 # ---- Whisper (speech-to-text encoder-decoder — the first audio family) ---

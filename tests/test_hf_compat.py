@@ -939,6 +939,82 @@ def test_deepseek_v2_group_limited_routing_matches_torch():
     np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
 
 
+def _tiny_deepseek_v3(seed=71):
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=95, hidden_size=32, intermediate_size=48,
+        moe_intermediate_size=16, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4, kv_lora_rank=16,
+        q_lora_rank=24, qk_rope_head_dim=4, qk_nope_head_dim=8,
+        v_head_dim=8, max_position_embeddings=64, rms_norm_eps=1e-6,
+        attention_dropout=0.0, attention_bias=False,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        n_routed_experts=8, num_experts_per_tok=3, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=4, topk_group=2,
+        routed_scaling_factor=2.5, norm_topk_prob=True)
+    torch.manual_seed(seed)
+    model = transformers.DeepseekV3ForCausalLM(cfg)
+    # The correction bias ships as a zeros buffer on a fresh model; real
+    # checkpoints carry learned-online values. Randomize it so the test
+    # actually exercises biased-selection-vs-unbiased-weights semantics.
+    with torch.no_grad():
+        for i in range(1, cfg.num_hidden_layers):
+            model.model.layers[i].mlp.gate.e_score_correction_bias.copy_(
+                torch.randn(cfg.n_routed_experts) * 0.5)
+    model.eval()
+    return model
+
+
+def test_deepseek_v3_logits_match_torch():
+    """DeepSeek-V3/R1 noaux-tc router: sigmoid scores, selection-only
+    correction bias, groups kept by the top-2-sum of biased scores,
+    renormalized kept weights x routed_scaling — on the V2 MLA body."""
+    model = _tiny_deepseek_v3()
+    ours_cfg, params = hf_compat.import_deepseek_v3(model)
+    assert (ours_cfg.moe_router_score == "sigmoid"
+            and ours_cfg.moe_router_select_bias
+            and ours_cfg.moe_group_metric == "top2sum"
+            and ours_cfg.moe_router_weights == "softmax_norm"
+            and ours_cfg.moe_router_groups == (4, 2)
+            and ours_cfg.moe_routed_scaling == 2.5)
+    assert params["layer_1"]["moe"]["router_sb"].shape == (8,)
+    gpt = models.GPT(ours_cfg)
+    tokens = np.random.default_rng(72).integers(0, 95, size=(2, 13))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=7e-4, atol=7e-4)
+
+    # The bias must matter: zeroing it changes routing, hence logits.
+    for i in range(1, ours_cfg.num_layers):
+        params[f"layer_{i}"]["moe"]["router_sb"] = np.zeros(8, np.float32)
+    unbiased = np.asarray(gpt.apply(params, jnp.asarray(tokens, jnp.int32)))
+    assert np.abs(unbiased - want).max() > 1e-4
+
+
+def test_deepseek_v3_decode_and_engine_match():
+    """Absorbed latent-cache decode and paged MLA serving both reproduce
+    HF generate for the V3 router."""
+    from np_modeling_tpu.serving import GenerationEngine
+    model = _tiny_deepseek_v3(seed=73)
+    ours_cfg, params = hf_compat.import_deepseek_v3(model)
+    gpt = models.GPT(ours_cfg)
+    prompt = np.random.default_rng(74).integers(0, 95, size=(1, 9))
+    with torch.no_grad():
+        want = model.generate(torch.from_numpy(prompt), max_new_tokens=6,
+                              do_sample=False).numpy()[0, 9:]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(gpt.generate(params, jnp.asarray(prompt, jnp.int32),
+                                      steps=6))[0]
+    np.testing.assert_array_equal(got, want)
+
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=8)
+    toks = [eng.add_request(0, prompt[0])]
+    for _ in range(5):
+        toks.append(eng.step()[0])
+    np.testing.assert_array_equal(np.asarray(toks), want)
+
+
 def test_qwen3_moe_logits_and_decode_match_torch():
     """Qwen3-MoE: QK-norm attention + Mixtral-layout experts with
     RENORMALIZED top-k weights (norm_topk_prob -> softmax_norm)."""
