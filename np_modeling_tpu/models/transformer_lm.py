@@ -221,7 +221,8 @@ class GPT(Module):
     def apply(self, params, tokens, training=False, rngs=None,
               caches=None, decode=False, positions=None, collect_kv=False,
               collect_aux=False, segment_ids=None, return_hidden=False,
-              logits_last_only=False, logits_dtype=None):
+              logits_last_only=False, logits_dtype=None,
+              inputs_embeds=None):
         """``segment_ids`` [b, s]: packed-sequence training — documents in
         the batch cannot attend across segment boundaries (masked inside
         the flash kernels). Pass per-document ``positions`` as well if
@@ -230,13 +231,23 @@ class GPT(Module):
         of logits (the fused-loss path computes CE without materializing
         them). ``logits_last_only=True`` computes the LM head only for the
         final position (decode prefill needs just the next-token logits —
-        skips a [b, s, vocab] materialization)."""
+        skips a [b, s, vocab] materialization).
+        ``inputs_embeds`` [b, s, d] replaces the token-embedding lookup
+        (``tokens`` may be None) — multimodal models (LLaVA) splice
+        projected image features into the embedding sequence and run the
+        LM on the result (HF ``inputs_embeds`` surface)."""
         c = self.config
-        x = self.embed.apply(params["embedding"], tokens)
-        if c.embed_scale:
-            # Scale the TOKEN embedding only (Gemma / original-Transformer
-            # semantics) — positions add unscaled.
-            x = x * jnp.asarray(c.d_model ** 0.5, x.dtype)
+        if inputs_embeds is not None:
+            assert not c.embed_scale, (
+                "inputs_embeds bypasses the token embedding; the caller "
+                "must pre-scale (embed_scale models)")
+            x = inputs_embeds
+        else:
+            x = self.embed.apply(params["embedding"], tokens)
+            if c.embed_scale:
+                # Scale the TOKEN embedding only (Gemma / original-
+                # Transformer semantics) — positions add unscaled.
+                x = x * jnp.asarray(c.d_model ** 0.5, x.dtype)
         if c.positional == "learned":
             if positions is None:
                 if decode:
@@ -246,7 +257,7 @@ class GPT(Module):
                         start = start[:, None]
                 else:
                     start = 0
-                positions = start + jnp.arange(tokens.shape[-1])
+                positions = start + jnp.arange(x.shape[-2])
             x = x + self.pos_embed.apply(params["pos_embedding"], positions)
         if c.dtype is not None:
             x = x.astype(c.dtype)
@@ -426,15 +437,22 @@ class GPT(Module):
 
     def generate(self, params, prompt_tokens, steps: int, key=None,
                  temperature: float = 0.0, top_k: int | None = None,
-                 top_p: float | None = None):
+                 top_p: float | None = None, prompt_embeds=None):
         """Autoregressive decode with KV caches (jittable scan).
 
         ``temperature=0`` (or no key) is greedy; otherwise samples with
-        optional top-k and/or nucleus (top-p) filtering, all in-graph."""
-        b, plen = prompt_tokens.shape
+        optional top-k and/or nucleus (top-p) filtering, all in-graph.
+        ``prompt_embeds`` [b, plen, d]: prefill from embeddings instead of
+        ``prompt_tokens`` (multimodal prompts with spliced image
+        features); subsequent steps decode sampled TOKENS as usual."""
+        if prompt_embeds is not None:
+            b, plen = prompt_embeds.shape[:2]
+        else:
+            b, plen = prompt_tokens.shape
         caches = self.init_cache(b, plen + steps)
         logits, caches = self.apply(params, prompt_tokens, caches=caches,
-                                    decode=True, logits_last_only=True)
+                                    decode=True, logits_last_only=True,
+                                    inputs_embeds=prompt_embeds)
         next_tok = self._sample(logits[:, -1], key, temperature, 0,
                                 top_k, top_p)
 

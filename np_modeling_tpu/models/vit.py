@@ -37,9 +37,15 @@ class ViTConfig:
     hidden_units: int = 3072
     num_classes: int = 1000
     drop_rate: float = 0.0
-    activation: object = "gelu_exact"   # HF ViT hidden_act="gelu" (erf)
+    activation: object = "gelu_exact"   # HF ViT hidden_act="gelu" (erf);
+                                        # CLIP towers use "quick_gelu"
     ln_eps: float = 1e-12
     pooler: bool = False                # ViTModel-style tanh pooler head
+    pre_norm: bool = False              # CLIP: LayerNorm between the
+                                        # embeddings and the encoder
+                                        # (HF CLIPVisionTransformer
+                                        # ``pre_layrnorm`` [sic])
+    patch_bias: bool = True             # CLIP's patch conv has no bias
 
     @property
     def num_patches(self) -> int:
@@ -65,7 +71,7 @@ class ViT(Module):
 
     def __post_init__(self):
         c = self.config
-        self.patch_proj = Linear(c.d_model)
+        self.patch_proj = Linear(c.d_model, use_bias=c.patch_bias)
         self.block = TransformerEncoderBlock(
             c.num_heads, c.hidden_units, norm_first=True,
             drop_rate=c.drop_rate, activation=c.activation, ln_eps=c.ln_eps)
@@ -87,6 +93,9 @@ class ViT(Module):
             "pos_embedding": 0.02 * jax.random.normal(
                 ks[1], (1, c.num_patches + 1, c.d_model), jnp.float32),
         }
+        if c.pre_norm:
+            params["pre_norm"] = self.final_norm.init(
+                jax.random.fold_in(key, 777), x)
         for i in range(c.num_layers):
             params[f"layer_{i}"] = self.block.init(ks[2 + i], x)
         params["final_norm"] = self.final_norm.init(ks[-2], x)
@@ -97,19 +106,30 @@ class ViT(Module):
                 jax.random.fold_in(key, 888), cls)
         return params
 
-    def encode(self, params, images, training=False, rngs=None):
+    def encode(self, params, images, training=False, rngs=None,
+               upto_layer=None):
         """[b, H, W, C] -> [b, 1 + n_patches, d_model] (final-LN applied;
-        index 0 is the [CLS] state)."""
+        index 0 is the [CLS] state).
+
+        ``upto_layer=k`` runs only the first k encoder blocks and returns
+        the RAW hidden states (no final norm) — HF's
+        ``hidden_states[k]`` feature-extraction surface; LLaVA reads its
+        CLIP tower at ``vision_feature_layer=-2`` = num_layers - 1."""
         c = self.config
         x = self.patch_proj.apply(params["patch_proj"],
                                   patchify(images, c.patch_size))
         cls = jnp.broadcast_to(params["cls_token"],
                                (x.shape[0], 1, c.d_model))
         x = jnp.concatenate([cls, x], axis=1) + params["pos_embedding"]
+        if c.pre_norm:
+            x = self.final_norm.apply(params["pre_norm"], x)
         x = self.drop.apply({}, x, training, rngs, salt=1000)
-        for i in range(c.num_layers):
+        for i in range(upto_layer if upto_layer is not None
+                       else c.num_layers):
             x = self.block.apply(params[f"layer_{i}"], x, training=training,
                                  rngs=split_rngs(rngs, i))
+        if upto_layer is not None:
+            return x
         return self.final_norm.apply(params["final_norm"], x)
 
     def apply(self, params, images, training=False, rngs=None):

@@ -9,8 +9,8 @@ reference, see /root/reference/README.md:11 and SURVEY.md §4).
 from np_modeling_tpu.ops import dispatch
 from np_modeling_tpu.ops.activations import (ACTIVATIONS, gelu,
                                               gelu_exact,
-                                             get_activation, relu, silu,
-                                             softmax)
+                                             get_activation, quick_gelu,
+                                             relu, silu, softmax)
 from np_modeling_tpu.ops.attention import (DEFAULT_MASK_VALUE,
                                            attention_reference,
                                            flash_attention)
@@ -56,6 +56,7 @@ __all__ = [
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
     "quantize_params_int4", "quantize_params_int8", "dequantize_params",
     "kl_divergence_from_logits",
-    "relu", "rms_norm", "silu", "softmax", "softmax_cross_entropy",
+    "quick_gelu", "relu", "rms_norm", "silu", "softmax",
+    "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
 ]

@@ -140,12 +140,32 @@ def _silu_bwd(x, dy):
 silu.defvjp(_silu_fwd, _silu_bwd)
 
 
+@jax.custom_vjp
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — CLIP's sigmoid GELU approximation (HF
+    ``hidden_act="quick_gelu"``; the LLaVA vision tower uses it)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _quick_gelu_fwd(x):
+    return x * jax.nn.sigmoid(1.702 * x), x
+
+
+def _quick_gelu_bwd(x, dy):
+    s = jax.nn.sigmoid(1.702 * x)
+    return (dy * (s * (1.0 + 1.702 * x * (1.0 - s))),)
+
+
+quick_gelu.defvjp(_quick_gelu_fwd, _quick_gelu_bwd)
+
+
 ACTIVATIONS = {
     "relu": relu,
     "softmax": softmax,
     "gelu": gelu,
     "gelu_exact": gelu_exact,
     "silu": silu,
+    "quick_gelu": quick_gelu,
     "linear": lambda x: x,
     None: lambda x: x,
 }

@@ -991,6 +991,134 @@ def import_vit(model, **config_overrides):
     return cfg, vit_params(sd, cfg)
 
 
+def clip_vision_config(hf_config, **overrides):
+    """``transformers.CLIPVisionConfig`` -> :class:`models.ViTConfig`.
+
+    CLIP towers are ViTs with a pre-encoder LayerNorm, a biasless patch
+    conv, and quick-gelu MLPs."""
+    from np_modeling_tpu.models.vit import ViTConfig
+    act = {"gelu": "gelu_exact", "quick_gelu": "quick_gelu",
+           "gelu_new": "gelu"}[hf_config.hidden_act]
+    kw = dict(
+        image_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        num_channels=hf_config.num_channels,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        activation=act,
+        ln_eps=hf_config.layer_norm_eps,
+        pre_norm=True,
+        patch_bias=False,
+        num_classes=1,      # no classification head in a tower
+    )
+    kw.update(overrides)
+    return ViTConfig(**kw)
+
+
+def clip_vision_params(sd, config) -> dict:
+    """CLIPVisionModel state dict (``vision_model.`` prefix stripped) ->
+    :class:`models.ViT` params. Same conv-to-matmul patch re-layout as
+    :func:`vit_params`."""
+    d, h = config.d_model, config.num_heads
+    dk = d // h
+
+    def lin(prefix):
+        return {"w": _np(sd[f"{prefix}.weight"]).T,
+                "b": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    conv_w = _np(sd["embeddings.patch_embedding.weight"])  # [d, c, p, p]
+    params = {
+        "cls_token": _np(sd["embeddings.class_embedding"]).reshape(1, 1, d),
+        "pos_embedding": _np(
+            sd["embeddings.position_embedding.weight"])[None],
+        "patch_proj": {"w": conv_w.transpose(2, 3, 1, 0).reshape(-1, d)},
+        "pre_norm": ln("pre_layrnorm"),          # [sic] HF's spelling
+        "final_norm": ln("post_layernorm"),
+    }
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}"
+        a = f"{pre}.self_attn"
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": _np(sd[f"{a}.q_proj.weight"]).T.reshape(d, h, dk),
+                "bq": _np(sd[f"{a}.q_proj.bias"]).reshape(h, dk),
+                "wk": _np(sd[f"{a}.k_proj.weight"]).T.reshape(d, h, dk),
+                "bk": _np(sd[f"{a}.k_proj.bias"]).reshape(h, dk),
+                "wv": _np(sd[f"{a}.v_proj.weight"]).T.reshape(d, h, dk),
+                "bv": _np(sd[f"{a}.v_proj.bias"]).reshape(h, dk),
+                "wo": _np(sd[f"{a}.out_proj.weight"]).T.reshape(h, dk, d),
+                "bo": _np(sd[f"{a}.out_proj.bias"]),
+            },
+            "norm1": ln(f"{pre}.layer_norm1"),
+            "norm2": ln(f"{pre}.layer_norm2"),
+            "dense1": {"linear": lin(f"{pre}.mlp.fc1")},
+            "dense2": lin(f"{pre}.mlp.fc2"),
+        }
+    return params
+
+
+def import_llava(model, **config_overrides):
+    """``transformers.LlavaForConditionalGeneration`` ->
+    (LLaVAConfig, params) for :class:`models.LLaVA`.
+
+    First multimodal family: CLIP vision tower (read at
+    ``vision_feature_layer``, [CLS] dropped under the "default" select
+    strategy) -> 2-layer gelu projector -> features spliced at
+    ``image_token_index`` placeholders -> LLaMA-architecture LM.
+
+    NOTE on inputs: HF takes NCHW ``pixel_values``; our ViT takes NHWC —
+    transpose with ``pixel_values.transpose(0, 2, 3, 1)``. Config
+    overrides prefixed ``text_``/``vision_`` are routed to the LM /
+    tower configs (e.g. ``text_dtype=jnp.bfloat16``)."""
+    from np_modeling_tpu.models.multimodal import LLaVAConfig
+    hc = model.config
+    act = {"gelu": "gelu_exact", "gelu_new": "gelu",
+           "quick_gelu": "quick_gelu"}[hc.projector_hidden_act]
+    text_over = {k[5:]: config_overrides.pop(k)
+                 for k in list(config_overrides) if k.startswith("text_")}
+    vis_over = {k[7:]: config_overrides.pop(k)
+                for k in list(config_overrides) if k.startswith("vision_")}
+    vcfg = clip_vision_config(hc.vision_config, **vis_over)
+    tcfg = llama_config(hc.text_config, **text_over)
+    cfg = LLaVAConfig(
+        vision=vcfg, text=tcfg, image_token=hc.image_token_index,
+        vision_feature_layer=hc.vision_feature_layer,
+        vision_select=hc.vision_feature_select_strategy,
+        projector_act=act,
+        projector_bias=hc.multimodal_projector_bias,
+        **config_overrides)
+
+    sd = model.state_dict()
+    vis_sd = {k.removeprefix("model.vision_tower.vision_model."): v
+              for k, v in sd.items()
+              if k.startswith("model.vision_tower.")}
+    lm_sd = {k.removeprefix("model.language_model."): v
+             for k, v in sd.items()
+             if k.startswith("model.language_model.")}
+    if "lm_head.weight" in sd:
+        lm_sd["lm_head.weight"] = sd["lm_head.weight"]
+
+    def plin(name):
+        p = {"w": _np(sd[f"model.multi_modal_projector.{name}.weight"]).T}
+        if cfg.projector_bias:
+            p["b"] = _np(sd[f"model.multi_modal_projector.{name}.bias"])
+        return p
+
+    params = {
+        "vision": clip_vision_params(vis_sd, vcfg),
+        "projector": {"linear_1": plin("linear_1"),
+                      "linear_2": plin("linear_2")},
+        "lm": llama_params(lm_sd, tcfg),
+    }
+    return cfg, params
+
+
 # ---- Gemma 2 (softcapped, sandwich-norm, alternating-window family) ------
 
 def import_gemma2(model, **config_overrides):

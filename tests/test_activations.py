@@ -75,3 +75,10 @@ class TestGeluSilu:
         x = jnp.asarray(rand(5, 8, rng=rng))
         assert_allclose(ops.silu(x), jax.nn.silu(x), rtol=1e-6, atol=1e-6)
         _check_grad(ops.silu, jax.nn.silu, x, tol=1e-5)
+
+    def test_quick_gelu(self):
+        # CLIP's sigmoid GELU (LLaVA vision tower).
+        x = jnp.asarray(rand(5, 8, rng=rng))
+        plain = lambda x: x * jax.nn.sigmoid(1.702 * x)
+        assert_allclose(ops.quick_gelu(x), plain(x), rtol=1e-6, atol=1e-6)
+        _check_grad(ops.quick_gelu, plain, x, tol=1e-5)
