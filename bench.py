@@ -77,9 +77,12 @@ def _time_scan_steps(step_fn, params, opt_state, tokens):
 def bench_ours(tokens):
     from np_modeling_tpu import models, training
 
+    # fused_loss: chunked LM-head CE (no [b,s,V] logits in HBM). A/B'd
+    # same-process at this config: 1.012x (the v=8k head is a small share
+    # at s=4096; the win grows with vocab — 1.22x at v=32k, see GPTConfig).
     cfg = models.GPTConfig(vocab_size=VOCAB, d_model=D_MODEL, num_heads=HEADS,
                            num_layers=LAYERS, hidden_units=FFN, max_len=SEQ,
-                           dtype=DTYPE)
+                           dtype=DTYPE, fused_loss=True)
     gpt = models.GPT(cfg)
     params = gpt.init(jax.random.PRNGKey(0), tokens)
     opt = training.adam(1e-3)

@@ -3,6 +3,8 @@ pipeline, checkpointing."""
 
 from np_modeling_tpu.training import data, schedules
 from np_modeling_tpu.training.distill import distill_gpt_loss, distill_loss
+from np_modeling_tpu.training.dpo import (dpo_loss, gpt_dpo_loss,
+                                          sequence_logprobs)
 from np_modeling_tpu.training.lora import (ALL_LINEAR_TARGETS,
                                            ATTENTION_TARGETS, lora_finalize,
                                            lora_init, lora_merge)
@@ -26,6 +28,7 @@ __all__ = [
     "ALL_LINEAR_TARGETS", "ATTENTION_TARGETS", "lora_finalize", "lora_init",
     "lora_merge",
     "distill_gpt_loss", "distill_loss",
+    "dpo_loss", "gpt_dpo_loss", "sequence_logprobs",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
     "lion", "muon",

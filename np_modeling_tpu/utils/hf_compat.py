@@ -1063,6 +1063,119 @@ def clip_vision_params(sd, config) -> dict:
     return params
 
 
+def clip_text_config(hf_config, **overrides):
+    """``transformers.CLIPTextConfig`` -> :class:`models.GPTConfig`.
+
+    The CLIP text encoder is exactly our GPT shape: causal attention,
+    learned positions, pre-LN blocks, biased projections, quick-gelu MLP.
+    (``tie_embeddings`` stays True so init allocates no LM head — CLIP
+    never computes token logits.)"""
+    from np_modeling_tpu.models.transformer_lm import GPTConfig
+    act = {"gelu": "gelu_exact", "quick_gelu": "quick_gelu",
+           "gelu_new": "gelu"}[hf_config.hidden_act]
+    kw = dict(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        num_heads=hf_config.num_attention_heads,
+        num_layers=hf_config.num_hidden_layers,
+        hidden_units=hf_config.intermediate_size,
+        max_len=hf_config.max_position_embeddings,
+        positional="learned",
+        activation=act,
+        ln_eps=hf_config.layer_norm_eps,
+        norm_first=True,
+        tie_embeddings=True,
+    )
+    kw.update(overrides)
+    return GPTConfig(**kw)
+
+
+def clip_text_params(sd, config) -> dict:
+    """CLIPTextModel state dict (``text_model.`` prefix stripped) ->
+    :class:`models.GPT` params. Same per-layer layout as
+    :func:`clip_vision_params` (q/k/v/out projections, fc1/fc2 MLP)."""
+    d, h = config.d_model, config.num_heads
+    dk = d // h
+
+    def lin(prefix):
+        return {"w": _np(sd[f"{prefix}.weight"]).T,
+                "b": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"gamma": _np(sd[f"{prefix}.weight"]),
+                "beta": _np(sd[f"{prefix}.bias"])}
+
+    params = {
+        "embedding": {"table": _np(sd["embeddings.token_embedding.weight"])},
+        "pos_embedding": {"table": _np(
+            sd["embeddings.position_embedding.weight"])},
+        "final_norm": ln("final_layer_norm"),
+    }
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}"
+        a = f"{pre}.self_attn"
+        params[f"layer_{i}"] = {
+            "self_attention": {
+                "wq": _np(sd[f"{a}.q_proj.weight"]).T.reshape(d, h, dk),
+                "bq": _np(sd[f"{a}.q_proj.bias"]).reshape(h, dk),
+                "wk": _np(sd[f"{a}.k_proj.weight"]).T.reshape(d, h, dk),
+                "bk": _np(sd[f"{a}.k_proj.bias"]).reshape(h, dk),
+                "wv": _np(sd[f"{a}.v_proj.weight"]).T.reshape(d, h, dk),
+                "bv": _np(sd[f"{a}.v_proj.bias"]).reshape(h, dk),
+                "wo": _np(sd[f"{a}.out_proj.weight"]).T.reshape(h, dk, d),
+                "bo": _np(sd[f"{a}.out_proj.bias"]),
+            },
+            "norm1": ln(f"{pre}.layer_norm1"),
+            "norm2": ln(f"{pre}.layer_norm2"),
+            "dense1": {"linear": lin(f"{pre}.mlp.fc1")},
+            "dense2": lin(f"{pre}.mlp.fc2"),
+        }
+    return params
+
+
+def import_clip(model, **config_overrides):
+    """``transformers.CLIPModel`` -> (CLIPConfig, params) for
+    :class:`models.CLIP`.
+
+    Contrastive two-tower family: CLIP vision tower + causal text
+    encoder behind biasless projections and a learned log temperature.
+
+    Pooling parity: HF's text encoder pools at ``argmax(input_ids)`` when
+    ``eos_token_id == 2`` (the legacy path — original CLIP's EOS is the
+    highest vocab id) and at the first EOS occurrence otherwise; we map
+    the former to ``eos_token=None``. NOTE on inputs: HF takes NCHW
+    ``pixel_values``; our ViT takes NHWC — transpose with
+    ``pixel_values.transpose(0, 2, 3, 1)``. Overrides prefixed
+    ``text_``/``vision_`` route to the tower configs."""
+    from np_modeling_tpu.models.clip import CLIPConfig
+    hc = model.config
+    text_over = {k[5:]: config_overrides.pop(k)
+                 for k in list(config_overrides) if k.startswith("text_")}
+    vis_over = {k[7:]: config_overrides.pop(k)
+                for k in list(config_overrides) if k.startswith("vision_")}
+    eos = hc.text_config.eos_token_id
+    cfg = CLIPConfig(
+        vision=clip_vision_config(hc.vision_config, **vis_over),
+        text=clip_text_config(hc.text_config, **text_over),
+        projection_dim=hc.projection_dim,
+        eos_token=None if eos == 2 else eos,
+        **config_overrides)
+
+    sd = model.state_dict()
+    vis_sd = {k.removeprefix("vision_model."): v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+    txt_sd = {k.removeprefix("text_model."): v for k, v in sd.items()
+              if k.startswith("text_model.")}
+    params = {
+        "vision": clip_vision_params(vis_sd, cfg.vision),
+        "text": clip_text_params(txt_sd, cfg.text),
+        "visual_projection": {"w": _np(sd["visual_projection.weight"]).T},
+        "text_projection": {"w": _np(sd["text_projection.weight"]).T},
+        "logit_scale": _np(sd["logit_scale"]),
+    }
+    return cfg, params
+
+
 def import_llava(model, **config_overrides):
     """``transformers.LlavaForConditionalGeneration`` ->
     (LLaVAConfig, params) for :class:`models.LLaVA`.
