@@ -7,6 +7,7 @@ reference, see /root/reference/README.md:11 and SURVEY.md §4).
 """
 
 from np_modeling_tpu.ops import dispatch
+from np_modeling_tpu.ops.ssm import selective_scan, selective_scan_step
 from np_modeling_tpu.ops.activations import (ACTIVATIONS, gelu,
                                               gelu_exact,
                                              get_activation, quick_gelu,
@@ -56,7 +57,8 @@ __all__ = [
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
     "quantize_params_int4", "quantize_params_int8", "dequantize_params",
     "kl_divergence_from_logits",
-    "quick_gelu", "relu", "rms_norm", "silu", "softmax",
+    "quick_gelu", "relu", "rms_norm", "selective_scan",
+    "selective_scan_step", "silu", "softmax",
     "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
 ]

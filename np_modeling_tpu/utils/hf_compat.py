@@ -1176,6 +1176,67 @@ def import_clip(model, **config_overrides):
     return cfg, params
 
 
+def import_mamba(model, **config_overrides):
+    """``transformers.MambaForCausalLM`` -> (MambaConfig, params) for
+    :class:`models.Mamba` (first non-transformer family).
+
+    Torch-parity vs HF's sequential ``slow_forward`` path; our forward
+    runs the same recurrence as an associative-scan parallel prefix.
+    Layout notes: HF conv1d weight is [d_inner, 1, k] (depthwise) -> our
+    [k, d_inner]; all projections transpose torch's [out, in]."""
+    from np_modeling_tpu.models.mamba import MambaConfig
+    hc = model.config
+    assert not getattr(hc, "use_bias", False), (
+        "in/out_proj biases are not represented (HF default use_bias="
+        "False)")
+    rank = hc.time_step_rank
+    if rank == "auto":
+        rank = -(-hc.hidden_size // 16)
+    cfg_kw = dict(
+        vocab_size=hc.vocab_size,
+        d_model=hc.hidden_size,
+        num_layers=hc.num_hidden_layers,
+        d_state=hc.state_size,
+        d_conv=hc.conv_kernel,
+        expand=hc.expand,
+        dt_rank=int(rank),
+        ln_eps=hc.layer_norm_epsilon,
+        tie_embeddings=getattr(hc, "tie_word_embeddings", True),
+    )
+    cfg_kw.update(config_overrides)
+    cfg = MambaConfig(**cfg_kw)
+
+    sd = {k.removeprefix("backbone."): v for k, v in model.state_dict()
+          .items()}
+    di = cfg.d_inner
+    params = {
+        "embedding": {"table": _np(sd["embeddings.weight"])},
+        "final_norm": {"gamma": _np(sd["norm_f.weight"])},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"w": _np(sd["lm_head.weight"]).T}
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}.mixer"
+        conv_w = _np(sd[f"{p}.conv1d.weight"])         # [d_inner, 1, k]
+        conv_b = (_np(sd[f"{p}.conv1d.bias"])
+                  if f"{p}.conv1d.bias" in sd else np.zeros(di, np.float32))
+        params[f"layer_{i}"] = {
+            "norm": {"gamma": _np(sd[f"layers.{i}.norm.weight"])},
+            "mixer": {
+                "A_log": _np(sd[f"{p}.A_log"]),
+                "D": _np(sd[f"{p}.D"]),
+                "conv_w": conv_w[:, 0, :].T,           # -> [k, d_inner]
+                "conv_b": conv_b,
+                "in_proj": {"w": _np(sd[f"{p}.in_proj.weight"]).T},
+                "x_proj": {"w": _np(sd[f"{p}.x_proj.weight"]).T},
+                "dt_proj": {"w": _np(sd[f"{p}.dt_proj.weight"]).T,
+                            "b": _np(sd[f"{p}.dt_proj.bias"])},
+                "out_proj": {"w": _np(sd[f"{p}.out_proj.weight"]).T},
+            },
+        }
+    return cfg, params
+
+
 def import_llava(model, **config_overrides):
     """``transformers.LlavaForConditionalGeneration`` ->
     (LLaVAConfig, params) for :class:`models.LLaVA`.
