@@ -5,6 +5,8 @@ from np_modeling_tpu.training import data, schedules
 from np_modeling_tpu.training.distill import distill_gpt_loss, distill_loss
 from np_modeling_tpu.training.dpo import (dpo_loss, gpt_dpo_loss,
                                           sequence_logprobs)
+from np_modeling_tpu.training.grpo import (gpt_grpo_loss, group_advantages,
+                                           grpo_loss, token_logprobs)
 from np_modeling_tpu.training.lora import (ALL_LINEAR_TARGETS,
                                            ATTENTION_TARGETS, lora_finalize,
                                            lora_init, lora_merge)
@@ -29,6 +31,7 @@ __all__ = [
     "lora_merge",
     "distill_gpt_loss", "distill_loss",
     "dpo_loss", "gpt_dpo_loss", "sequence_logprobs",
+    "gpt_grpo_loss", "group_advantages", "grpo_loss", "token_logprobs",
     "chain", "clip_by_global_norm", "data", "load_checkpoint",
     "load_checkpoint_sharded", "save_checkpoint_sharded",
     "lion", "muon",
