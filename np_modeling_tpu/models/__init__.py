@@ -11,7 +11,8 @@ from np_modeling_tpu.models.seq2seq import Seq2SeqConfig, Seq2SeqTransformer
 from np_modeling_tpu.models.speculative import speculative_generate
 from np_modeling_tpu.models.t5 import T5, T5Config
 from np_modeling_tpu.models.clip import (CLIP, CLIPConfig,
-                                          clip_contrastive_loss)
+                                          clip_contrastive_loss,
+                                          siglip_loss)
 from np_modeling_tpu.models.mamba import Mamba, MambaConfig
 from np_modeling_tpu.models.multimodal import LLaVA, LLaVAConfig
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
@@ -23,7 +24,7 @@ __all__ = [
     "Algorithm", "BertConfig", "BertEncoder", "CNNClassifier", "GPT",
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
     "Seq2SeqTransformer", "T5", "T5Config", "beam_search", "euclidean_distance",
-    "CLIP", "CLIPConfig", "clip_contrastive_loss",
+    "CLIP", "CLIPConfig", "clip_contrastive_loss", "siglip_loss",
     "LLaVA", "LLaVAConfig", "Mamba", "MambaConfig",
     "mlm_mask_tokens", "speculative_generate", "ViT", "ViTConfig",
     "patchify", "Whisper", "WhisperConfig", "log_mel_spectrogram",

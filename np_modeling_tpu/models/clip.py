@@ -80,6 +80,34 @@ def clip_contrastive_loss(image_embeds, text_embeds, logit_scale,
                   + jnp.mean(ce(logits_txt, labels)))
 
 
+def siglip_loss(image_embeds, text_embeds, logit_scale, logit_bias,
+                axis_name: str | None = None):
+    """SigLIP pairwise sigmoid loss (Zhai et al.) — the DP-friendly
+    contrastive objective: every (image, text) pair is an independent
+    binary problem (``+1`` on the diagonal, ``−1`` off), so there is no
+    global softmax normalization. ``logit_scale`` is the LOG scale
+    (t' in the paper); ``logit_bias`` the learned bias (init ≈ −10).
+
+    With ``axis_name``, other devices' TEXT embeddings are all-gathered
+    as extra negatives (one-sided gather suffices — the loss is a sum of
+    independent pair terms, and gathering both sides would double-count
+    each cross pair). Same gradient caveat as
+    :func:`clip_contrastive_loss`: differentiate the pmean'd scalar."""
+    img = image_embeds / jnp.linalg.norm(image_embeds, axis=-1,
+                                         keepdims=True)
+    txt = text_embeds / jnp.linalg.norm(text_embeds, axis=-1, keepdims=True)
+    if axis_name is not None:
+        all_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+        offset = jax.lax.axis_index(axis_name) * img.shape[0]
+    else:
+        all_txt, offset = txt, 0
+    logits = jnp.exp(logit_scale) * (img @ all_txt.T) + logit_bias
+    labels = 2.0 * (jnp.arange(all_txt.shape[0])[None, :]
+                    == (offset + jnp.arange(img.shape[0]))[:, None]) - 1.0
+    # Paper normalization: sum over pairs / LOCAL batch size.
+    return -jnp.sum(jax.nn.log_sigmoid(labels * logits)) / img.shape[0]
+
+
 @dataclasses.dataclass
 class CLIP(Module):
     """ViT tower + GPT text tower -> shared-space projections."""

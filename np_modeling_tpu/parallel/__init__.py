@@ -11,11 +11,13 @@ from np_modeling_tpu.parallel.pipeline import (make_pipeline, pipeline_apply,
                                                pipeline_gpt, stack_gpt_layers)
 from np_modeling_tpu.parallel.zero import (zero1_init, zero1_shardings,
                                            zero1_spec)
-from np_modeling_tpu.parallel.sharding import (TRANSFORMER_RULES, constrain,
+from np_modeling_tpu.parallel.sharding import (MAMBA_RULES,
+                                               TRANSFORMER_RULES, constrain,
                                                partition_specs, shard_batch,
                                                shard_params)
 
 __all__ = [
+    "MAMBA_RULES",
     "TRANSFORMER_RULES", "auto_mesh", "constrain", "fsdp_opt_init",
     "fsdp_params", "fsdp_specs", "gather_attention",
     "make_context_parallel_attention", "make_mesh", "make_pipeline",

@@ -37,6 +37,26 @@ TRANSFORMER_RULES: Sequence[tuple[str, P]] = (
     (r".*lm_head/w$", P(None, "tp")),
 )
 
+# Mamba (selective SSM) tensor parallelism: Megatron-shaped — in_proj
+# column-parallel, out_proj row-parallel (contracting dim sharded -> one
+# all-reduce per block), and EVERYTHING between is per-d_inner-channel
+# (conv, dt/B/C, the selective scan itself), so the recurrence runs fully
+# local on each shard. x_proj contracts the sharded d_inner to the small
+# replicated (rank+2N) basis -> one more all-reduce.
+MAMBA_RULES: Sequence[tuple[str, P]] = (
+    (r".*mixer/A_log$", P("tp", None)),
+    (r".*mixer/D$", P("tp")),
+    (r".*mixer/conv_w$", P(None, "tp")),
+    (r".*mixer/conv_b$", P("tp")),
+    (r".*mixer/in_proj/w$", P(None, "tp")),
+    (r".*mixer/x_proj/w$", P("tp", None)),
+    (r".*mixer/dt_proj/w$", P(None, "tp")),
+    (r".*mixer/dt_proj/b$", P("tp")),
+    (r".*mixer/out_proj/w$", P("tp", None)),
+    (r".*embedding/table$", P(None, "tp")),
+    (r".*lm_head/w$", P(None, "tp")),
+)
+
 
 def _path_str(path) -> str:
     parts = []

@@ -125,6 +125,49 @@ def test_global_negatives_match_full_batch():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_siglip_loss_matches_manual():
+    img = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    scale, bias = 1.1, -3.0
+    loss = float(models.siglip_loss(img, txt, jnp.asarray(scale),
+                                    jnp.asarray(bias)))
+    i = np.asarray(img) / np.linalg.norm(img, axis=-1, keepdims=True)
+    t = np.asarray(txt) / np.linalg.norm(txt, axis=-1, keepdims=True)
+    z = np.exp(scale) * (i @ t.T) + bias
+    lab = 2.0 * np.eye(5) - 1.0
+    want = float(np.sum(np.log1p(np.exp(-lab * z))) / 5)
+    np.testing.assert_allclose(loss, want, rtol=1e-5)
+
+
+def test_siglip_sharded_matches_full_batch():
+    """One-sided text gather + pmean == the full-batch sigmoid loss,
+    gradients included (grad THROUGH the shard_mapped loss)."""
+    img = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+    txt = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+    scale = jnp.asarray(0.7)
+    bias = jnp.asarray(-2.0)
+
+    full = lambda im, tx, sc, bi: models.siglip_loss(im, tx, sc, bi)
+    want = full(img, txt, scale, bias)
+
+    mesh = parallel.make_mesh({"dp": 8})
+    sharded = jax.jit(jax.shard_map(
+        lambda im, tx, sc, bi: jax.lax.pmean(
+            models.siglip_loss(im, tx, sc, bi, axis_name="dp"), "dp"),
+        mesh=mesh, in_specs=(P("dp"), P("dp"), P(), P()), out_specs=P(),
+        check_vma=False))
+    got = sharded(img, txt, scale, bias)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    g_want = jax.grad(full, argnums=(0, 1, 2, 3))(img, txt, scale, bias)
+    g_got = jax.jit(jax.grad(
+        lambda im, tx, sc, bi: sharded(im, tx, sc, bi),
+        argnums=(0, 1, 2, 3)))(img, txt, scale, bias)
+    for a, b in zip(g_want, g_got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
 def test_training_aligns_pairs():
     cfg = _small_cfg()
     clip = models.CLIP(cfg)
