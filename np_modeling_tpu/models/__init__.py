@@ -14,6 +14,7 @@ from np_modeling_tpu.models.clip import (CLIP, CLIPConfig,
                                           clip_contrastive_loss,
                                           siglip_loss)
 from np_modeling_tpu.models.mamba import Mamba, MambaConfig
+from np_modeling_tpu.models.mamba2 import Mamba2, Mamba2Config
 from np_modeling_tpu.models.multimodal import LLaVA, LLaVAConfig
 from np_modeling_tpu.models.transformer_lm import GPT, GPTConfig
 from np_modeling_tpu.models.vit import ViT, ViTConfig, patchify
@@ -25,7 +26,7 @@ __all__ = [
     "GPTConfig", "KNearestNeighbours", "MLP", "Seq2SeqConfig",
     "Seq2SeqTransformer", "T5", "T5Config", "beam_search", "euclidean_distance",
     "CLIP", "CLIPConfig", "clip_contrastive_loss", "siglip_loss",
-    "LLaVA", "LLaVAConfig", "Mamba", "MambaConfig",
+    "LLaVA", "LLaVAConfig", "Mamba", "MambaConfig", "Mamba2", "Mamba2Config",
     "mlm_mask_tokens", "speculative_generate", "ViT", "ViTConfig",
     "patchify", "Whisper", "WhisperConfig", "log_mel_spectrogram",
     "mel_filter_bank",

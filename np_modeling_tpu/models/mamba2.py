@@ -1,23 +1,25 @@
-"""Mamba: selective state-space LM — the first non-transformer family.
+"""Mamba-2: the state-space-dual (SSD) LM (Dao & Gu, "Transformers are
+SSMs").
 
-The reference is transformer-only; this adds the Mamba-1 architecture
-(Gu & Dao): per block, an input projection to (x, gate), a short causal
-depthwise conv (k=4), SiLU, input-dependent SSM parameters
-(Δ via softplus of a low-rank projection, B, C read from x), the
-selective recurrence ``h_t = exp(Δ_t A)·h_{t-1} + Δ_t B_t x_t``,
-``y_t = C_t·h_t + D·x_t``, gated by SiLU(z) and projected back.
+Architecturally vs Mamba-1: the SSM decay is a SCALAR per head (A [h],
+not [d_inner, d_state]), dt/B/C come out of the same input projection
+as x (B/C grouped GQA-style over ``n_groups``), x/B/C share one causal
+depthwise conv, and the pre-out_proj norm is a GATED RMSNorm
+(``norm(y * silu(z))``). The payoff is the SSD form: the whole
+recurrence computes as chunked attention-like matmuls (``ops.ssd``) —
+the MXU-friendly formulation this framework targets — instead of
+Mamba-1's elementwise-heavy selective scan.
 
-TPU-first: the recurrence runs as ``ops.selective_scan`` — a
-``jax.lax.associative_scan`` parallel prefix (log-depth, no sequential
-loop) with a hand-written reverse-scan VJP — instead of a port of the
-CUDA ``selective_scan_fn``. Training/prefill is fully parallel over the
-sequence; decode is O(1)/token carrying (conv window, ssm state) per
-layer — Mamba's "RNN mode" (no KV cache at all). SSM statistics (Δ,
-exp(ΔA), the scan itself) stay fp32; the projections run in the module
-``dtype`` (bf16 on the MXU).
+TPU-first: training/prefill runs ``ops.ssd`` (chunked einsums + a
+log-depth inter-chunk prefix with a hand-written VJP); decode carries
+O(1) per-layer state (conv window + [h, p, n] SSM state) through
+``ops.ssd_step`` — no KV cache. SSM statistics stay fp32; projections
+run in the module ``dtype`` (bf16 on the MXU).
 
-HF parity surface: ``transformers.MambaForCausalLM`` (slow path); see
-``utils.hf_compat.import_mamba``.
+HF parity surface: ``transformers.Mamba2ForCausalLM`` (torch_forward
+path); see ``utils.hf_compat.import_mamba2``. Reference lineage: the
+reference is transformer-only (SURVEY.md §2); this extends the model
+zoo the same way models/mamba.py did.
 """
 
 from __future__ import annotations
@@ -34,34 +36,42 @@ from np_modeling_tpu.models.transformer_lm import GPT
 
 
 @dataclasses.dataclass
-class MambaConfig:
-    vocab_size: int = 50280
+class Mamba2Config:
+    vocab_size: int = 32768
     d_model: int = 768
     num_layers: int = 24
-    d_state: int = 16               # SSM state size N
+    d_state: int = 128              # SSM state size N (Mamba-2 default)
     d_conv: int = 4                 # causal depthwise conv width
     expand: int = 2                 # d_inner = expand * d_model
-    dt_rank: int | None = None      # Δ low-rank; None = ceil(d_model/16)
+    head_dim: int = 64              # P; num_heads = d_inner // head_dim
+    n_groups: int = 1               # B/C groups (GQA-style broadcast)
+    chunk_size: int = 256           # SSD chunk length
+    dt_limit: tuple = (0.0, float("inf"))   # clamp on softplus(dt)
     ln_eps: float = 1e-5
     tie_embeddings: bool = True
-    dtype: object = None            # matmul compute dtype (scan stays fp32)
+    dtype: object = None            # matmul compute dtype (SSD stays fp32)
 
     @property
     def d_inner(self) -> int:
         return self.expand * self.d_model
 
     @property
-    def rank(self) -> int:
-        return self.dt_rank or math.ceil(self.d_model / 16)
+    def num_heads(self) -> int:
+        return self.d_inner // self.head_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return self.d_inner + 2 * self.n_groups * self.d_state
 
 
 @dataclasses.dataclass
-class Mamba(Module):
-    config: MambaConfig
+class Mamba2(Module):
+    config: Mamba2Config
 
     def init(self, key, tokens):
         c = self.config
-        di, n, r = c.d_inner, c.d_state, c.rank
+        di, nh, cd = c.d_inner, c.num_heads, c.conv_dim
+        assert di % c.head_dim == 0 and nh % c.n_groups == 0
         ks = jax.random.split(key, c.num_layers + 2)
         params = {
             "embedding": {"table": 0.02 * jax.random.normal(
@@ -71,100 +81,100 @@ class Mamba(Module):
         if not c.tie_embeddings:
             params["lm_head"] = {"w": 0.02 * jax.random.normal(
                 ks[1], (c.d_model, c.vocab_size), jnp.float32)}
-        # Mamba's structured init: A = -[1..N] per channel; dt bias set so
-        # softplus lands in [1e-3, 0.1] (the paper's dt_init floor).
-        a_row = jnp.arange(1, n + 1, dtype=jnp.float32)
         for i in range(c.num_layers):
-            k1, k2, k3, k4, k5, k6 = jax.random.split(ks[2 + i], 6)
-            dt = jnp.exp(jax.random.uniform(k6, (di,),
+            k1, k2, k3, k4 = jax.random.split(ks[2 + i], 4)
+            # Mamba-2 structured init: A = -[1..nh] (scalar per head);
+            # dt_bias the inverse-softplus of uniform-log [1e-3, 0.1].
+            dt = jnp.exp(jax.random.uniform(k4, (nh,),
                                             minval=math.log(1e-3),
                                             maxval=math.log(0.1)))
-            dt_bias = dt + jnp.log(-jnp.expm1(-dt))    # inverse softplus
             params[f"layer_{i}"] = {
                 "norm": {"gamma": jnp.ones((c.d_model,), jnp.float32)},
                 "mixer": {
-                    "A_log": jnp.log(jnp.broadcast_to(a_row, (di, n))),
-                    "D": jnp.ones((di,), jnp.float32),
-                    "conv_w": 0.5 * jax.random.normal(
-                        k1, (c.d_conv, di), jnp.float32) / c.d_conv,
-                    "conv_b": jnp.zeros((di,), jnp.float32),
                     "in_proj": {"w": 0.02 * jax.random.normal(
-                        k2, (c.d_model, 2 * di), jnp.float32)},
-                    "x_proj": {"w": 0.02 * jax.random.normal(
-                        k3, (di, r + 2 * n), jnp.float32)},
-                    "dt_proj": {"w": (r ** -0.5) * jax.random.uniform(
-                        k4, (r, di), jnp.float32, minval=-1.0, maxval=1.0),
-                        "b": dt_bias},
+                        k1, (c.d_model, di + cd + nh), jnp.float32)},
+                    "conv_w": 0.5 * jax.random.normal(
+                        k2, (c.d_conv, cd), jnp.float32) / c.d_conv,
+                    "conv_b": jnp.zeros((cd,), jnp.float32),
+                    "dt_bias": dt + jnp.log(-jnp.expm1(-dt)),
+                    "A_log": jnp.log(jnp.arange(1, nh + 1,
+                                                dtype=jnp.float32)),
+                    "D": jnp.ones((nh,), jnp.float32),
+                    "norm": {"gamma": jnp.ones((di,), jnp.float32)},
                     "out_proj": {"w": 0.02 * jax.random.normal(
-                        k5, (di, c.d_model), jnp.float32)},
+                        k3, (di, c.d_model), jnp.float32)},
                 },
             }
         return params
 
-    # ---- one mixer, parallel over the sequence --------------------------
+    # ---- one mixer -------------------------------------------------------
 
-    def _ssm_params(self, p, conv_out):
-        """conv_out [.., L?, d_inner] -> (da, db_coeff, C) in fp32."""
+    def _split_proj(self, p, x):
         c = self.config
-        n, r = c.d_state, c.rank
-        proj = conv_out @ p["x_proj"]["w"].astype(conv_out.dtype)
-        dt, b_mat, c_mat = jnp.split(
-            proj.astype(jnp.float32), [r, r + n], axis=-1)
-        dt = jax.nn.softplus(dt @ p["dt_proj"]["w"] + p["dt_proj"]["b"])
-        a = -jnp.exp(p["A_log"])                       # [d_inner, n]
-        da = jnp.exp(dt[..., None] * a)                # [.., d_inner, n]
-        db = dt[..., None] * b_mat[..., None, :]       # [.., d_inner, n]
-        return da, db, c_mat
+        proj = x @ p["in_proj"]["w"].astype(x.dtype)
+        return jnp.split(proj, [c.d_inner, c.d_inner + c.conv_dim], axis=-1)
+
+    def _dt(self, p, dt_raw):
+        c = self.config
+        dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"])
+        if c.dt_limit != (0.0, float("inf")):
+            dt = jnp.clip(dt, c.dt_limit[0], c.dt_limit[1])
+        return dt
+
+    def _gate_out(self, p, y_flat, z, x_dtype):
+        y = ops.rms_norm(y_flat * ops.silu(z.astype(jnp.float32)),
+                         p["norm"]["gamma"], eps=self.config.ln_eps)
+        return y.astype(x_dtype) @ p["out_proj"]["w"].astype(x_dtype)
 
     def _mixer(self, p, x, return_state=False):
         c = self.config
+        b, L, _ = x.shape
+        nh, g, n, hp = c.num_heads, c.n_groups, c.d_state, c.head_dim
+        z, xbc, dt_raw = self._split_proj(p, x)
         k = c.d_conv
-        w = p["in_proj"]["w"].astype(x.dtype)
-        xr, z = jnp.split(x @ w, 2, axis=-1)           # [b, L, d_inner] x2
-        pad = jnp.zeros_like(xr[:, :k - 1])
-        xp = jnp.concatenate([pad, xr], axis=1)        # causal left-pad
+        xp = jnp.concatenate([jnp.zeros_like(xbc[:, :k - 1]), xbc], axis=1)
         conv = p["conv_b"].astype(x.dtype)
-        for j in range(k):                             # k=4 shifted adds
+        for j in range(k):                              # k=4 shifted adds
             conv = conv + p["conv_w"][j].astype(x.dtype) * jax.lax.\
-                dynamic_slice_in_dim(xp, j, xr.shape[1], axis=1)
+                dynamic_slice_in_dim(xp, j, L, axis=1)
         conv = ops.silu(conv)
-        da, db, c_mat = self._ssm_params(p, conv)
-        h = ops.selective_scan(da, db * conv.astype(jnp.float32)[..., None])
-        y = jnp.einsum("bldn,bln->bld", h, c_mat)
-        y = y + p["D"] * conv.astype(jnp.float32)
-        y = (y.astype(x.dtype)) * ops.silu(z)
-        out = y @ p["out_proj"]["w"].astype(x.dtype)
+        xs, B, C = jnp.split(conv, [c.d_inner, c.d_inner + g * n], axis=-1)
+        xs = xs.reshape(b, L, nh, hp)
+        dt = self._dt(p, dt_raw)
+        A = -jnp.exp(p["A_log"])
+        y, final = ops.ssd(xs, dt, A, B.reshape(b, L, g, n),
+                           C.reshape(b, L, g, n), chunk_size=c.chunk_size,
+                           return_final_state=True)
+        y = y + p["D"][:, None] * xs.astype(jnp.float32)   # pre-dt skip
+        out = self._gate_out(p, y.reshape(b, L, c.d_inner), z, x.dtype)
         if return_state:
-            # Decode state: the last k-1 conv inputs + the final SSM state.
-            return out, {"conv": xp[:, xr.shape[1]:], "ssm": h[:, -1]}
+            return out, {"conv": xp[:, L:], "ssm": final}
         return out
 
     def _mixer_step(self, p, x_t, state):
-        """One token: x_t [b, d]; state {conv [b, k-1, d_inner],
-        ssm [b, d_inner, n]} -> (y_t, new state)."""
+        """One token: x_t [b, d]; state {conv [b, k-1, conv_dim],
+        ssm [b, h, p, n]} -> (y_t, new state)."""
         c = self.config
-        w = p["in_proj"]["w"].astype(x_t.dtype)
-        xr, z = jnp.split(x_t @ w, 2, axis=-1)         # [b, d_inner] x2
-        window = jnp.concatenate([state["conv"], xr[:, None]], axis=1)
+        b = x_t.shape[0]
+        nh, g, n, hp = c.num_heads, c.n_groups, c.d_state, c.head_dim
+        z, xbc, dt_raw = self._split_proj(p, x_t)
+        window = jnp.concatenate([state["conv"], xbc[:, None]], axis=1)
         conv = p["conv_b"].astype(x_t.dtype)
         for j in range(c.d_conv):
             conv = conv + p["conv_w"][j].astype(x_t.dtype) * window[:, j]
         conv = ops.silu(conv)
-        da, db, c_mat = self._ssm_params(p, conv)
-        h = ops.selective_scan_step(
-            state["ssm"], da, db * conv.astype(jnp.float32)[..., None])
-        y = jnp.einsum("bdn,bn->bd", h, c_mat)
-        y = y + p["D"] * conv.astype(jnp.float32)
-        y = y.astype(x_t.dtype) * ops.silu(z)
-        out = y @ p["out_proj"]["w"].astype(x_t.dtype)
-        return out, {"conv": window[:, 1:], "ssm": h}
+        xs, B, C = jnp.split(conv, [c.d_inner, c.d_inner + g * n], axis=-1)
+        y, ssm = ops.ssd_step(state["ssm"], xs.reshape(b, nh, hp),
+                              self._dt(p, dt_raw), -jnp.exp(p["A_log"]),
+                              B.reshape(b, g, n), C.reshape(b, g, n))
+        y = y + p["D"][:, None] * xs.reshape(b, nh, hp).astype(jnp.float32)
+        out = self._gate_out(p, y.reshape(b, c.d_inner), z, x_t.dtype)
+        return out, {"conv": window[:, 1:], "ssm": ssm}
 
-    # ---- model ----------------------------------------------------------
+    # ---- model ------------------------------------------------------------
 
     def _embed(self, params, tokens):
         c = self.config
-        # jnp.asarray: imported tables may be host numpy arrays, which
-        # reject traced-index lookups inside the decode scan.
         x = jnp.asarray(params["embedding"]["table"])[tokens]
         return x.astype(c.dtype) if c.dtype is not None else x
 
@@ -210,15 +220,15 @@ class Mamba(Module):
         """Zeroed per-layer decode states (the slot template serving
         engines allocate; see serving/ssm_engine.py)."""
         c = self.config
-        return [{"conv": jnp.zeros((batch, c.d_conv - 1, c.d_inner),
+        return [{"conv": jnp.zeros((batch, c.d_conv - 1, c.conv_dim),
                                    jnp.float32),
-                 "ssm": jnp.zeros((batch, c.d_inner, c.d_state),
-                                  jnp.float32)}
+                 "ssm": jnp.zeros((batch, c.num_heads, c.head_dim,
+                                   c.d_state), jnp.float32)}
                 for _ in range(c.num_layers)]
 
     def prefill(self, params, tokens):
         """Forward returning (last-position logits, per-layer decode
-        states) — the RNN-mode handoff."""
+        states) — the SSD→RNN-mode handoff."""
         x = self._embed(params, tokens)
         states = []
         for i in range(self.config.num_layers):
@@ -243,8 +253,8 @@ class Mamba(Module):
     def generate(self, params, prompt_tokens, steps: int, key=None,
                  temperature: float = 0.0, top_k: int | None = None,
                  top_p: float | None = None):
-        """Autoregressive decode in RNN mode (jittable scan): parallel
-        prefill via the associative scan, then O(1)-state steps."""
+        """Autoregressive decode in RNN mode (jittable scan): chunked
+        SSD prefill, then O(1)-state steps."""
         logits, states = self.prefill(params, prompt_tokens)
         next_tok = GPT._sample(logits, key, temperature, 0, top_k, top_p)
 

@@ -7,7 +7,9 @@ reference, see /root/reference/README.md:11 and SURVEY.md §4).
 """
 
 from np_modeling_tpu.ops import dispatch
-from np_modeling_tpu.ops.ssm import selective_scan, selective_scan_step
+from np_modeling_tpu.ops.ssm import (selective_scan,
+                                     selective_scan_step, ssd,
+                                     ssd_step)
 from np_modeling_tpu.ops.activations import (ACTIVATIONS, gelu,
                                               gelu_exact,
                                              get_activation, quick_gelu,
@@ -58,7 +60,7 @@ __all__ = [
     "quantize_params_int4", "quantize_params_int8", "dequantize_params",
     "kl_divergence_from_logits",
     "quick_gelu", "relu", "rms_norm", "selective_scan",
-    "selective_scan_step", "silu", "softmax",
+    "selective_scan_step", "silu", "softmax", "ssd", "ssd_step",
     "softmax_cross_entropy",
     "softmax_cross_entropy_with_integer_labels",
 ]

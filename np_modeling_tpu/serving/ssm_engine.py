@@ -1,9 +1,11 @@
-"""Continuous-batching serving for selective-SSM (Mamba) models.
+"""Continuous-batching serving for selective-SSM (Mamba-1/2) models.
 
 The transformer engine's whole job is managing a growing KV cache (paged
 tables, window reclamation, chunked prefill). An SSM needs NONE of that:
-each sequence's decode state is a fixed-size pytree — per layer a
-(d_conv−1)-token conv window and a [d_inner, d_state] SSM state — O(1)
+each sequence's decode state is a fixed-size pytree — per layer a conv
+window plus the SSM state, whose layout the MODEL owns via
+``init_state(batch)`` (Mamba-1: [d_inner, d_state]; Mamba-2: per-head
+[heads, head_dim, d_state] fed by the chunked-SSD prefill) — O(1)
 in generated length. Serving therefore reduces to a SLOT BUFFER: state
 arrays with a leading ``max_seqs`` axis, one jitted donated step for all
 live slots (embed → per-slot recurrence → sample), and host-side slot
@@ -36,7 +38,7 @@ class SSMEngine:
     """``temperature=0`` decodes greedily; otherwise temperature/top-k/
     top-p sampling runs in-graph with per-slot, per-step folded keys."""
 
-    model: object                # models.Mamba
+    model: object                # models.Mamba or models.Mamba2
     params: dict
     max_seqs: int = 16
     temperature: float = 0.0
@@ -45,12 +47,11 @@ class SSMEngine:
     seed: int = 0
 
     def __post_init__(self):
-        c = self.model.config
         s = self.max_seqs
-        self._states = [
-            {"conv": jnp.zeros((s, c.d_conv - 1, c.d_inner), jnp.float32),
-             "ssm": jnp.zeros((s, c.d_inner, c.d_state), jnp.float32)}
-            for _ in range(c.num_layers)]
+        # The model owns its decode-state layout (Mamba-1: [d_inner, n]
+        # SSM states; Mamba-2: [heads, head_dim, n] + a wider conv over
+        # the shared x|B|C channels) — the engine just allocates slots.
+        self._states = self.model.init_state(s)
         self._last = jnp.zeros((s,), jnp.int32)
         self._free = list(range(s))
         self._slot = {}                      # seq_id -> slot
@@ -106,9 +107,9 @@ class SSMEngine:
         first = GPT._sample(logits, jax.random.fold_in(self._key, seq_id),
                             self.temperature, self._step_count,
                             self.top_k, self.top_p)[0]
-        for buf, st in zip(self._states, states):
-            buf["conv"] = buf["conv"].at[slot].set(st["conv"][0])
-            buf["ssm"] = buf["ssm"].at[slot].set(st["ssm"][0])
+        self._states = jax.tree.map(
+            lambda buf, st: buf.at[slot].set(st[0]), self._states,
+            list(states))
         self._last = self._last.at[slot].set(first)
         self._slot[seq_id] = slot
         self._pending[seq_id] = int(first)

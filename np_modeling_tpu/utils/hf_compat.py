@@ -1237,6 +1237,71 @@ def import_mamba(model, **config_overrides):
     return cfg, params
 
 
+def import_mamba2(model, **config_overrides):
+    """``transformers.Mamba2ForCausalLM`` -> (Mamba2Config, params) for
+    :class:`models.Mamba2`.
+
+    Torch-parity vs HF's chunked ``torch_forward`` path; our forward
+    runs the same SSD decomposition as MXU einsums (``ops.ssd``).
+    Layout notes: HF conv1d weight is [conv_dim, 1, k] (depthwise over
+    the shared x|B|C channels) -> our [k, conv_dim]; projections
+    transpose torch's [out, in]. HF's optional d_mlp split (extra gated
+    MLP columns in in_proj) is not represented — zero for every
+    published Mamba-2 checkpoint."""
+    from np_modeling_tpu.models.mamba2 import Mamba2Config
+    hc = model.config
+    assert not getattr(hc, "use_bias", False), (
+        "in/out_proj biases are not represented (HF default use_bias="
+        "False)")
+    assert hc.expand * hc.hidden_size == hc.num_heads * hc.head_dim, (
+        "d_mlp != 0 (in_proj carries extra gated-MLP columns) is not "
+        "supported")
+    cfg_kw = dict(
+        vocab_size=hc.vocab_size,
+        d_model=hc.hidden_size,
+        num_layers=hc.num_hidden_layers,
+        d_state=hc.state_size,
+        d_conv=hc.conv_kernel,
+        expand=hc.expand,
+        head_dim=hc.head_dim,
+        n_groups=hc.n_groups,
+        chunk_size=hc.chunk_size,
+        dt_limit=tuple(getattr(hc, "time_step_limit", (0.0, float("inf")))),
+        ln_eps=hc.layer_norm_epsilon,
+        tie_embeddings=getattr(hc, "tie_word_embeddings", True),
+    )
+    cfg_kw.update(config_overrides)
+    cfg = Mamba2Config(**cfg_kw)
+
+    sd = {k.removeprefix("backbone."): v for k, v in model.state_dict()
+          .items()}
+    params = {
+        "embedding": {"table": _np(sd["embeddings.weight"])},
+        "final_norm": {"gamma": _np(sd["norm_f.weight"])},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"w": _np(sd["lm_head.weight"]).T}
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}.mixer"
+        conv_w = _np(sd[f"{p}.conv1d.weight"])         # [conv_dim, 1, k]
+        conv_b = (_np(sd[f"{p}.conv1d.bias"]) if f"{p}.conv1d.bias" in sd
+                  else np.zeros(cfg.conv_dim, np.float32))
+        params[f"layer_{i}"] = {
+            "norm": {"gamma": _np(sd[f"layers.{i}.norm.weight"])},
+            "mixer": {
+                "A_log": _np(sd[f"{p}.A_log"]),
+                "D": _np(sd[f"{p}.D"]),
+                "dt_bias": _np(sd[f"{p}.dt_bias"]),
+                "conv_w": conv_w[:, 0, :].T,           # -> [k, conv_dim]
+                "conv_b": conv_b,
+                "in_proj": {"w": _np(sd[f"{p}.in_proj.weight"]).T},
+                "norm": {"gamma": _np(sd[f"{p}.norm.weight"])},
+                "out_proj": {"w": _np(sd[f"{p}.out_proj.weight"]).T},
+            },
+        }
+    return cfg, params
+
+
 def import_llava(model, **config_overrides):
     """``transformers.LlavaForConditionalGeneration`` ->
     (LLaVAConfig, params) for :class:`models.LLaVA`.

@@ -14,10 +14,16 @@ from np_modeling_tpu.serving import OutOfSlotsError, SSMEngine
 rng = np.random.default_rng(31)
 
 
-def _setup(max_seqs=4):
-    cfg = models.MambaConfig(vocab_size=64, d_model=32, num_layers=2,
-                             d_state=8, d_conv=4, expand=2, dt_rank=4)
-    m = models.Mamba(cfg)
+def _setup(max_seqs=4, kind="mamba"):
+    if kind == "mamba2":
+        cfg = models.Mamba2Config(vocab_size=64, d_model=32, num_layers=2,
+                                  d_state=8, d_conv=4, expand=2, head_dim=8,
+                                  n_groups=2, chunk_size=8)
+        m = models.Mamba2(cfg)
+    else:
+        cfg = models.MambaConfig(vocab_size=64, d_model=32, num_layers=2,
+                                 d_state=8, d_conv=4, expand=2, dt_rank=4)
+        m = models.Mamba(cfg)
     toks = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
     params = m.init(jax.random.PRNGKey(0), toks)
     return m, params, SSMEngine(m, params, max_seqs=max_seqs)
@@ -55,6 +61,28 @@ def test_staggered_continuous_batching_token_exact():
     while any(len(v) < 8 for v in streams.values()):
         for s, t in eng.step().items():
             if len(streams[s]) < 8:
+                streams[s].append(t)
+    for i in range(3):
+        np.testing.assert_array_equal(streams[i], want[i], err_msg=str(i))
+
+
+def test_mamba2_staggered_continuous_batching_token_exact():
+    """The engine is state-layout agnostic: serving Mamba-2 (chunked-SSD
+    prefill, per-head states) stays token-exact under staggered joins."""
+    m, params, eng = _setup(kind="mamba2")
+    prompts = {i: _prompt(5 + i) for i in range(3)}
+    want = {i: np.asarray(m.generate(params, p[None], steps=6))[0]
+            for i, p in prompts.items()}
+
+    streams = {i: [] for i in range(3)}
+    eng.add_request(0, prompts[0])
+    for _ in range(2):
+        for s, t in eng.step().items():
+            streams[s].append(t)
+    eng.add_requests({1: prompts[1], 2: prompts[2]})   # join mid-flight
+    while any(len(v) < 6 for v in streams.values()):
+        for s, t in eng.step().items():
+            if len(streams[s]) < 6:
                 streams[s].append(t)
     for i in range(3):
         np.testing.assert_array_equal(streams[i], want[i], err_msg=str(i))
