@@ -62,6 +62,13 @@ class GenerationEngine:
     temperature: float = 0.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    sampling: Optional[object] = None  # serving.SamplingParams — the full
+                                 # decode-time control surface (min_p,
+                                 # repetition/presence/frequency penalties,
+                                 # logit_bias, banned_tokens). Overrides the
+                                 # three plain fields above. Penalty token
+                                 # statistics live in the donated device
+                                 # state and update in-graph per step.
     seed: int = 0
     draft_gpt: object = None     # optional draft model -> step_speculative
     draft_params: dict = None
@@ -134,6 +141,13 @@ class GenerationEngine:
         }
         if not mla:
             state["v_pages"] = [jnp.zeros(shape, store) for _ in range(L)]
+        if self._sp_stats and gpt is self.gpt:
+            # Penalty statistics ride the TARGET lane only (sampling reads
+            # target logits): int32 generated-token counts + bool prompt
+            # membership, one [vocab] row per slot (~2.5 MB at v=32k, S=16).
+            V = c.vocab_size
+            state["counts"] = jnp.zeros((self.max_seqs, V), jnp.int32)
+            state["prompt_mask"] = jnp.zeros((self.max_seqs, V), bool)
         if self.quantize_kv:
             sshape = shape[:-1] + (1,)
             state["k_scales"] = [jnp.zeros(sshape, jnp.float32)
@@ -283,6 +297,29 @@ class GenerationEngine:
     def __post_init__(self):
         c = self.gpt.config
         assert not c.scan_layers, "engine requires scan_layers=False"
+        # ---- sampling control surface ------------------------------------
+        # A SamplingParams overrides the three plain fields (they stay in
+        # sync so text.py / the speculative accept path read one source of
+        # truth). Penalty statistics (per-slot generated-token counts + a
+        # prompt-membership mask) live in the DONATED device state and are
+        # updated in-graph — no host round-trip per token.
+        self._sp = self.sampling
+        self._sp_bias = None
+        self._sp_stats = False
+        if self._sp is not None:
+            from np_modeling_tpu.serving.sampling import static_bias
+            self.temperature = self._sp.temperature
+            self.top_k = self._sp.top_k
+            self.top_p = self._sp.top_p
+            self._sp_bias = static_bias(self._sp, c.vocab_size)
+            self._sp_stats = self._sp.needs_token_stats
+            if self.draft_gpt is not None:
+                assert (not self._sp_stats and self._sp.min_p is None
+                        and self._sp_bias is None), (
+                    "speculative decoding composes with temperature/top_k/"
+                    "top_p only — penalties/min_p/logit_bias would change "
+                    "the target distribution the draft never saw, breaking "
+                    "the accept/reject exactness guarantee")
         self._mla = bool(getattr(c, "mla", None))
         if self._mla:
             # Paged MLA serving: the pages hold LATENTS (rank+rope per
@@ -433,6 +470,33 @@ class GenerationEngine:
                 del refs[p]
                 free.append(p)
 
+    def _seed_stats(self, rows) -> None:
+        """Install penalty statistics for newly prefilled slots: the prompt
+        membership mask (repetition penalty spans prompt + generated; HF
+        semantics) and a zeroed generated-token count row.
+        ``rows``: [(slot, prompt 1-D int array)]. Host-side, once/prefill."""
+        if not self._sp_stats:
+            return
+        from np_modeling_tpu.serving.sampling import token_histogram
+        V = self.gpt.config.vocab_size
+        st = dict(self._state)
+        for slot, prompt in rows:
+            pm = token_histogram(prompt, V) > 0
+            st["prompt_mask"] = st["prompt_mask"].at[slot].set(pm)
+            st["counts"] = st["counts"].at[slot].set(0)
+        self._state = st
+
+    def _count_first(self, slots, toks) -> None:
+        """Count the prefill-sampled FIRST tokens into the penalty
+        histograms (decode-step tokens are counted in-graph)."""
+        if not self._sp_stats:
+            return
+        st = dict(self._state)
+        st["counts"] = st["counts"].at[
+            jnp.asarray(slots, jnp.int32),
+            jnp.asarray(toks, jnp.int32)].add(1)
+        self._state = st
+
     def add_request(self, seq_id: int, prompt_tokens,
                     adapter: Optional[str] = None) -> int:
         """Prefill a prompt; returns the first generated token.
@@ -484,8 +548,14 @@ class GenerationEngine:
         if self.draft_gpt is not None and len(self._dfree) < n_pages:
             raise OutOfPagesError("out of draft-lane KV pages")
         pages = self._alloc(n_pages)           # atomic: checks before popping
+        self._seed_stats([(slot, prompt[0])])
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(self._sample(logits[:, -1].astype(jnp.float32), sub)[0])
+        tok = int(self._sample(
+            logits[:, -1].astype(jnp.float32), sub,
+            self._state["counts"][slot][None] if self._sp_stats else None,
+            self._state["prompt_mask"][slot][None] if self._sp_stats
+            else None)[0])
+        self._count_first([slot], [tok])
         if n_pages not in self._jit_prefill:
             self._jit_prefill[n_pages] = self._make_prefill(n_pages,
                                                             self._trash)
@@ -632,8 +702,13 @@ class GenerationEngine:
             if ln.attr == "_state":
                 last_logits = jnp.stack(row_logits)
 
+        self._seed_stats([(slot, prompt) for _, slot, prompt, _, _ in reqs])
+        counts_rows = pm_rows = None
+        if self._sp_stats:
+            counts_rows = jnp.take(self._state["counts"], slots_arr, axis=0)
+            pm_rows = jnp.take(self._state["prompt_mask"], slots_arr, axis=0)
         self._rng, sub = jax.random.split(self._rng)
-        toks = self._sample(last_logits, sub)
+        toks = self._sample(last_logits, sub, counts_rows, pm_rows)
         out = {}
         for ln in lanes:
             st = dict(getattr(self, ln.attr))
@@ -642,6 +717,7 @@ class GenerationEngine:
                 st["last_tok"] = st["last_tok"].at[slot].set(toks[i])
                 st["active"] = st["active"].at[slot].set(True)
             setattr(self, ln.attr, st)
+        self._count_first(slots_arr, toks)
         for i, (seq_id, *_rest) in enumerate(reqs):
             out[seq_id] = int(toks[i])
         return out
@@ -715,6 +791,9 @@ class GenerationEngine:
             st["active"] = st["active"].at[slot].set(False)
             st["lengths"] = st["lengths"].at[slot].set(0)
             st["adapter"] = st["adapter"].at[slot].set(0)
+            if "counts" in st:   # slot reuse must not inherit penalties
+                st["counts"] = st["counts"].at[slot].set(0)
+                st["prompt_mask"] = st["prompt_mask"].at[slot].set(False)
             setattr(self, ln.attr, st)
 
     # ---- fork: prefix caching via refcounted page sharing -----------------
@@ -787,6 +866,11 @@ class GenerationEngine:
             state["active"] = state["active"].at[slot].set(True)
             state["adapter"] = state["adapter"].at[slot].set(
                 state["adapter"][pslot])
+            if "counts" in state:   # child continues the parent's penalties
+                state["counts"] = state["counts"].at[slot].set(
+                    state["counts"][pslot])
+                state["prompt_mask"] = state["prompt_mask"].at[slot].set(
+                    state["prompt_mask"][pslot])
             return state
 
         return fork_lane
@@ -1128,7 +1212,14 @@ class GenerationEngine:
         state, logits = self._forward_tokens(state, params,
                                              state["last_tok"][:, None],
                                              gpt, trash)
-        new_tok = self._sample(logits[:, 0], key)
+        new_tok = self._sample(logits[:, 0], key, state.get("counts"),
+                               state.get("prompt_mask"))
+        if "counts" in state:
+            # In-graph penalty bookkeeping: the sampled token joins this
+            # slot's generated-token histogram (inactive slots don't count).
+            rows = jnp.arange(new_tok.shape[0])
+            state["counts"] = state["counts"].at[rows, new_tok].add(
+                active.astype(jnp.int32))
         state["last_tok"] = jnp.where(active, new_tok, state["last_tok"])
         state["lengths"] = state["lengths"] + active.astype(jnp.int32)
         out = jnp.where(active, new_tok, -1)
@@ -1136,9 +1227,16 @@ class GenerationEngine:
             return state, out, logits[:, 0]
         return state, out
 
-    def _sample(self, logits, key):
+    def _sample(self, logits, key, counts=None, prompt_mask=None):
         """Greedy (temperature=0) or in-graph temperature/top-k/top-p
-        sampling (same semantics as models.GPT._sample)."""
+        sampling (same semantics as models.GPT._sample). With a
+        ``sampling=SamplingParams``, the full processor chain runs instead
+        (penalties over ``counts``/``prompt_mask`` rows, min_p, logit
+        bias) — serving.sampling.sample."""
+        if self._sp is not None:
+            from np_modeling_tpu.serving import sampling as _sampling
+            return _sampling.sample(logits, key, self._sp, counts,
+                                    prompt_mask, self._sp_bias)
         if self.temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         from np_modeling_tpu.models.transformer_lm import GPT
