@@ -69,6 +69,16 @@ class GenerationEngine:
                                  # three plain fields above. Penalty token
                                  # statistics live in the donated device
                                  # state and update in-graph per step.
+    per_request_sampling: bool = False   # PER-REQUEST controls: each
+                                 # add_request(..., sampling=SamplingParams)
+                                 # decodes with its own temperature/top-k/
+                                 # top-p/min-p/penalties/logit-bias in the
+                                 # SAME jitted dispatch. All knobs are device
+                                 # DATA (a [max_seqs, 7] row table + [max_
+                                 # seqs, vocab] bias/count tables), so
+                                 # joining/leaving never recompiles. Slots
+                                 # without an explicit SamplingParams fall
+                                 # back to the plain fields above.
     seed: int = 0
     draft_gpt: object = None     # optional draft model -> step_speculative
     draft_params: dict = None
@@ -141,13 +151,21 @@ class GenerationEngine:
         }
         if not mla:
             state["v_pages"] = [jnp.zeros(shape, store) for _ in range(L)]
-        if self._sp_stats and gpt is self.gpt:
+        if (self._sp_stats or self.per_request_sampling) and gpt is self.gpt:
             # Penalty statistics ride the TARGET lane only (sampling reads
             # target logits): int32 generated-token counts + bool prompt
             # membership, one [vocab] row per slot (~2.5 MB at v=32k, S=16).
             V = c.vocab_size
             state["counts"] = jnp.zeros((self.max_seqs, V), jnp.int32)
             state["prompt_mask"] = jnp.zeros((self.max_seqs, V), bool)
+        if self.per_request_sampling and gpt is self.gpt:
+            # Per-slot knob rows (sampling.PARAM_COLS) + per-slot additive
+            # logit bias ([S, vocab] fp32 — 4 MB at v=64k, S=16; the price
+            # of per-request logit_bias/banned_tokens as pure data).
+            state["samp"] = jnp.tile(self._default_row[None],
+                                     (self.max_seqs, 1))
+            state["samp_bias"] = jnp.zeros((self.max_seqs, c.vocab_size),
+                                           jnp.float32)
         if self.quantize_kv:
             sshape = shape[:-1] + (1,)
             state["k_scales"] = [jnp.zeros(sshape, jnp.float32)
@@ -306,6 +324,19 @@ class GenerationEngine:
         self._sp = self.sampling
         self._sp_bias = None
         self._sp_stats = False
+        if self.per_request_sampling:
+            from np_modeling_tpu.serving.sampling import (SamplingParams,
+                                                          params_row)
+            assert self.sampling is None, (
+                "per_request_sampling takes SamplingParams per add_request; "
+                "the plain temperature/top_k/top_p fields set the default "
+                "for requests without one — drop the engine-level sampling=")
+            assert self.draft_gpt is None, (
+                "speculative decoding needs one static sampling config for "
+                "the accept/reject ratio — per-request knobs don't compose")
+            self._default_row = params_row(SamplingParams(
+                temperature=self.temperature, top_k=self.top_k,
+                top_p=self.top_p))
         if self._sp is not None:
             from np_modeling_tpu.serving.sampling import static_bias
             self.temperature = self._sp.temperature
@@ -475,7 +506,7 @@ class GenerationEngine:
         membership mask (repetition penalty spans prompt + generated; HF
         semantics) and a zeroed generated-token count row.
         ``rows``: [(slot, prompt 1-D int array)]. Host-side, once/prefill."""
-        if not self._sp_stats:
+        if not (self._sp_stats or self.per_request_sampling):
             return
         from np_modeling_tpu.serving.sampling import token_histogram
         V = self.gpt.config.vocab_size
@@ -486,10 +517,18 @@ class GenerationEngine:
             st["counts"] = st["counts"].at[slot].set(0)
         self._state = st
 
+    def _stat_rows(self, slots):
+        """Gather per-slot sampling-state rows (counts, prompt_mask, samp,
+        samp_bias) for a prefill-time draw; None for tables not carried."""
+        idx = jnp.asarray(slots, jnp.int32)
+        return tuple(jnp.take(self._state[k], idx, axis=0)
+                     if k in self._state else None
+                     for k in ("counts", "prompt_mask", "samp", "samp_bias"))
+
     def _count_first(self, slots, toks) -> None:
         """Count the prefill-sampled FIRST tokens into the penalty
         histograms (decode-step tokens are counted in-graph)."""
-        if not self._sp_stats:
+        if not (self._sp_stats or self.per_request_sampling):
             return
         st = dict(self._state)
         st["counts"] = st["counts"].at[
@@ -497,8 +536,22 @@ class GenerationEngine:
             jnp.asarray(toks, jnp.int32)].add(1)
         self._state = st
 
+    def _set_request_sampling(self, slot: int, sp) -> None:
+        """Install a slot's per-request knob row + bias row (or the engine
+        defaults when ``sp`` is None)."""
+        from np_modeling_tpu.serving.sampling import params_row, static_bias
+        st = dict(self._state)
+        st["samp"] = st["samp"].at[slot].set(
+            self._default_row if sp is None else params_row(sp))
+        bias = None if sp is None else static_bias(
+            sp, self.gpt.config.vocab_size)
+        st["samp_bias"] = st["samp_bias"].at[slot].set(
+            0.0 if bias is None else bias)
+        self._state = st
+
     def add_request(self, seq_id: int, prompt_tokens,
-                    adapter: Optional[str] = None) -> int:
+                    adapter: Optional[str] = None,
+                    sampling: Optional[object] = None) -> int:
         """Prefill a prompt; returns the first generated token.
 
         ``adapter``: name of a LoRA adapter from ``lora_adapters`` — this
@@ -519,6 +572,12 @@ class GenerationEngine:
             st = dict(self._state)
             st["adapter"] = st["adapter"].at[slot].set(aid)
             self._state = st
+        if sampling is not None and not self.per_request_sampling:
+            raise ValueError("construct the engine with per_request_"
+                             "sampling=True to pass per-request "
+                             "SamplingParams to add_request")
+        if self.per_request_sampling:
+            self._set_request_sampling(slot, sampling)
 
         prompt = jnp.asarray(prompt_tokens)[None, :]
         plen = int(prompt.shape[1])
@@ -550,11 +609,8 @@ class GenerationEngine:
         pages = self._alloc(n_pages)           # atomic: checks before popping
         self._seed_stats([(slot, prompt[0])])
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(self._sample(
-            logits[:, -1].astype(jnp.float32), sub,
-            self._state["counts"][slot][None] if self._sp_stats else None,
-            self._state["prompt_mask"][slot][None] if self._sp_stats
-            else None)[0])
+        tok = int(self._sample(logits[:, -1].astype(jnp.float32), sub,
+                               *self._stat_rows([slot]))[0])
         self._count_first([slot], [tok])
         if n_pages not in self._jit_prefill:
             self._jit_prefill[n_pages] = self._make_prefill(n_pages,
@@ -581,21 +637,28 @@ class GenerationEngine:
         self._seq_pages[seq_id] = pages
         return tok
 
-    def add_requests(self, prompts: dict, adapters: Optional[dict] = None
-                     ) -> dict:
+    def add_requests(self, prompts: dict, adapters: Optional[dict] = None,
+                     sampling: Optional[dict] = None) -> dict:
         """Prefill SEVERAL prompts at once; returns {seq_id: first token}.
 
         With chunked prefill enabled (the default) all prompts stream
         through batched [B, chunk] chunk forwards — one dispatch per chunk
         index for the whole batch instead of per sequence. Falls back to
         per-request dense prefill otherwise. ``adapters``: optional
-        {seq_id: adapter_name} (multi-LoRA)."""
+        {seq_id: adapter_name} (multi-LoRA). ``sampling``: optional
+        {seq_id: SamplingParams} (requires per_request_sampling=True)."""
         adapters = adapters or {}
+        sampling = sampling or {}
+        if sampling and not self.per_request_sampling:
+            raise ValueError("construct the engine with per_request_"
+                             "sampling=True to pass per-request "
+                             "SamplingParams to add_requests")
         items = sorted(prompts.items())
         chunkable_moe = (not self.gpt.config.moe_experts
                          or self.gpt.config.moe_capacity_factor is None)
         if not (self.prefill_chunk_size and chunkable_moe) or len(items) <= 1:
-            return {sid: self.add_request(sid, toks, adapters.get(sid))
+            return {sid: self.add_request(sid, toks, adapters.get(sid),
+                                          sampling.get(sid))
                     for sid, toks in items}
         used = set(self._slots.values())
         free_slots = [s for s in range(self.max_seqs) if s not in used]
@@ -621,6 +684,19 @@ class GenerationEngine:
                     "per-sequence capacity (model max_len / page table)")
             if self._adapter_ids:
                 st["adapter"] = st["adapter"].at[slot].set(aid)
+            if self.per_request_sampling:
+                # Inline (not _set_request_sampling): the loop owns one
+                # pending ``st`` copy — a helper re-reading self._state
+                # would drop the rows set so far.
+                from np_modeling_tpu.serving.sampling import (params_row,
+                                                              static_bias)
+                sp = sampling.get(sid)
+                st["samp"] = st["samp"].at[slot].set(
+                    self._default_row if sp is None else params_row(sp))
+                b = None if sp is None else static_bias(
+                    sp, self.gpt.config.vocab_size)
+                st["samp_bias"] = st["samp_bias"].at[slot].set(
+                    0.0 if b is None else b)
             reqs.append((sid, slot, arr, plen, aid))
         self._state = st
         return self._add_requests_chunked(reqs)
@@ -703,12 +779,8 @@ class GenerationEngine:
                 last_logits = jnp.stack(row_logits)
 
         self._seed_stats([(slot, prompt) for _, slot, prompt, _, _ in reqs])
-        counts_rows = pm_rows = None
-        if self._sp_stats:
-            counts_rows = jnp.take(self._state["counts"], slots_arr, axis=0)
-            pm_rows = jnp.take(self._state["prompt_mask"], slots_arr, axis=0)
         self._rng, sub = jax.random.split(self._rng)
-        toks = self._sample(last_logits, sub, counts_rows, pm_rows)
+        toks = self._sample(last_logits, sub, *self._stat_rows(slots_arr))
         out = {}
         for ln in lanes:
             st = dict(getattr(self, ln.attr))
@@ -794,6 +866,9 @@ class GenerationEngine:
             if "counts" in st:   # slot reuse must not inherit penalties
                 st["counts"] = st["counts"].at[slot].set(0)
                 st["prompt_mask"] = st["prompt_mask"].at[slot].set(False)
+            if "samp" in st:     # ...nor the previous request's knobs
+                st["samp"] = st["samp"].at[slot].set(self._default_row)
+                st["samp_bias"] = st["samp_bias"].at[slot].set(0.0)
             setattr(self, ln.attr, st)
 
     # ---- fork: prefix caching via refcounted page sharing -----------------
@@ -871,6 +946,11 @@ class GenerationEngine:
                     state["counts"][pslot])
                 state["prompt_mask"] = state["prompt_mask"].at[slot].set(
                     state["prompt_mask"][pslot])
+            if "samp" in state:     # ...and the parent's knobs/bias
+                state["samp"] = state["samp"].at[slot].set(
+                    state["samp"][pslot])
+                state["samp_bias"] = state["samp_bias"].at[slot].set(
+                    state["samp_bias"][pslot])
             return state
 
         return fork_lane
@@ -1213,7 +1293,8 @@ class GenerationEngine:
                                              state["last_tok"][:, None],
                                              gpt, trash)
         new_tok = self._sample(logits[:, 0], key, state.get("counts"),
-                               state.get("prompt_mask"))
+                               state.get("prompt_mask"), state.get("samp"),
+                               state.get("samp_bias"))
         if "counts" in state:
             # In-graph penalty bookkeeping: the sampled token joins this
             # slot's generated-token histogram (inactive slots don't count).
@@ -1227,12 +1308,18 @@ class GenerationEngine:
             return state, out, logits[:, 0]
         return state, out
 
-    def _sample(self, logits, key, counts=None, prompt_mask=None):
+    def _sample(self, logits, key, counts=None, prompt_mask=None,
+                samp=None, bias=None):
         """Greedy (temperature=0) or in-graph temperature/top-k/top-p
         sampling (same semantics as models.GPT._sample). With a
         ``sampling=SamplingParams``, the full processor chain runs instead
         (penalties over ``counts``/``prompt_mask`` rows, min_p, logit
-        bias) — serving.sampling.sample."""
+        bias) — serving.sampling.sample. Per-request mode draws each row
+        under its own knob row — serving.sampling.sample_batch."""
+        if self.per_request_sampling:
+            from np_modeling_tpu.serving import sampling as _sampling
+            return _sampling.sample_batch(logits, key, samp, counts,
+                                          prompt_mask, bias)
         if self._sp is not None:
             from np_modeling_tpu.serving import sampling as _sampling
             return _sampling.sample(logits, key, self._sp, counts,

@@ -132,3 +132,81 @@ def token_histogram(tokens, vocab_size: int):
     prompt masks / prefill count rows)."""
     return jnp.zeros((vocab_size,), jnp.int32).at[
         jnp.asarray(tokens, jnp.int32)].add(1)
+
+
+# ---- per-request sampling (vLLM-style) ------------------------------------
+#
+# The engine's per-request mode keeps ONE [S, 7] fp32 parameter table in
+# device state — a row per slot, columns below — so every live sequence
+# decodes with its own controls in the same jitted dispatch. All knobs are
+# data (not trace constants), so joining/leaving requests never recompiles.
+
+PARAM_COLS = ("temperature", "top_k", "top_p", "min_p",
+              "repetition_penalty", "presence_penalty", "frequency_penalty")
+# Disabled-knob encodings (a row of these == greedy argmax):
+_OFF = {"temperature": 0.0, "top_k": 0.0, "top_p": 1.0, "min_p": 0.0,
+        "repetition_penalty": 1.0, "presence_penalty": 0.0,
+        "frequency_penalty": 0.0}
+
+
+def params_row(sp: Optional[SamplingParams]):
+    """Encode one SamplingParams as a length-7 fp32 row (None = greedy).
+    ``logit_bias``/``banned_tokens`` are NOT in the row — they fold into
+    the engine's per-slot bias table (see :func:`static_bias`)."""
+    import numpy as np
+    if sp is None:
+        return np.asarray([_OFF[c] for c in PARAM_COLS], np.float32)
+    vals = [sp.temperature, sp.top_k, sp.top_p, sp.min_p,
+            sp.repetition_penalty, sp.presence_penalty, sp.frequency_penalty]
+    return np.asarray([_OFF[c] if v is None else float(v)
+                       for c, v in zip(PARAM_COLS, vals)], np.float32)
+
+
+def sample_batch(logits, key, table, counts=None, prompt_mask=None,
+                 bias=None):
+    """Per-ROW processor chain + draw: logits [S, V], ``table`` [S, 7]
+    (:data:`PARAM_COLS`), optional counts/prompt_mask [S, V] and bias
+    [S, V]. Rows with temperature 0 take the (processed) argmax; sampled
+    rows draw from their own temperature/top-k/top-p/min-p distribution.
+    One descending sort serves both per-row top-k and top-p. Matches the
+    single-config :func:`sample` exactly when every row encodes the same
+    SamplingParams (asserted in tests/test_sampling.py)."""
+    lg = logits.astype(jnp.float32)
+    V = lg.shape[-1]
+    if bias is not None:
+        lg = lg + bias
+    rep = table[:, 4:5]
+    if counts is not None:
+        seen = prompt_mask | (counts > 0)
+        pen = jnp.where(lg > 0, lg / rep, lg * rep)
+        lg = jnp.where(seen & (rep != 1.0), pen, lg)
+        lg = lg - table[:, 5:6] * (counts > 0)
+        lg = lg - table[:, 6:7] * counts.astype(jnp.float32)
+    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    t = table[:, 0:1]
+    lgt = lg / jnp.where(t > 0, t, 1.0)
+    srt = -jnp.sort(-lgt, axis=-1)                       # descending
+    # top-k: kth-largest per row (k=0 -> V, i.e. keep everything).
+    k = jnp.where(table[:, 1] > 0, table[:, 1], V).astype(jnp.int32)
+    kth = jnp.take_along_axis(srt, jnp.clip(k - 1, 0, V - 1)[:, None],
+                              axis=-1)
+    keep = lgt >= kth
+    # top-p: smallest kept logit of each row's nucleus (p=1 keeps all).
+    # filter_logits applies top-k FIRST, so the nucleus is over the
+    # top-k-renormalized distribution — mask srt's tail before softmax
+    # (srt is descending, so rank == index).
+    srt = jnp.where(jnp.arange(V)[None, :] < k[:, None], srt, -jnp.inf)
+    probs = jax.nn.softmax(srt, axis=-1)
+    nucleus = jnp.cumsum(probs, axis=-1) - probs < table[:, 2:3]
+    cutoff_p = jnp.min(jnp.where(nucleus, srt, jnp.inf), axis=-1,
+                       keepdims=True)
+    keep &= lgt >= cutoff_p
+    # min_p: threshold at max + log(min_p); min_p=0 -> -inf (off).
+    cutoff_m = (jnp.max(lgt, axis=-1, keepdims=True)
+                + jnp.log(table[:, 3:4]))
+    keep &= lgt >= cutoff_m
+    lgt = jnp.where(keep, lgt, -jnp.inf)
+    drawn = jax.random.categorical(jax.random.fold_in(key, 0), lgt,
+                                   axis=-1).astype(jnp.int32)
+    return jnp.where(table[:, 0] == 0.0, greedy_tok, drawn)

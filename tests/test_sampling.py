@@ -18,8 +18,10 @@ import torch
 
 from np_modeling_tpu import models
 from np_modeling_tpu.serving import GenerationEngine, SamplingParams
-from np_modeling_tpu.serving.sampling import (min_p_filter, process_logits,
-                                              static_bias, token_histogram)
+from np_modeling_tpu.serving.sampling import (min_p_filter, params_row,
+                                              process_logits, sample,
+                                              sample_batch, static_bias,
+                                              token_histogram)
 
 rng = np.random.default_rng(0)
 
@@ -228,6 +230,98 @@ def test_speculative_rejects_advanced_sampling():
     with pytest.raises(AssertionError, match="speculative"):
         GenerationEngine(gpt, params, draft_gpt=gpt, draft_params=params,
                          sampling=SamplingParams(repetition_penalty=1.3))
+
+
+def test_sample_batch_matches_single_config():
+    """A uniform per-row table must reproduce the single-config chain
+    EXACTLY (same -inf pattern, same categorical draw) — uniform-row
+    batch == broadcast single config, for sampled and greedy configs."""
+    V, S = 97, 5
+    logits = jnp.asarray(rng.normal(size=(S, V)) * 3, jnp.float32)
+    counts = jnp.asarray(rng.integers(0, 3, (S, V)))
+    pmask = jnp.asarray(rng.random((S, V)) < 0.1)
+    for sp in (SamplingParams(temperature=0.7, top_k=12, top_p=0.9,
+                              min_p=0.05, repetition_penalty=1.5,
+                              presence_penalty=0.3, frequency_penalty=0.2),
+               SamplingParams(repetition_penalty=2.0),          # greedy
+               SamplingParams(temperature=1.1, top_p=0.7),
+               SamplingParams(temperature=0.5, top_k=3)):
+        key = jax.random.PRNGKey(5)
+        want = sample(logits, key, sp, counts, pmask)
+        table = jnp.tile(jnp.asarray(params_row(sp))[None], (S, 1))
+        got = sample_batch(logits, key, table, counts, pmask)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want)), sp
+
+
+def test_per_request_sampling_independent_slots():
+    """Two greedy slots with DIFFERENT penalty configs in one dispatch:
+    each must match its own single-config oracle."""
+    gpt, params = _gpt()
+    p1 = rng.integers(0, 64, (6,))
+    p2 = rng.integers(0, 64, (5,))
+    sp1 = SamplingParams(repetition_penalty=2.0)
+    sp2 = SamplingParams(frequency_penalty=1.0, logit_bias={3: 4.0})
+    want1 = _oracle_decode(gpt, params, p1, 5, sp1)
+    want2 = _oracle_decode(gpt, params, p2, 5, sp2)
+    eng = GenerationEngine(gpt, params, total_pages=64, page_size=4,
+                           max_seqs=4, per_request_sampling=True)
+    firsts = eng.add_requests({0: jnp.asarray(p1), 1: jnp.asarray(p2)},
+                              sampling={0: sp1, 1: sp2})
+    got1, got2 = [firsts[0]], [firsts[1]]
+    outs = eng.step_many(4)
+    got1 += outs[0]
+    got2 += outs[1]
+    assert got1 == want1
+    assert got2 == want2
+
+
+def test_per_request_default_matches_plain_engine():
+    """Slots WITHOUT an explicit SamplingParams fall back to the engine's
+    plain fields — token-exact vs a non-per-request engine (greedy and
+    sampled), including a sampled slot sharing the dispatch."""
+    gpt, params = _gpt()
+    prompt = rng.integers(0, 64, (6,))
+    plain = GenerationEngine(gpt, params, total_pages=32, page_size=4)
+    a = [plain.add_request(0, jnp.asarray(prompt))]
+    a += plain.step_many(4)[0]
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4,
+                           max_seqs=4, per_request_sampling=True)
+    b = [eng.add_request(0, jnp.asarray(prompt))]
+    eng.add_request(1, jnp.asarray(rng.integers(0, 64, (4,))),
+                    sampling=SamplingParams(temperature=0.9, top_k=5))
+    outs = eng.step_many(4)
+    b += outs[0]
+    assert a == b                      # greedy slot unaffected by neighbor
+    assert all(0 <= t < 64 for t in outs[1])
+
+
+def test_per_request_fork_and_finish():
+    gpt, params = _gpt()
+    sp = SamplingParams(repetition_penalty=1.9, banned_tokens=(7,))
+    eng = GenerationEngine(gpt, params, total_pages=64, page_size=4,
+                           max_seqs=4, per_request_sampling=True)
+    prompt = rng.integers(0, 64, (6,))
+    eng.add_request(0, jnp.asarray(prompt), sampling=sp)
+    eng.step()
+    eng.fork(0, 1)
+    out = eng.step()
+    assert out[0] == out[1]            # child inherits knobs + stats + bias
+    eng.finish(0)
+    eng.finish(1)
+    # Reused slot reverts to the engine default (greedy, no penalties).
+    fresh = GenerationEngine(gpt, params, total_pages=64, page_size=4,
+                             max_seqs=4)
+    assert (eng.add_request(2, jnp.asarray(prompt))
+            == fresh.add_request(0, jnp.asarray(prompt)))
+    assert eng.step()[2] == fresh.step()[0]
+
+
+def test_per_request_requires_flag():
+    gpt, params = _gpt()
+    eng = GenerationEngine(gpt, params, total_pages=32, page_size=4)
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        eng.add_request(0, jnp.asarray(rng.integers(0, 64, (4,))),
+                        sampling=SamplingParams(min_p=0.1))
 
 
 def test_plain_sampling_params_match_legacy_fields():
