@@ -79,6 +79,18 @@ class GenerationEngine:
                                  # joining/leaving never recompiles. Slots
                                  # without an explicit SamplingParams fall
                                  # back to the plain fields above.
+    enable_prefix_cache: bool = False   # content-addressed KV page reuse
+                                 # ACROSS requests (automatic prefix
+                                 # caching): every fully-filled prompt page
+                                 # is keyed by a chained hash of the tokens
+                                 # it covers (+ adapter id); a new request
+                                 # SHARES its longest cached page-prefix
+                                 # (refcounted, append-only — the fork
+                                 # mechanism) and prefills only the suffix.
+                                 # Entries hold their own refcount so they
+                                 # outlive finish(); LRU-evicted when the
+                                 # free list runs short. Requires chunked
+                                 # prefill; draft lane not supported.
     seed: int = 0
     draft_gpt: object = None     # optional draft model -> step_speculative
     draft_params: dict = None
@@ -351,6 +363,22 @@ class GenerationEngine:
                     "top_p only — penalties/min_p/logit_bias would change "
                     "the target distribution the draft never saw, breaking "
                     "the accept/reject exactness guarantee")
+        # ---- automatic prefix caching ------------------------------------
+        self._prefix_cache = None
+        self._cache_hit_tokens = 0
+        self._cache_lookup_tokens = 0
+        if self.enable_prefix_cache:
+            from collections import OrderedDict
+            assert self.draft_gpt is None, (
+                "prefix cache + draft lane is not wired (the draft lane "
+                "would need its own content-addressed cache, and matched "
+                "prefixes must agree across lanes)")
+            assert self.prefill_chunk_size is not None and (
+                not c.moe_experts or c.moe_capacity_factor is None), (
+                "the prefix cache prefills suffixes through the CHUNKED "
+                "path — capacity-limited MoE (dense prefill) and "
+                "prefill_chunk_size=None can't use it")
+            self._prefix_cache = OrderedDict()   # chain hash -> page
         self._mla = bool(getattr(c, "mla", None))
         if self._mla:
             # Paged MLA serving: the pages hold LATENTS (rank+rope per
@@ -399,6 +427,10 @@ class GenerationEngine:
         self._reclaim_mark: dict[int, int] = {}  # window-reclaim watermark
         self._slots: dict[int, int] = {}        # seq_id -> slot
         self._host_len: dict[int, int] = {}     # authoritative lengths
+        self._history: dict[int, list] = {}     # full token ids (prompt +
+                                                # emitted) — feeds prompt-
+                                                # lookup proposals
+        self._jit_lookup: dict[int, object] = {}   # gamma -> jitted verify
         self._seq_pages: dict[int, list[int]] = {}
         self._rng = jax.random.PRNGKey(self.seed)
         # ---- optional multi-LoRA serving --------------------------------
@@ -481,9 +513,43 @@ class GenerationEngine:
                                     self._dreclaim_mark, self._dtrash))
         return lanes
 
+    def _prefix_hashes(self, aid: int, prompt, plen: int) -> list:
+        """Chained content hashes of the prompt's FULL pages: entry i
+        identifies tokens [0, (i+1)*page_size) under adapter ``aid``, so
+        equal prefixes hash equal and a dict walk finds the longest
+        cached page prefix."""
+        import hashlib
+        ps = self.page_size
+        toks = np.asarray(prompt, np.int32)
+        run = hashlib.sha1(repr((aid, ps)).encode())
+        out = []
+        for i in range(plen // ps):
+            run.update(toks[i * ps:(i + 1) * ps].tobytes())
+            out.append(run.hexdigest())
+        return out
+
+    def _evict_for(self, n: int, free, refs) -> None:
+        """LRU-evict prefix-cache entries until ``free`` covers ``n`` pages.
+        Dropping the cache's refcount frees a page only when no live
+        sequence shares it; either way the cache shrinks, so this
+        terminates."""
+        while self._prefix_cache and len(free) < n:
+            _, pg = self._prefix_cache.popitem(last=False)
+            self._release([pg], free, refs)
+
+    @property
+    def prefix_cache_stats(self) -> dict:
+        """{entries, hit_tokens, lookup_tokens} — hit_tokens counts prompt
+        tokens whose KV came from the cache instead of a prefill pass."""
+        return {"entries": len(self._prefix_cache or ()),
+                "hit_tokens": self._cache_hit_tokens,
+                "lookup_tokens": self._cache_lookup_tokens}
+
     def _alloc(self, n: int, free=None, refs=None) -> list[int]:
         free = self._free if free is None else free
         refs = self._refs if refs is None else refs
+        if free is self._free:
+            self._evict_for(n, free, refs)
         if len(free) < n:
             raise OutOfPagesError(
                 f"out of KV pages ({self.total_pages} total)")
@@ -635,6 +701,7 @@ class GenerationEngine:
         self._slots[seq_id] = slot
         self._host_len[seq_id] = plen
         self._seq_pages[seq_id] = pages
+        self._history[seq_id] = [int(t) for t in np.asarray(prompt[0])] + [tok]
         return tok
 
     def add_requests(self, prompts: dict, adapters: Optional[dict] = None,
@@ -712,22 +779,61 @@ class GenerationEngine:
         (chunk, B) — not per prompt length.
 
         ``reqs``: list of (seq_id, slot, prompt [plen], plen, adapter_id).
-        Returns {seq_id: first generated token}."""
+        Returns {seq_id: first generated token}.
+
+        With ``enable_prefix_cache``, each row first matches its prompt's
+        page-aligned prefix against the content-addressed page cache; the
+        matched pages are SHARED (refcounted, append-only — the same
+        mechanism as fork) and only the SUFFIX streams through the chunk
+        forwards, each row at its own base offset."""
         chunk = self.prefill_chunk_size
         B = len(reqs)
         lanes = self._lanes()
-        total_pages = sum(-(-plen // self.page_size)
-                          for _, _, _, plen, _ in reqs)
+        ps = self.page_size
+
+        # Prefix-cache lookup (target lane only; the cache asserts the
+        # draft lane off). Matched token counts are page-aligned and capped
+        # at plen-1: at least one suffix token always runs, producing the
+        # last-position logits the first sampled token needs.
+        matches = {seq_id: [] for seq_id, *_ in reqs}
+        if self._prefix_cache is not None:
+            for seq_id, slot, prompt, plen, aid in reqs:
+                chain = self._prefix_hashes(aid, prompt, plen)
+                for h in chain[:(plen - 1) // ps]:
+                    pg = self._prefix_cache.get(h)
+                    if pg is None:
+                        break
+                    self._prefix_cache.move_to_end(h)      # LRU touch
+                    matches[seq_id].append(pg)
+                self._cache_lookup_tokens += plen
+                self._cache_hit_tokens += len(matches[seq_id]) * ps
+            # Matched pages take the sequence's refcount NOW, before any
+            # eviction below — an LRU eviction dropping the cache's ref
+            # must never free a page this very batch just matched.
+            for sid in matches:
+                for pg in matches[sid]:
+                    self._refs[pg] += 1
+
+        bases = np.asarray([len(matches[sid]) * ps
+                            for sid, *_ in reqs])           # [B] per-row
+        total_pages = sum(-(-plen // ps) - len(matches[sid])
+                          for sid, _, _, plen, _ in reqs)
         for ln in lanes:                       # atomic across lanes & rows
+            if ln.attr == "_state":
+                self._evict_for(total_pages, ln.free, ln.refs)
             if len(ln.free) < total_pages:
+                for sid in matches:            # unwind the match refs
+                    self._release(matches[sid], self._free, self._refs)
                 raise OutOfPagesError("out of KV pages for chunked prefill")
         params_of = {"_state": self._serve_params,
                      "_dstate": self.draft_params}
         for ln in lanes:
             st = dict(getattr(self, ln.attr))
             for seq_id, slot, _, plen, _ in reqs:
-                n_pages = -(-plen // self.page_size)
-                pages = self._alloc(n_pages, ln.free, ln.refs)
+                n_pages = -(-plen // ps)
+                shared = matches[seq_id] if ln.attr == "_state" else []
+                pages = shared + self._alloc(n_pages - len(shared),
+                                             ln.free, ln.refs)
                 ln.seq_pages[seq_id] = pages
                 # Tail entries -> trash: a padded final chunk's appends
                 # beyond the allocated pages must not land on page 0
@@ -746,13 +852,14 @@ class GenerationEngine:
             self._host_len[seq_id] = plen
 
         plens = np.asarray([plen for _, _, _, plen, _ in reqs])
+        suffix = plens - bases                 # tokens each row prefills
         slots_arr = jnp.asarray([slot for _, slot, _, _, _ in reqs],
                                 jnp.int32)
-        n_chunks = int(-(-plens.max() // chunk))
+        n_chunks = int(-(-suffix.max() // chunk))
         padded = np.zeros((B, n_chunks * chunk), np.int32)
         for i, (_, _, prompt, plen, _) in enumerate(reqs):
-            padded[i, :plen] = np.asarray(prompt)
-        final_ci = (plens - 1) // chunk        # row i's last chunk index
+            padded[i, :suffix[i]] = np.asarray(prompt)[bases[i]:]
+        final_ci = (suffix - 1) // chunk       # row i's last chunk index
         last_logits = None
         for ln in lanes:
             key = (chunk, B, ln.attr)
@@ -763,11 +870,12 @@ class GenerationEngine:
             st = getattr(self, ln.attr)
             row_logits = [None] * B
             for ci in range(n_chunks):
-                n_valid = np.clip(plens - ci * chunk, 0, chunk)
+                n_valid = np.clip(suffix - ci * chunk, 0, chunk)
                 st, lg = fn(st, params_of[ln.attr],
                             jnp.asarray(padded[:, ci * chunk:
                                                (ci + 1) * chunk]),
-                            slots_arr, jnp.int32(ci * chunk),
+                            slots_arr,
+                            jnp.asarray(bases + ci * chunk, jnp.int32),
                             jnp.asarray(n_valid, jnp.int32))
                 # Keep only rows whose FINAL chunk this was — holding every
                 # chunk's [B, vocab] logits alive would be O(n_chunks * B
@@ -777,6 +885,18 @@ class GenerationEngine:
             setattr(self, ln.attr, st)
             if ln.attr == "_state":
                 last_logits = jnp.stack(row_logits)
+
+        # Populate the cache: every FULLY-filled prompt page is now
+        # content-addressed (the cache holds its own refcount, so entries
+        # outlive finish() until evicted).
+        if self._prefix_cache is not None:
+            for seq_id, slot, prompt, plen, aid in reqs:
+                chain = self._prefix_hashes(aid, prompt, plen)
+                pages = self._seq_pages[seq_id]
+                for i, h in enumerate(chain):
+                    if h not in self._prefix_cache:
+                        self._prefix_cache[h] = pages[i]
+                        self._refs[pages[i]] += 1
 
         self._seed_stats([(slot, prompt) for _, slot, prompt, _, _ in reqs])
         self._rng, sub = jax.random.split(self._rng)
@@ -790,8 +910,10 @@ class GenerationEngine:
                 st["active"] = st["active"].at[slot].set(True)
             setattr(self, ln.attr, st)
         self._count_first(slots_arr, toks)
-        for i, (seq_id, *_rest) in enumerate(reqs):
+        for i, (seq_id, _, prompt, _, _) in enumerate(reqs):
             out[seq_id] = int(toks[i])
+            self._history[seq_id] = ([int(t) for t in np.asarray(prompt)]
+                                     + [out[seq_id]])
         return out
 
     def _make_prefill_chunk(self, chunk, B, gpt, trash):
@@ -800,10 +922,11 @@ class GenerationEngine:
             # Batch-B view of the lane: the chunk forward touches only the
             # new slots' table rows (B/max_seqs of the FLOPs) and the LM
             # head runs on one position per row instead of
-            # [max_seqs, chunk, vocab].
+            # [max_seqs, chunk, vocab]. ``base_len`` is PER ROW [B]: with
+            # prefix caching, each row starts at its own matched offset.
             view = dict(state)
             view["table"] = jnp.take(state["table"], slots, axis=0)
-            view["lengths"] = jnp.full((B,), base_len, jnp.int32)
+            view["lengths"] = base_len
             view["active"] = n_valid > 0
             view["last_tok"] = jnp.zeros((B,), jnp.int32)
             view["adapter"] = jnp.take(state["adapter"], slots, axis=0)
@@ -856,6 +979,7 @@ class GenerationEngine:
     def finish(self, seq_id: int) -> None:
         slot = self._slots.pop(seq_id)
         del self._host_len[seq_id]
+        self._history.pop(seq_id, None)
         for ln in self._lanes():
             ln.marks.pop(seq_id, None)
             self._release(ln.seq_pages.pop(seq_id), ln.free, ln.refs)
@@ -892,6 +1016,7 @@ class GenerationEngine:
         plen = self._host_len[parent_id]
         full, partial = divmod(plen, self.page_size)
         need = 1 if partial else 0
+        self._evict_for(need, self._free, self._refs)
         if any(len(ln.free) < need for ln in self._lanes()):
             raise OutOfPagesError("out of KV pages for fork")
         if not hasattr(self, "_jit_fork"):
@@ -924,6 +1049,7 @@ class GenerationEngine:
                 ln.marks[new_id] = ln.marks[parent_id]
         self._slots[new_id] = slot
         self._host_len[new_id] = plen
+        self._history[new_id] = list(self._history[parent_id])
 
     def _make_fork(self):
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1025,6 +1151,8 @@ class GenerationEngine:
                 if extra > 0:
                     needs.append((seq_id, slot, extra))
                     total += extra
+            if lane.attr == "_state":
+                self._evict_for(total, lane.free, lane.refs)
             if len(lane.free) < total:
                 raise OutOfPagesError(
                     f"out of KV pages ({self.total_pages} total; "
@@ -1058,6 +1186,7 @@ class GenerationEngine:
         for seq_id, slot in sorted(self._slots.items()):
             self._host_len[seq_id] += 1
             out[seq_id] = int(toks_np[slot])
+            self._history[seq_id].append(out[seq_id])
         return out
 
     def step_many(self, n: int) -> dict:
@@ -1088,6 +1217,7 @@ class GenerationEngine:
         for seq_id, slot in sorted(self._slots.items()):
             self._host_len[seq_id] += n
             out[seq_id] = [int(t) for t in toks_np[:, slot]]
+            self._history[seq_id].extend(out[seq_id])
         return out
 
     # ---- speculative decoding (draft lane) --------------------------------
@@ -1133,6 +1263,7 @@ class GenerationEngine:
             n_new = int(produced[slot])
             self._host_len[seq_id] += n_new
             out[seq_id] = [int(tk) for tk in emitted[slot, :n_new]]
+            self._history[seq_id].extend(out[seq_id])
         return out
 
     def step_speculative_many(self, rounds: int, gamma: int = 4) -> dict:
@@ -1175,7 +1306,97 @@ class GenerationEngine:
                             emitted[r, slot, :produced[r, slot]])
             self._host_len[seq_id] += len(toks)
             out[seq_id] = toks
+            self._history[seq_id].extend(toks)
         return out
+
+    # ---- prompt-lookup decoding (draft-free speculation) -------------------
+
+    def step_lookup(self, gamma: int = 4, ngram: int = 3) -> dict:
+        """Draft-FREE speculative decoding (prompt lookup / n-gram): each
+        live sequence's next ``gamma`` tokens are proposed from the
+        rightmost match of its last ``ngram`` tokens in its OWN history
+        (prompt + everything emitted), then the target verifies all
+        ``gamma+1`` positions in ONE multi-token paged forward and commits
+        the accepted prefix plus one target token — TOKEN-EXACT vs greedy
+        ``step()``. No draft model, no draft pages, no extra memory: a
+        wrong proposal costs nothing beyond the fixed-width verify pass.
+        Wins whenever output repeats prompt/earlier output (extraction,
+        code edits, RAG answers); degrades to 1 token/call otherwise.
+
+        Proposals are host-side (the history lives on the host anyway),
+        so each call is one device dispatch + readback — there is no
+        scanned multi-round variant. Returns {seq_id: [tokens]} (ragged)."""
+        assert (self.temperature == 0.0 and self._sp is None
+                and not self.per_request_sampling), (
+            "prompt-lookup decoding verifies with a plain greedy argmax — "
+            "sampling configs would break the token-exactness guarantee")
+        assert self.draft_gpt is None, (
+            "step_lookup on a draft-lane engine would desync the draft "
+            "cache lengths; use step_speculative instead")
+        if not self._slots:
+            return {}
+        self._grow_tables(gamma + 1)
+        drafts = np.zeros((self.max_seqs, gamma), np.int32)
+        for seq_id, slot in self._slots.items():
+            drafts[slot] = self._propose_lookup(self._history[seq_id],
+                                                gamma, ngram)
+        if gamma not in self._jit_lookup:
+            self._jit_lookup[gamma] = jax.jit(self._lookup_device_step,
+                                              donate_argnums=(0,))
+        self._state, emitted, produced = self._jit_lookup[gamma](
+            self._state, self._serve_params, jnp.asarray(drafts))
+        emitted = np.asarray(emitted)
+        produced = np.asarray(produced)
+        out = {}
+        for seq_id, slot in sorted(self._slots.items()):
+            n_new = int(produced[slot])
+            self._host_len[seq_id] += n_new
+            out[seq_id] = [int(t) for t in emitted[slot, :n_new]]
+            self._history[seq_id].extend(out[seq_id])
+        return out
+
+    @staticmethod
+    def _propose_lookup(hist, gamma: int, ngram: int):
+        """Rightmost-match n-gram continuation from ``hist`` (host-side
+        numpy). Shorter grams are tried down to 1 so fresh sequences still
+        propose; no match returns zeros (harmless — they just reject)."""
+        h = np.asarray(hist, np.int32)
+        for n in range(min(ngram, len(h) - 1), 0, -1):
+            pat = h[len(h) - n:]
+            win = np.lib.stride_tricks.sliding_window_view(h, n)
+            hits = np.nonzero((win == pat).all(axis=1))[0]
+            hits = hits[hits < len(h) - n]      # exclude the pattern itself
+            if len(hits):
+                j = int(hits[-1]) + n
+                prop = h[j:j + gamma]
+                return np.pad(prop, (0, gamma - len(prop)))
+        return np.zeros((gamma,), np.int32)
+
+    def _lookup_device_step(self, state, params, drafts):
+        """Verify externally-proposed drafts [S, gamma] in one forward and
+        commit the greedily-accepted prefix + 1 (the draft-free half of
+        ``_spec_device_step``; same rollback-free stale-page invariant)."""
+        active = state["active"]
+        base = state["lengths"]
+        cur = state["last_tok"]
+        gamma = drafts.shape[1]
+        block = jnp.concatenate([cur[:, None], drafts], axis=1)
+        state, logits = self._forward_tokens(state, params, block,
+                                             self.gpt, self._trash)
+        t_hat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ok = (drafts == t_hat[:, :-1]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+        nxt = jnp.take_along_axis(t_hat, n_acc[:, None], axis=1)[:, 0]
+        produced = jnp.where(active, n_acc + 1, 0)
+        i = jnp.arange(gamma + 1)[None]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((drafts.shape[0], 1), jnp.int32)], axis=1)
+        emitted = jnp.where(i < n_acc[:, None], drafts_pad,
+                            jnp.where(i == n_acc[:, None], nxt[:, None], -1))
+        emitted = jnp.where(active[:, None], emitted, -1)
+        state["lengths"] = base + produced
+        state["last_tok"] = jnp.where(active, nxt, cur)
+        return state, emitted, produced
 
     def _spec_device_step(self, state, dstate, params, dparams, key, *,
                           gamma):
