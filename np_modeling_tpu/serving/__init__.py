@@ -1,6 +1,8 @@
 """Serving: paged KV-cache management, paged decode attention, engine,
 tokenizer, and the text in/out layer."""
 
+from np_modeling_tpu.serving.constrain import (TokenDFA, dfa_from_choices,
+                                               dfa_from_regex)
 from np_modeling_tpu.serving.engine import GenerationEngine
 from np_modeling_tpu.serving.kv_cache import PagedKVCache
 from np_modeling_tpu.serving.sampling import SamplingParams
@@ -11,4 +13,5 @@ from np_modeling_tpu.serving.tokenizer import BPETokenizer
 
 __all__ = ["BPETokenizer", "Completion", "GenerationEngine", "OutOfSlotsError",
            "PagedKVCache", "SamplingParams", "Seq2SeqEngine", "SSMEngine",
-           "StreamDecoder", "TextEngine"]
+           "StreamDecoder", "TextEngine", "TokenDFA", "dfa_from_choices",
+           "dfa_from_regex"]

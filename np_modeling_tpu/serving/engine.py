@@ -79,6 +79,18 @@ class GenerationEngine:
                                  # joining/leaving never recompiles. Slots
                                  # without an explicit SamplingParams fall
                                  # back to the plain fields above.
+    constraints: Optional[dict] = None   # {name: serving.TokenDFA} —
+                                 # GRAMMAR-CONSTRAINED decoding: requests
+                                 # pick a constraint (add_request(...,
+                                 # constraint=name)) and the engine masks
+                                 # each step's logits by the slot's DFA
+                                 # state (a row gather from the stacked
+                                 # [n_dfas, states, vocab] table; index 0 =
+                                 # unconstrained), stepping the state
+                                 # in-graph on the sampled token. Composes
+                                 # with every sampling mode; incompatible
+                                 # with the draft lane / step_lookup (their
+                                 # verify argmax bypasses masks).
     enable_prefix_cache: bool = False   # content-addressed KV page reuse
                                  # ACROSS requests (automatic prefix
                                  # caching): every fully-filled prompt page
@@ -170,6 +182,9 @@ class GenerationEngine:
             V = c.vocab_size
             state["counts"] = jnp.zeros((self.max_seqs, V), jnp.int32)
             state["prompt_mask"] = jnp.zeros((self.max_seqs, V), bool)
+        if self.constraints and gpt is self.gpt:
+            state["dfa_id"] = jnp.zeros((self.max_seqs,), jnp.int32)
+            state["dfa_state"] = jnp.zeros((self.max_seqs,), jnp.int32)
         if self.per_request_sampling and gpt is self.gpt:
             # Per-slot knob rows (sampling.PARAM_COLS) + per-slot additive
             # logit bias ([S, vocab] fp32 — 4 MB at v=64k, S=16; the price
@@ -363,6 +378,26 @@ class GenerationEngine:
                     "top_p only — penalties/min_p/logit_bias would change "
                     "the target distribution the draft never saw, breaking "
                     "the accept/reject exactness guarantee")
+        # ---- grammar-constrained decoding --------------------------------
+        self._dfa_trans = None
+        self._dfa_ids = {}
+        if self.constraints:
+            assert self.draft_gpt is None, (
+                "constrained decoding + the draft lane is not wired (the "
+                "speculative verify argmax would bypass the DFA masks)")
+            names = sorted(self.constraints)
+            NS = max(d.n_states for d in self.constraints.values())
+            tab = np.zeros((len(names) + 1, NS, c.vocab_size), np.int32)
+            starts = [0]                 # row 0: unconstrained (all-zero
+            for i, n in enumerate(names):   # trans: everything allowed,
+                d = self.constraints[n]     # state pinned at 0)
+                t = np.asarray(d.trans, np.int32)
+                tab[i + 1, :t.shape[0]] = t
+                tab[i + 1, t.shape[0]:] = -1   # padding states: forbid all
+                starts.append(d.start)
+            self._dfa_ids = {n: i + 1 for i, n in enumerate(names)}
+            self._dfa_starts = np.asarray(starts, np.int32)
+            self._dfa_trans = jnp.asarray(tab)
         # ---- automatic prefix caching ------------------------------------
         self._prefix_cache = None
         self._cache_hit_tokens = 0
@@ -583,6 +618,37 @@ class GenerationEngine:
             st["counts"] = st["counts"].at[slot].set(0)
         self._state = st
 
+    def _constrain_logits(self, logits, dfa_id, dfa_state):
+        """-inf-mask ``logits`` [rows, V] by each row's DFA state (row 0 of
+        the stacked table is all-zero: unconstrained rows pass through).
+        -inf survives every later sampling processor (penalties divide/
+        scale/shift finitely), so masking composes with all modes."""
+        allowed = self._dfa_trans[dfa_id, dfa_state] >= 0
+        return jnp.where(allowed, logits, -jnp.inf)
+
+    def _prefill_constrain(self, logits, slots):
+        """Mask prefill last-position logits by the new slots' DFA starts
+        (the FIRST sampled token must already obey the grammar)."""
+        if self._dfa_trans is None:
+            return logits
+        idx = jnp.asarray(slots, jnp.int32)
+        return self._constrain_logits(logits,
+                                      jnp.take(self._state["dfa_id"], idx),
+                                      jnp.take(self._state["dfa_state"],
+                                               idx))
+
+    def _prefill_dfa_step(self, slots, toks) -> None:
+        """Advance the new slots' DFA states on their first tokens."""
+        if self._dfa_trans is None:
+            return
+        st = dict(self._state)
+        idx = jnp.asarray(slots, jnp.int32)
+        tk = jnp.asarray(toks, jnp.int32)
+        nxt = jnp.maximum(self._dfa_trans[st["dfa_id"][idx],
+                                          st["dfa_state"][idx], tk], 0)
+        st["dfa_state"] = st["dfa_state"].at[idx].set(nxt)
+        self._state = st
+
     def _stat_rows(self, slots):
         """Gather per-slot sampling-state rows (counts, prompt_mask, samp,
         samp_bias) for a prefill-time draw; None for tables not carried."""
@@ -615,9 +681,22 @@ class GenerationEngine:
             0.0 if bias is None else bias)
         self._state = st
 
+    def _set_request_constraint(self, slot: int, name) -> None:
+        """Install a slot's DFA id + start state (None = unconstrained)."""
+        if name is not None and name not in self._dfa_ids:
+            raise ValueError(f"unknown constraint {name!r}; engine has "
+                             f"{sorted(self._dfa_ids)}")
+        cid = self._dfa_ids.get(name, 0)
+        st = dict(self._state)
+        st["dfa_id"] = st["dfa_id"].at[slot].set(cid)
+        st["dfa_state"] = st["dfa_state"].at[slot].set(
+            int(self._dfa_starts[cid]))
+        self._state = st
+
     def add_request(self, seq_id: int, prompt_tokens,
                     adapter: Optional[str] = None,
-                    sampling: Optional[object] = None) -> int:
+                    sampling: Optional[object] = None,
+                    constraint: Optional[str] = None) -> int:
         """Prefill a prompt; returns the first generated token.
 
         ``adapter``: name of a LoRA adapter from ``lora_adapters`` — this
@@ -644,6 +723,11 @@ class GenerationEngine:
                              "SamplingParams to add_request")
         if self.per_request_sampling:
             self._set_request_sampling(slot, sampling)
+        if constraint is not None and self._dfa_trans is None:
+            raise ValueError("construct the engine with constraints="
+                             "{name: TokenDFA} to pass constraint=")
+        if self._dfa_trans is not None:
+            self._set_request_constraint(slot, constraint)
 
         prompt = jnp.asarray(prompt_tokens)[None, :]
         plen = int(prompt.shape[1])
@@ -675,9 +759,12 @@ class GenerationEngine:
         pages = self._alloc(n_pages)           # atomic: checks before popping
         self._seed_stats([(slot, prompt[0])])
         self._rng, sub = jax.random.split(self._rng)
-        tok = int(self._sample(logits[:, -1].astype(jnp.float32), sub,
-                               *self._stat_rows([slot]))[0])
+        tok = int(self._sample(
+            self._prefill_constrain(logits[:, -1].astype(jnp.float32),
+                                    [slot]),
+            sub, *self._stat_rows([slot]))[0])
         self._count_first([slot], [tok])
+        self._prefill_dfa_step([slot], [tok])
         if n_pages not in self._jit_prefill:
             self._jit_prefill[n_pages] = self._make_prefill(n_pages,
                                                             self._trash)
@@ -705,7 +792,8 @@ class GenerationEngine:
         return tok
 
     def add_requests(self, prompts: dict, adapters: Optional[dict] = None,
-                     sampling: Optional[dict] = None) -> dict:
+                     sampling: Optional[dict] = None,
+                     constraints: Optional[dict] = None) -> dict:
         """Prefill SEVERAL prompts at once; returns {seq_id: first token}.
 
         With chunked prefill enabled (the default) all prompts stream
@@ -713,19 +801,25 @@ class GenerationEngine:
         index for the whole batch instead of per sequence. Falls back to
         per-request dense prefill otherwise. ``adapters``: optional
         {seq_id: adapter_name} (multi-LoRA). ``sampling``: optional
-        {seq_id: SamplingParams} (requires per_request_sampling=True)."""
+        {seq_id: SamplingParams} (requires per_request_sampling=True).
+        ``constraints``: optional {seq_id: constraint_name}."""
         adapters = adapters or {}
         sampling = sampling or {}
+        constraints = constraints or {}
         if sampling and not self.per_request_sampling:
             raise ValueError("construct the engine with per_request_"
                              "sampling=True to pass per-request "
                              "SamplingParams to add_requests")
+        if constraints and self._dfa_trans is None:
+            raise ValueError("construct the engine with constraints="
+                             "{name: TokenDFA} to pass constraints=")
         items = sorted(prompts.items())
         chunkable_moe = (not self.gpt.config.moe_experts
                          or self.gpt.config.moe_capacity_factor is None)
         if not (self.prefill_chunk_size and chunkable_moe) or len(items) <= 1:
             return {sid: self.add_request(sid, toks, adapters.get(sid),
-                                          sampling.get(sid))
+                                          sampling.get(sid),
+                                          constraints.get(sid))
                     for sid, toks in items}
         used = set(self._slots.values())
         free_slots = [s for s in range(self.max_seqs) if s not in used]
@@ -764,6 +858,15 @@ class GenerationEngine:
                     sp, self.gpt.config.vocab_size)
                 st["samp_bias"] = st["samp_bias"].at[slot].set(
                     0.0 if b is None else b)
+            if self._dfa_trans is not None:
+                name = constraints.get(sid)
+                if name is not None and name not in self._dfa_ids:
+                    raise ValueError(f"unknown constraint {name!r}; engine "
+                                     f"has {sorted(self._dfa_ids)}")
+                cid = self._dfa_ids.get(name, 0)
+                st["dfa_id"] = st["dfa_id"].at[slot].set(cid)
+                st["dfa_state"] = st["dfa_state"].at[slot].set(
+                    int(self._dfa_starts[cid]))
             reqs.append((sid, slot, arr, plen, aid))
         self._state = st
         return self._add_requests_chunked(reqs)
@@ -900,7 +1003,8 @@ class GenerationEngine:
 
         self._seed_stats([(slot, prompt) for _, slot, prompt, _, _ in reqs])
         self._rng, sub = jax.random.split(self._rng)
-        toks = self._sample(last_logits, sub, *self._stat_rows(slots_arr))
+        toks = self._sample(self._prefill_constrain(last_logits, slots_arr),
+                            sub, *self._stat_rows(slots_arr))
         out = {}
         for ln in lanes:
             st = dict(getattr(self, ln.attr))
@@ -910,6 +1014,7 @@ class GenerationEngine:
                 st["active"] = st["active"].at[slot].set(True)
             setattr(self, ln.attr, st)
         self._count_first(slots_arr, toks)
+        self._prefill_dfa_step(slots_arr, toks)
         for i, (seq_id, _, prompt, _, _) in enumerate(reqs):
             out[seq_id] = int(toks[i])
             self._history[seq_id] = ([int(t) for t in np.asarray(prompt)]
@@ -993,6 +1098,9 @@ class GenerationEngine:
             if "samp" in st:     # ...nor the previous request's knobs
                 st["samp"] = st["samp"].at[slot].set(self._default_row)
                 st["samp_bias"] = st["samp_bias"].at[slot].set(0.0)
+            if "dfa_id" in st:   # ...nor its grammar
+                st["dfa_id"] = st["dfa_id"].at[slot].set(0)
+                st["dfa_state"] = st["dfa_state"].at[slot].set(0)
             setattr(self, ln.attr, st)
 
     # ---- fork: prefix caching via refcounted page sharing -----------------
@@ -1077,6 +1185,11 @@ class GenerationEngine:
                     state["samp"][pslot])
                 state["samp_bias"] = state["samp_bias"].at[slot].set(
                     state["samp_bias"][pslot])
+            if "dfa_id" in state:   # ...and its grammar position
+                state["dfa_id"] = state["dfa_id"].at[slot].set(
+                    state["dfa_id"][pslot])
+                state["dfa_state"] = state["dfa_state"].at[slot].set(
+                    state["dfa_state"][pslot])
             return state
 
         return fork_lane
@@ -1333,6 +1446,9 @@ class GenerationEngine:
         assert self.draft_gpt is None, (
             "step_lookup on a draft-lane engine would desync the draft "
             "cache lengths; use step_speculative instead")
+        assert self._dfa_trans is None, (
+            "step_lookup's verify argmax bypasses the constraint masks — "
+            "use step() with constrained engines")
         if not self._slots:
             return {}
         self._grow_tables(gamma + 1)
@@ -1513,9 +1629,19 @@ class GenerationEngine:
         state, logits = self._forward_tokens(state, params,
                                              state["last_tok"][:, None],
                                              gpt, trash)
-        new_tok = self._sample(logits[:, 0], key, state.get("counts"),
+        step_logits = logits[:, 0]
+        if "dfa_state" in state:
+            step_logits = self._constrain_logits(
+                step_logits, state["dfa_id"], state["dfa_state"])
+        new_tok = self._sample(step_logits, key, state.get("counts"),
                                state.get("prompt_mask"), state.get("samp"),
                                state.get("samp_bias"))
+        if "dfa_state" in state:
+            state["dfa_state"] = jnp.where(
+                active,
+                jnp.maximum(self._dfa_trans[state["dfa_id"],
+                                            state["dfa_state"], new_tok], 0),
+                state["dfa_state"])
         if "counts" in state:
             # In-graph penalty bookkeeping: the sampled token joins this
             # slot's generated-token histogram (inactive slots don't count).
