@@ -235,6 +235,9 @@ def dfa_from_choices(sequences, vocab_size: int, eos_id: int) -> TokenDFA:
     """Constrain output to exactly one of ``sequences`` (lists of token
     ids) followed by EOS (which then self-loops so further steps stay
     legal while the caller notices the EOS and finishes)."""
+    if not sequences or any(len(s) == 0 for s in sequences):
+        raise ValueError("dfa_from_choices needs non-empty sequences "
+                         "(an empty grammar would forbid every token)")
     trie = {}                                     # state -> {tok: state}
     n = 1
     accept = set()

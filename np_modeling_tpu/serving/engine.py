@@ -668,30 +668,39 @@ class GenerationEngine:
             jnp.asarray(toks, jnp.int32)].add(1)
         self._state = st
 
-    def _set_request_sampling(self, slot: int, sp) -> None:
+    def _set_request_sampling(self, slot: int, sp, st=None):
         """Install a slot's per-request knob row + bias row (or the engine
-        defaults when ``sp`` is None)."""
+        defaults when ``sp`` is None). With ``st`` passed, mutate and
+        return that pending state copy (batched admission shares one);
+        otherwise commit to ``self._state``."""
         from np_modeling_tpu.serving.sampling import params_row, static_bias
-        st = dict(self._state)
+        pending = st is not None
+        st = dict(self._state) if st is None else st
         st["samp"] = st["samp"].at[slot].set(
             self._default_row if sp is None else params_row(sp))
         bias = None if sp is None else static_bias(
             sp, self.gpt.config.vocab_size)
         st["samp_bias"] = st["samp_bias"].at[slot].set(
             0.0 if bias is None else bias)
-        self._state = st
+        if not pending:
+            self._state = st
+        return st
 
-    def _set_request_constraint(self, slot: int, name) -> None:
-        """Install a slot's DFA id + start state (None = unconstrained)."""
+    def _set_request_constraint(self, slot: int, name, st=None):
+        """Install a slot's DFA id + start state (None = unconstrained).
+        Same pending-``st`` convention as :meth:`_set_request_sampling`."""
         if name is not None and name not in self._dfa_ids:
             raise ValueError(f"unknown constraint {name!r}; engine has "
                              f"{sorted(self._dfa_ids)}")
         cid = self._dfa_ids.get(name, 0)
-        st = dict(self._state)
+        pending = st is not None
+        st = dict(self._state) if st is None else st
         st["dfa_id"] = st["dfa_id"].at[slot].set(cid)
         st["dfa_state"] = st["dfa_state"].at[slot].set(
             int(self._dfa_starts[cid]))
-        self._state = st
+        if not pending:
+            self._state = st
+        return st
 
     def add_request(self, seq_id: int, prompt_tokens,
                     adapter: Optional[str] = None,
@@ -846,27 +855,10 @@ class GenerationEngine:
             if self._adapter_ids:
                 st["adapter"] = st["adapter"].at[slot].set(aid)
             if self.per_request_sampling:
-                # Inline (not _set_request_sampling): the loop owns one
-                # pending ``st`` copy — a helper re-reading self._state
-                # would drop the rows set so far.
-                from np_modeling_tpu.serving.sampling import (params_row,
-                                                              static_bias)
-                sp = sampling.get(sid)
-                st["samp"] = st["samp"].at[slot].set(
-                    self._default_row if sp is None else params_row(sp))
-                b = None if sp is None else static_bias(
-                    sp, self.gpt.config.vocab_size)
-                st["samp_bias"] = st["samp_bias"].at[slot].set(
-                    0.0 if b is None else b)
+                st = self._set_request_sampling(slot, sampling.get(sid), st)
             if self._dfa_trans is not None:
-                name = constraints.get(sid)
-                if name is not None and name not in self._dfa_ids:
-                    raise ValueError(f"unknown constraint {name!r}; engine "
-                                     f"has {sorted(self._dfa_ids)}")
-                cid = self._dfa_ids.get(name, 0)
-                st["dfa_id"] = st["dfa_id"].at[slot].set(cid)
-                st["dfa_state"] = st["dfa_state"].at[slot].set(
-                    int(self._dfa_starts[cid]))
+                st = self._set_request_constraint(slot,
+                                                  constraints.get(sid), st)
             reqs.append((sid, slot, arr, plen, aid))
         self._state = st
         return self._add_requests_chunked(reqs)

@@ -60,6 +60,7 @@ class CompletionScheduler:
         self.engine = text.engine
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._live: dict[int, _Request] = {}
+        self._parked: list = []        # preempted; readmitted on retire
         self._closing = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -89,6 +90,10 @@ class CompletionScheduler:
     def _loop(self) -> None:
         while not self._closing:
             try:
+                if not self._live and self._parked:   # engine drained some
+                    for req in self._parked:          # other way (error/
+                        self._pending.put(req)        # finish): retry now
+                    self._parked.clear()
                 self._admit()
                 if not self._live:
                     time.sleep(0.005)
@@ -100,6 +105,22 @@ class CompletionScheduler:
                     if req.sid in self.engine._slots:
                         self.engine.finish(req.sid)
                 self._live.clear()
+        # Shutdown: every in-flight, parked, and queued request gets a
+        # terminal event — a blocked HTTP handler must never wait forever.
+        for req in self._parked:
+            req.events.put(("error", "server shutting down"))
+        self._parked.clear()
+        for req in list(self._live.values()):
+            req.events.put(("error", "server shutting down"))
+            if req.sid in self.engine._slots:
+                self.engine.finish(req.sid)
+        self._live.clear()
+        while True:
+            try:
+                self._pending.get_nowait().events.put(
+                    ("error", "server shutting down"))
+            except queue.Empty:
+                break
 
     def _admit(self) -> None:
         while len(self.engine.live) < self.engine.max_seqs:
@@ -113,7 +134,13 @@ class CompletionScheduler:
                 first = self.engine.add_request(
                     req.sid, self.text._encode_prompt(req.prompt),
                     sampling=req.sampling)
-            except OutOfPagesError:
+            except OutOfPagesError as e:
+                if not self.engine.live:
+                    # Nothing live will ever free a page: the request is
+                    # PERMANENTLY unservable (prompt >= capacity), not a
+                    # transient shortage — fail it, don't requeue forever.
+                    req.events.put(("error", str(e)))
+                    continue
                 self._pending.put(req)       # retry once pages free up
                 return
             except Exception as e:
@@ -125,17 +152,43 @@ class CompletionScheduler:
             self._retire_done()
 
     def _dispatch(self) -> None:
-        k = self.text.steps_per_dispatch
-        for req in self._live.values():
-            cap = self.engine.capacity(req.sid)
-            if cap <= 0:
-                req.seq.reason = "length"
-                continue
-            k = min(k, req.seq.remaining, cap)
+        # Lockstep step count + cap-exhaustion policy shared with the
+        # synchronous path (TextEngine._dispatch_steps finishes the
+        # engine slot; _retire_done then settles the event queue).
+        seqs = {sid: r.seq for sid, r in self._live.items()}
+        k = self.text._dispatch_steps(sorted(seqs), seqs)
         self._retire_done()
-        if not self._live:
+        if not self._live or k == 0:
             return
-        out = self.engine.step_many(k)
+        try:
+            try:
+                out = self.engine.step_many(k)
+            except OutOfPagesError:
+                # Growth for k tokens didn't fit; a single step needs the
+                # fewest new pages — make progress before preempting.
+                out = self.engine.step_many(1)
+        except OutOfPagesError as e:
+            # Over-admission: page growth failed mid-decode (all-or-
+            # nothing, engine state intact). PREEMPT the newest request —
+            # PARK it to restart from its prompt once another request
+            # retires (immediate readmission would livelock: it would
+            # re-OOM before the survivors ever step). A lone request
+            # can't free anything, so it errors out.
+            newest = max(self._live)
+            req = self._live.pop(newest)
+            self.engine.finish(newest)
+            if self._live:
+                fresh = _Request(req.prompt, req.max_new_tokens, req.stops,
+                                 req.sampling, req.events)
+                fresh.holdback = req.holdback
+                # Resume emission where the client left off: the greedy
+                # re-decode reproduces the same prefix (sampled requests
+                # restart best-effort — the engine RNG stream moved on).
+                fresh.emitted = req.emitted
+                self._parked.append(fresh)
+            else:
+                req.events.put(("error", str(e)))
+            return
         for sid, toks in out.items():
             req = self._live.get(sid)
             if req is None:
@@ -154,6 +207,7 @@ class CompletionScheduler:
             req.emitted = safe
 
     def _retire_done(self) -> None:
+        retired = False
         for sid in [s for s, r in self._live.items()
                     if r.seq.reason is not None]:
             req = self._live.pop(sid)
@@ -163,6 +217,11 @@ class CompletionScheduler:
             if len(req.seq.text) > req.emitted:    # decoder flush remainder
                 req.events.put(("delta", req.seq.text[req.emitted:]))
             req.events.put(("done", comp))
+            retired = True
+        if retired and self._parked:   # freed pages -> retry preempted
+            for req in self._parked:
+                self._pending.put(req)
+            self._parked.clear()
 
 
 def default_chat_template(messages) -> str:
@@ -319,7 +378,9 @@ class OpenAIServer:
             return None
         lb = body.get("logit_bias")
         return SamplingParams(
-            temperature=float(body.get("temperature", 0.0)),
+            # OpenAI semantics: temperature defaults to 1.0 — a request
+            # setting only top_p must NOT silently decode greedily.
+            temperature=float(body.get("temperature", 1.0)),
             top_k=body.get("top_k"), top_p=body.get("top_p"),
             min_p=body.get("min_p"),
             repetition_penalty=float(body.get("repetition_penalty", 1.0)),

@@ -153,6 +153,78 @@ def test_stop_sequence_and_sampling_fields(server):
     assert isinstance(got["choices"][0]["text"], str)
 
 
+def _tiny_text(total_pages=96, max_seqs=4, max_len=96, **kw):
+    cfg = models.GPTConfig(vocab_size=EOS + 1, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=max_len)
+    gpt = models.GPT(cfg)
+    params = gpt.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    eng = GenerationEngine(gpt, params, total_pages=total_pages, page_size=4,
+                           max_seqs=max_seqs, **kw)
+    return TextEngine(eng, _byte_tokenizer(), eos_id=EOS)
+
+
+def _drain(events, timeout=120):
+    text, terminal = "", None
+    import queue as _q
+    while terminal is None:
+        kind, val = events.get(timeout=timeout)
+        if kind == "delta":
+            text += val
+        else:
+            terminal = (kind, val)
+    return text, terminal
+
+
+def test_unservable_prompt_errors_instead_of_hanging():
+    """A prompt exceeding per-sequence capacity must produce an error
+    event, not an infinite requeue loop."""
+    from np_modeling_tpu.serving import CompletionScheduler
+    text = _tiny_text(max_len=16)
+    sched = CompletionScheduler(text)
+    try:
+        events = sched.submit("x" * 40, max_new_tokens=4)
+        _, (kind, val) = _drain(events, timeout=60)
+        assert kind == "error" and "capacity" in val.lower() or "16" in val
+    finally:
+        sched.close()
+
+
+def test_page_pressure_preempts_not_fails():
+    """Admitted requests that outgrow the page pool are preempted and
+    requeued (greedy restart), so every request still completes with the
+    correct text instead of the whole batch erroring."""
+    from np_modeling_tpu.serving import CompletionScheduler
+    text = _tiny_text(total_pages=10, max_seqs=4, max_len=48)
+    ref = _tiny_text(total_pages=96, max_seqs=4, max_len=48)
+    prompts = ["Hello w", "abcdef", "zq jk"]
+    wants = [ref.generate(p, max_new_tokens=10) for p in prompts]
+    sched = CompletionScheduler(text)
+    try:
+        evs = [sched.submit(p, max_new_tokens=10) for p in prompts]
+        for i, ev in enumerate(evs):
+            got, (kind, comp) = _drain(ev, timeout=180)
+            assert kind == "done", (kind, comp)
+            assert got == wants[i], prompts[i]
+    finally:
+        sched.close()
+
+
+def test_shutdown_delivers_terminal_event():
+    from np_modeling_tpu.serving import CompletionScheduler
+    text = _tiny_text()
+    sched = CompletionScheduler(text)
+    events = sched.submit("Hello", max_new_tokens=64)
+    sched.close()
+    _, (kind, val) = _drain(events, timeout=60)
+    assert kind in ("done", "error")
+
+
+def test_choices_empty_rejected():
+    from np_modeling_tpu.serving import dfa_from_choices
+    with pytest.raises(ValueError, match="non-empty"):
+        dfa_from_choices([], 64, 0)
+
+
 def test_bad_request_is_400(server):
     srv, _ = server
     req = urllib.request.Request(
