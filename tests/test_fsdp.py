@@ -181,3 +181,32 @@ def test_fsdp_composes_with_new_architectures(flavor):
     # Something big actually got sharded.
     big = ps["embedding"]["table"]
     assert not big.sharding.is_fully_replicated
+
+
+def test_fsdp_tp_with_fused_loss_matches_single_device():
+    """fused_loss under a dp x fsdp x tp mesh (the headline bench config's
+    loss path, bench.py:85, composed with sharding — VERDICT r3 #2)."""
+    cfg = models.GPTConfig(vocab_size=64, d_model=32, num_heads=4,
+                           num_layers=2, hidden_units=64, max_len=32,
+                           fused_loss=True)
+    gpt = models.GPT(cfg)
+    tokens = jnp.asarray(rng.integers(0, 64, (8, 16)))
+    params0 = gpt.init(jax.random.PRNGKey(3), tokens)
+    opt = training.adam(1e-2)
+    step = _make_step(gpt, opt)
+
+    p, s = params0, opt.init(params0)
+    losses_single = []
+    for _ in range(3):
+        p, s, l = step(p, s, tokens)
+        losses_single.append(float(l))
+
+    mesh = parallel.make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    ps = parallel.fsdp_params(params0, mesh, min_size=256)
+    ts = parallel.shard_batch(tokens, mesh)
+    p2, s2 = ps, opt.init(ps)
+    for i in range(3):
+        p2, s2, l = step(p2, s2, ts)
+        assert abs(float(l) - losses_single[i]) < 1e-4, (i, l,
+                                                         losses_single[i])
+    assert not ps["embedding"]["table"].sharding.is_fully_replicated

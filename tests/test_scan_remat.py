@@ -176,3 +176,25 @@ def test_packed_segment_training():
                                     positions=positions))(params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fused_loss_composes_with_scan_remat_bf16():
+    """The headline bench config's code path (fused_loss=True composed with
+    scan_layers/remat/bf16, bench.py:85): model-level fwd AND grads equal
+    the plain (materialized-logits) loss. Oracle pattern of
+    /root/reference/layers/mlp_test.py:69-94 at the model level."""
+    tokens = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    kw = dict(vocab_size=50, d_model=32, num_heads=4, num_layers=3,
+              hidden_units=64, max_len=16, scan_layers=True, remat=True,
+              dtype=jnp.bfloat16)
+    gpt = models.GPT(models.GPTConfig(**kw))
+    gpt_f = models.GPT(models.GPTConfig(fused_loss=True, **kw))
+    params = gpt.init(jax.random.PRNGKey(0), tokens)
+    l1, g1 = jax.value_and_grad(lambda p: gpt.loss(p, tokens))(params)
+    l2, g2 = jax.value_and_grad(lambda p: gpt_f.loss(p, tokens))(params)
+    # bf16 compute; losses/grads are fp32 — the two paths round bf16
+    # matmul outputs identically up to the CE reduction order.
+    assert_allclose(l2, l1, rtol=2e-3, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g1)):
+        assert_allclose(a, b, rtol=5e-3, atol=3e-3)
