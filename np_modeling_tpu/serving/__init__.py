@@ -2,6 +2,7 @@
 tokenizer, and the text in/out layer."""
 
 from np_modeling_tpu.serving.constrain import (TokenDFA, dfa_from_choices,
+                                               dfa_from_json_schema,
                                                dfa_from_regex)
 from np_modeling_tpu.serving.engine import GenerationEngine
 from np_modeling_tpu.serving.kv_cache import PagedKVCache
@@ -17,4 +18,4 @@ __all__ = ["BPETokenizer", "Completion", "CompletionScheduler",
            "GenerationEngine", "OpenAIServer", "OutOfSlotsError",
            "PagedKVCache", "SamplingParams", "Seq2SeqEngine", "SSMEngine",
            "StreamDecoder", "TextEngine", "TokenDFA", "dfa_from_choices",
-           "dfa_from_regex"]
+           "dfa_from_regex", "dfa_from_json_schema"]

@@ -286,7 +286,12 @@ def dfa_from_regex(pattern: str, token_strings, eos_id: int) -> TokenDFA:
     states; EOS self-loops afterwards). States are discovered on the fly:
     each new char-DFA state is product-walked over the vocabulary trie
     once."""
-    root = _Parser(pattern).parse()
+    return _dfa_from_root(_Parser(pattern).parse(), token_strings, eos_id,
+                          what=repr(pattern))
+
+
+def _dfa_from_root(root, token_strings, eos_id: int, what: str) -> TokenDFA:
+    """Shared product construction: char-level regex AST x vocab trie."""
     ids = {root: 0}
     order = [root]
     trie = _vocab_trie(token_strings)
@@ -348,5 +353,218 @@ def dfa_from_regex(pattern: str, token_strings, eos_id: int) -> TokenDFA:
     trans[(trans >= 0) & ~co[np.clip(trans, 0, n - 1)]] = -1
     if not (trans[0] >= 0).any():
         raise ValueError(
-            f"pattern {pattern!r} cannot be completed with this vocabulary")
+            f"pattern {what} cannot be completed with this vocabulary")
     return TokenDFA(trans=trans, start=0)
+
+
+# ---- JSON-schema -> regex AST -> token DFA ----------------------------------
+# The industry-standard structured-output surface (OpenAI response_format
+# json_schema / Outlines): compile the schema to a character-level regex AST
+# using the SAME combinators as the pattern parser (no string-escaping
+# round-trip), then reuse the product construction above. Emitted JSON is
+# compact (one optional space after ':' and ','), which every JSON parser
+# accepts.
+
+_JSON_STRING_INNER = None
+
+
+def _lit(text: str):
+    """AST matching a literal string."""
+    r = _EPS
+    for ch in text:
+        r = _cat(r, _cls({ch}))
+    return r
+
+
+def _json_string_inner():
+    """Body of a JSON string: any char except '"'/'\\'/control, or an
+    escape sequence."""
+    global _JSON_STRING_INNER
+    if _JSON_STRING_INNER is None:
+        ctrl = {chr(c) for c in range(0x20)}
+        plain = _cls(ctrl | {'"', "\\"}, neg=True)
+        hexd = _cls(set("0123456789abcdefABCDEF"))
+        esc = _cat(_cls({"\\"}),
+                   _alt(_cls(set('"\\/bfnrt')),
+                        _cat(_cls({"u"}),
+                             _cat(hexd, _cat(hexd, _cat(hexd, hexd))))))
+        _JSON_STRING_INNER = _star(_alt(plain, esc))
+    return _JSON_STRING_INNER
+
+
+def _json_string_ast():
+    return _cat(_cls({'"'}), _cat(_json_string_inner(), _cls({'"'})))
+
+
+def _json_number_ast(integer: bool = False):
+    digit = _cls(set("0123456789"))
+    nonzero = _cls(set("123456789"))
+    int_part = _cat(_alt(_cls({"-"}), _EPS),
+                    _alt(_cls({"0"}), _cat(nonzero, _star(digit))))
+    if integer:
+        return int_part
+    frac = _alt(_cat(_cls({"."}), _cat(digit, _star(digit))), _EPS)
+    expo = _alt(_cat(_cls({"e", "E"}),
+                     _cat(_alt(_cls({"-", "+"}), _EPS),
+                          _cat(digit, _star(digit)))), _EPS)
+    return _cat(int_part, _cat(frac, expo))
+
+
+_WS = None
+
+
+def _ws():
+    """One OPTIONAL space (emitted after ':' and ',')."""
+    global _WS
+    if _WS is None:
+        _WS = _alt(_cls({" "}), _EPS)
+    return _WS
+
+
+def _json_render(value) -> str:
+    import json as _json
+    return _json.dumps(value, separators=(",", ": "))
+
+
+def json_schema_ast(schema: dict, _depth: int = 0):
+    """Regex AST for the values a JSON schema accepts.
+
+    Supported: type object (properties + required; unknown keys closed
+    out), array (items, minItems/maxItems), string (enum via the outer
+    ``enum``, pattern, minLength/maxLength), number/integer
+    (no range constraints — lexical JSON numbers), boolean, null,
+    ``enum``/``const`` of JSON values, anyOf/oneOf, $ref into
+    ``$defs``/``definitions`` (non-recursive). Raises ValueError on
+    anything else rather than silently under-constraining."""
+    if _depth > 64:
+        raise ValueError("schema nesting too deep (recursive $ref?)")
+    if not isinstance(schema, dict):
+        raise ValueError(f"schema must be a dict, got {type(schema)}")
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        root = schema.get("$root", schema)
+        for prefix in ("#/$defs/", "#/definitions/"):
+            if ref.startswith(prefix):
+                defs = root.get(prefix.split("/")[1], {})
+                name = ref[len(prefix):]
+                if name not in defs:
+                    raise ValueError(f"unresolved $ref {ref!r}")
+                target = dict(defs[name])
+                target.setdefault("$root", root)
+                return json_schema_ast(target, _depth + 1)
+        raise ValueError(f"unsupported $ref form {ref!r}")
+
+    def sub(s):
+        s = dict(s)
+        s.setdefault("$root", schema.get("$root", schema))
+        return json_schema_ast(s, _depth + 1)
+
+    if "const" in schema:
+        return _lit(_json_render(schema["const"]))
+    if "enum" in schema:
+        out = _EMPTY
+        for v in schema["enum"]:
+            out = _alt(out, _lit(_json_render(v)))
+        return out
+    for key in ("anyOf", "oneOf"):
+        if key in schema:
+            out = _EMPTY
+            for s in schema[key]:
+                out = _alt(out, sub(s))
+            return out
+
+    t = schema.get("type")
+    if isinstance(t, list):
+        out = _EMPTY
+        for ti in t:
+            out = _alt(out, sub({**schema, "type": ti}))
+        return out
+    if t == "null":
+        return _lit("null")
+    if t == "boolean":
+        return _alt(_lit("true"), _lit("false"))
+    if t in ("number", "integer"):
+        return _json_number_ast(integer=(t == "integer"))
+    if t == "string":
+        if "pattern" in schema:
+            body = _Parser(schema["pattern"]).parse()
+            return _cat(_cls({'"'}), _cat(body, _cls({'"'})))
+        lo = schema.get("minLength")
+        hi = schema.get("maxLength")
+        if lo is not None or hi is not None:
+            ctrl = {chr(c) for c in range(0x20)}
+            ch = _cls(ctrl | {'"', "\\"}, neg=True)   # no escapes w/ bounds
+            lo = int(lo or 0)
+            body = _EPS
+            for _ in range(lo):
+                body = _cat(body, ch)
+            if hi is None:
+                body = _cat(body, _star(ch))
+            else:
+                for _ in range(int(hi) - lo):
+                    body = _cat(body, _alt(ch, _EPS))
+            return _cat(_cls({'"'}), _cat(body, _cls({'"'})))
+        return _json_string_ast()
+    if t == "array":
+        item = sub(schema.get("items", {"type": ["null", "boolean",
+                                                 "number", "string"]}))
+        lo = int(schema.get("minItems", 0))
+        hi = schema.get("maxItems")
+        if hi is not None and int(hi) == 0:
+            return _lit("[]")
+        more = _cat(_cls({","}), _cat(_ws(), item))
+        if hi is None:
+            tail = _star(more)
+        else:
+            tail = _EPS
+            for _ in range(int(hi) - max(lo, 1)):
+                tail = _alt(_cat(more, tail), _EPS)
+        body = _cat(item, tail)
+        for _ in range(max(lo, 1) - 1):
+            body = _cat(_cat(item, _cat(_cls({","}), _ws())), body)
+        if lo == 0:
+            body = _alt(body, _EPS)
+        return _cat(_cls({"["}), _cat(body, _cls({"]"})))
+    if t == "object":
+        props = list(schema.get("properties", {}).items())
+        required = set(schema.get("required", [k for k, _ in props]))
+        unknown = required - {k for k, _ in props}
+        if unknown:
+            raise ValueError(f"required names not in properties: {unknown}")
+        items = [_cat(_lit(_json_render(k) + ":"), _cat(_ws(), sub(v)))
+                 for k, v in props]
+        req = [k in required for k, _ in props]
+
+        # rest(i): properties i.. with something already emitted (each
+        # present item needs a leading comma); first(i): nothing emitted
+        # yet. Memoized so optional properties stay linear-size.
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def rest(i):
+            if i == len(items):
+                return _EPS
+            with_it = _cat(_cat(_cls({","}), _cat(_ws(), items[i])),
+                           rest(i + 1))
+            return with_it if req[i] else _alt(with_it, rest(i + 1))
+
+        @lru_cache(maxsize=None)
+        def first(i):
+            if i == len(items):
+                return _EPS
+            with_it = _cat(items[i], rest(i + 1))
+            return with_it if req[i] else _alt(with_it, first(i + 1))
+
+        return _cat(_cls({"{"}), _cat(first(0), _cls({"}"})))
+    raise ValueError(f"unsupported schema: {schema!r}")
+
+
+def dfa_from_json_schema(schema: dict, token_strings,
+                         eos_id: int) -> TokenDFA:
+    """Token DFA accepting exactly the JSON documents ``schema`` permits
+    (compact rendering, optional single space after ':' and ','),
+    followed by EOS. Served through the HTTP server's
+    ``response_format={"type": "json_schema", ...}``."""
+    root = json_schema_ast(schema)
+    return _dfa_from_root(root, token_strings, eos_id,
+                          what=f"json schema {schema!r:.120s}")

@@ -182,7 +182,7 @@ class GenerationEngine:
             V = c.vocab_size
             state["counts"] = jnp.zeros((self.max_seqs, V), jnp.int32)
             state["prompt_mask"] = jnp.zeros((self.max_seqs, V), bool)
-        if self.constraints and gpt is self.gpt:
+        if self.constraints is not None and gpt is self.gpt:
             state["dfa_id"] = jnp.zeros((self.max_seqs,), jnp.int32)
             state["dfa_state"] = jnp.zeros((self.max_seqs,), jnp.int32)
         if self.per_request_sampling and gpt is self.gpt:
@@ -381,23 +381,14 @@ class GenerationEngine:
         # ---- grammar-constrained decoding --------------------------------
         self._dfa_trans = None
         self._dfa_ids = {}
-        if self.constraints:
+        if self.constraints is not None:
             assert self.draft_gpt is None, (
                 "constrained decoding + the draft lane is not wired (the "
                 "speculative verify argmax would bypass the DFA masks)")
-            names = sorted(self.constraints)
-            NS = max(d.n_states for d in self.constraints.values())
-            tab = np.zeros((len(names) + 1, NS, c.vocab_size), np.int32)
-            starts = [0]                 # row 0: unconstrained (all-zero
-            for i, n in enumerate(names):   # trans: everything allowed,
-                d = self.constraints[n]     # state pinned at 0)
-                t = np.asarray(d.trans, np.int32)
-                tab[i + 1, :t.shape[0]] = t
-                tab[i + 1, t.shape[0]:] = -1   # padding states: forbid all
-                starts.append(d.start)
-            self._dfa_ids = {n: i + 1 for i, n in enumerate(names)}
-            self._dfa_starts = np.asarray(starts, np.int32)
-            self._dfa_trans = jnp.asarray(tab)
+            # Stable id order: init names sorted, runtime registrations
+            # (register_constraint) APPEND — live slots keep valid dfa_ids.
+            self._dfa_names = sorted(self.constraints)
+            self._rebuild_dfa_table()
         # ---- automatic prefix caching ------------------------------------
         self._prefix_cache = None
         self._cache_hit_tokens = 0
@@ -685,6 +676,52 @@ class GenerationEngine:
         if not pending:
             self._state = st
         return st
+
+    def _rebuild_dfa_table(self) -> None:
+        """(Re)build the stacked [n_dfas+1, NS, vocab] transition table from
+        ``self.constraints`` in ``self._dfa_names`` order (row 0 =
+        unconstrained: all-zero trans, state pinned at 0)."""
+        V = self.gpt.config.vocab_size
+        names = self._dfa_names
+        NS = max((self.constraints[n].n_states for n in names), default=1)
+        tab = np.zeros((len(names) + 1, NS, V), np.int32)
+        starts = [0]
+        for i, n in enumerate(names):
+            d = self.constraints[n]
+            t = np.asarray(d.trans, np.int32)
+            assert t.shape[1] == V, (
+                f"constraint {n!r} vocab {t.shape[1]} != engine vocab {V}")
+            tab[i + 1, :t.shape[0]] = t
+            tab[i + 1, t.shape[0]:] = -1       # padding states: forbid all
+            starts.append(d.start)
+        self._dfa_ids = {n: i + 1 for i, n in enumerate(names)}
+        self._dfa_starts = np.asarray(starts, np.int32)
+        self._dfa_trans = jnp.asarray(tab)
+
+    def register_constraint(self, name: str, dfa) -> None:
+        """Register (or replace) a named :class:`TokenDFA` at runtime —
+        the HTTP server compiles per-request JSON schemas / regexes into
+        grammars on demand. Requires an engine constructed with
+        ``constraints=`` (an empty dict enables the machinery). The table
+        is baked into traced dispatches as a constant, so every jit cache
+        is dropped: the next dispatch recompiles. Callers should cache
+        grammars by name and reuse them to amortize that."""
+        if self.constraints is None:
+            raise ValueError("construct the engine with constraints={} "
+                             "(or a dict) to enable runtime registration")
+        if name in self._dfa_ids:
+            if self._slots:
+                raise ValueError(
+                    f"cannot replace constraint {name!r} while sequences "
+                    "are live (their DFA states index the old table)")
+        else:
+            self._dfa_names.append(name)
+        self.constraints[name] = dfa
+        self._rebuild_dfa_table()
+        self._jit_step = jax.jit(self._device_step, donate_argnums=(0,))
+        self._jit_multi.clear()
+        self._jit_prefill.clear()
+        self._jit_chunk.clear()
 
     def _set_request_constraint(self, slot: int, name, st=None):
         """Install a slot's DFA id + start state (None = unconstrained).

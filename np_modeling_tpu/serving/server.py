@@ -47,6 +47,7 @@ class _Request:
     sid: int = -1
     emitted: int = 0
     holdback: int = 0
+    constraint: Optional[str] = None   # engine grammar name (response_format)
 
 
 class CompletionScheduler:
@@ -61,12 +62,24 @@ class CompletionScheduler:
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._live: dict[int, _Request] = {}
         self._parked: list = []        # preempted; readmitted on retire
+        self._grammars: "queue.Queue[tuple]" = queue.Queue()
         self._closing = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def register_constraint(self, name: str, dfa) -> None:
+        """Thread-safe grammar registration: queued to the scheduler
+        thread (the only engine user) and applied before the next
+        admission, so a subsequent ``submit(constraint=name)`` from the
+        same caller is ordered after it."""
+        if self.engine.constraints is None:
+            raise ValueError("engine built without constraints=; "
+                             "grammar-constrained requests unavailable")
+        self._grammars.put((name, dfa))
+
     def submit(self, prompt: str, max_new_tokens: int = 128, stop=None,
-               sampling: Optional[SamplingParams] = None):
+               sampling: Optional[SamplingParams] = None,
+               constraint: Optional[str] = None):
         """Enqueue a completion; returns its event queue."""
         if self._closing:
             raise RuntimeError("scheduler is closed")
@@ -74,9 +87,12 @@ class CompletionScheduler:
             raise ValueError(
                 "per-request sampling fields need an engine built with "
                 "per_request_sampling=True")
+        if constraint is not None and self.engine.constraints is None:
+            raise ValueError("engine built without constraints=; "
+                             "grammar-constrained requests unavailable")
         stops = self.text._normalize_stops(stop)
         req = _Request(prompt, max_new_tokens, stops, sampling,
-                       queue.Queue())
+                       queue.Queue(), constraint=constraint)
         req.holdback = max((len(s) for s in stops), default=1) - 1
         self._pending.put(req)
         return req.events
@@ -94,6 +110,7 @@ class CompletionScheduler:
                     for req in self._parked:          # other way (error/
                         self._pending.put(req)        # finish): retry now
                     self._parked.clear()
+                self._apply_grammars()
                 self._admit()
                 if not self._live:
                     time.sleep(0.005)
@@ -122,6 +139,19 @@ class CompletionScheduler:
             except queue.Empty:
                 break
 
+    def _apply_grammars(self) -> None:
+        """Drain queued grammar registrations (scheduler thread only).
+        Names are content hashes, so an already-registered name is a
+        duplicate of the same grammar — skipped (replacement would raise
+        while its user is live)."""
+        while True:
+            try:
+                name, dfa = self._grammars.get_nowait()
+            except queue.Empty:
+                return
+            if name not in self.engine._dfa_ids:
+                self.engine.register_constraint(name, dfa)
+
     def _admit(self) -> None:
         while len(self.engine.live) < self.engine.max_seqs:
             try:
@@ -133,7 +163,7 @@ class CompletionScheduler:
                 req.seq = _LiveSeq(self.text.tokenizer, req.max_new_tokens)
                 first = self.engine.add_request(
                     req.sid, self.text._encode_prompt(req.prompt),
-                    sampling=req.sampling)
+                    sampling=req.sampling, constraint=req.constraint)
             except OutOfPagesError as e:
                 if not self.engine.live:
                     # Nothing live will ever free a page: the request is
@@ -179,7 +209,8 @@ class CompletionScheduler:
             self.engine.finish(newest)
             if self._live:
                 fresh = _Request(req.prompt, req.max_new_tokens, req.stops,
-                                 req.sampling, req.events)
+                                 req.sampling, req.events,
+                                 constraint=req.constraint)
                 fresh.holdback = req.holdback
                 # Resume emission where the client left off: the greedy
                 # re-decode reproduces the same prefix (sampled requests
@@ -247,6 +278,8 @@ class OpenAIServer:
         self._httpd = None
         self._host, self._port = host, port
         self._thread = None
+        self._toks = None              # lazy per-id token strings
+        self._compiled: dict = {}      # grammar-name -> registered
 
     @property
     def port(self) -> int:
@@ -291,10 +324,12 @@ class OpenAIServer:
                     prompt = (outer.chat_template(body["messages"]) if chat
                               else body["prompt"])
                     sp = outer._sampling_from(body)
+                    constraint = outer._constraint_from(body)
                     events = outer.scheduler.submit(
                         prompt,
                         max_new_tokens=int(body.get("max_tokens", 128)),
-                        stop=body.get("stop"), sampling=sp)
+                        stop=body.get("stop"), sampling=sp,
+                        constraint=constraint)
                 except (KeyError, ValueError, TypeError) as e:
                     return self._json(400, {"error": {"message": str(e)}})
                 if body.get("stream"):
@@ -369,6 +404,77 @@ class OpenAIServer:
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
+
+    def _token_strings(self) -> list:
+        """Decoded text of every token id (vocab-indexed). Tokens that are
+        not valid UTF-8 on their own (byte-level BPE mid-character splits)
+        map to "" = never allowed — conservative but exact: the DFA walk
+        is character-level, so such tokens cannot be matched reliably."""
+        if self._toks is None:
+            tok = self.scheduler.text.tokenizer
+            V = self.scheduler.engine.gpt.config.vocab_size
+            out = []
+            for i in range(V):
+                try:
+                    out.append(tok.decode_bytes([i]).decode("utf-8"))
+                except Exception:
+                    out.append("")
+            eos = self.scheduler.text.eos_id
+            if eos is not None:
+                out[eos] = ""            # EOS is DFA-terminal, never text
+            self._toks = out
+        return self._toks
+
+    def _constraint_from(self, body: dict) -> Optional[str]:
+        """Compile ``response_format`` into a named engine grammar.
+
+        Supported: {"type": "text"} (none), {"type": "json_schema",
+        "json_schema": {"schema": {...}}} (OpenAI structured outputs;
+        a bare "schema" key is also accepted), and {"type": "regex",
+        "regex": "..."}. Grammars are cached by content hash, so repeated
+        requests with the same schema reuse the compiled DFA and the
+        engine's recompiled dispatch."""
+        rf = body.get("response_format")
+        if not rf or rf.get("type") in (None, "text"):
+            return None
+        if self.scheduler.engine.constraints is None:
+            raise ValueError(
+                "this server's engine was built without constraints={}; "
+                "response_format is unavailable")
+        if self.scheduler.text.eos_id is None:
+            raise ValueError("response_format needs the TextEngine's "
+                             "eos_id to terminate the grammar")
+        kind = rf.get("type")
+        if kind == "json_schema":
+            schema = ((rf.get("json_schema") or {}).get("schema")
+                      if isinstance(rf.get("json_schema"), dict)
+                      else None) or rf.get("schema")
+            if not isinstance(schema, dict):
+                raise ValueError('response_format json_schema needs '
+                                 '{"json_schema": {"schema": {...}}}')
+            key = "json:" + json.dumps(schema, sort_keys=True)
+        elif kind == "regex":
+            pattern = rf.get("regex")
+            if not isinstance(pattern, str):
+                raise ValueError('response_format regex needs '
+                                 '{"regex": "..."}')
+            key = "re:" + pattern
+        else:
+            raise ValueError(f"unsupported response_format type {kind!r}")
+        import hashlib
+        name = "rf-" + hashlib.sha1(key.encode()).hexdigest()[:16]
+        if name not in self._compiled:
+            from np_modeling_tpu.serving.constrain import (
+                dfa_from_json_schema, dfa_from_regex)
+            eos = self.scheduler.text.eos_id
+            if kind == "json_schema":
+                dfa = dfa_from_json_schema(schema, self._token_strings(),
+                                           eos)
+            else:
+                dfa = dfa_from_regex(pattern, self._token_strings(), eos)
+            self.scheduler.register_constraint(name, dfa)
+            self._compiled[name] = True
+        return name
 
     def _sampling_from(self, body: dict) -> Optional[SamplingParams]:
         fields = ("temperature", "top_p", "top_k", "min_p",
