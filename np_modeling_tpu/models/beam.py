@@ -140,8 +140,10 @@ def beam_search(model, params, prompt_tokens, steps: int, beam_size: int,
 
 def encdec_beam_search(init_dec_cache, decode_step, params, batch,
                        bos_token: int, steps: int, beam_size: int,
-                       memory, kv_seg=None, eos_id=None, alpha: float = 0.0):
-    """Beam search for encoder-decoder models (Seq2SeqTransformer, T5).
+                       memory, kv_seg=None, eos_id=None, alpha: float = 0.0,
+                       prompt=None, aux_extra=None):
+    """Beam search for encoder-decoder models (Seq2SeqTransformer, T5,
+    Whisper).
 
     Wraps :func:`beam_search` with the shared cache-riding contract:
     encoder ``memory`` (and optional source segment ids ``kv_seg``) live
@@ -151,6 +153,10 @@ def encdec_beam_search(init_dec_cache, decode_step, params, batch,
     ``init_dec_cache(b, max_len)``: decoder self-attention caches.
     ``decode_step(params, tokens, dec_caches, aux) -> (logits, dec_caches)``
     runs the decoder stack one chunk (aux = {"mem", optional "kv_seg"}).
+    ``prompt`` [b, plen]: a forced multi-token decoder prefix (Whisper's
+    ``<sot><lang><task>``) instead of the single ``bos_token``.
+    ``aux_extra``: additional beam-invariant conditioning to ride the aux
+    cache (e.g. Whisper's precomputed cross-attention k/v).
     Returns ``(tokens [b, beam, steps], scores [b, beam])`` best-first.
     """
 
@@ -159,6 +165,8 @@ def encdec_beam_search(init_dec_cache, decode_step, params, batch,
             aux = {"mem": memory}
             if kv_seg is not None:
                 aux["kv_seg"] = kv_seg
+            if aux_extra is not None:
+                aux.update(aux_extra)
             return {"dec": init_dec_cache(b, max_len), "aux": aux}
 
         def apply(self, params, tokens, caches=None, decode=True,
@@ -169,6 +177,7 @@ def encdec_beam_search(init_dec_cache, decode_step, params, batch,
                 logits = logits[:, -1:]
             return logits, {"dec": dec, "aux": caches["aux"]}
 
-    prompt = jnp.full((batch, 1), bos_token, jnp.int32)
-    return beam_search(_DecoderLM(), params, prompt, steps, beam_size,
-                       eos_id=eos_id, alpha=alpha)
+    if prompt is None:
+        prompt = jnp.full((batch, 1), bos_token, jnp.int32)
+    return beam_search(_DecoderLM(), params, jnp.asarray(prompt, jnp.int32),
+                       steps, beam_size, eos_id=eos_id, alpha=alpha)

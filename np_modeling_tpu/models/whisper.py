@@ -284,3 +284,74 @@ class Whisper(Module):
         (_, _), toks = jax.lax.scan(body, (tok0, caches),
                                     jnp.arange(steps))
         return jnp.swapaxes(toks[:, :, 0], 0, 1)
+
+    def beam_decode(self, params, mel, prompt_tokens, steps: int,
+                    beam_size: int, eos_id: int | None = None,
+                    alpha: float = 0.0):
+        """Beam-search decode from a forced prompt (decode-surface parity
+        with T5, VERDICT r3 #7): encoder memory AND the per-layer
+        precomputed cross-attention k/v ride the gather-exempt aux cache
+        (:func:`models.beam.encdec_beam_search`). Returns
+        ``(tokens [b, beam, steps], scores [b, beam])`` best-first; tokens
+        EXCLUDE the forced prompt."""
+        from np_modeling_tpu.models.beam import encdec_beam_search
+
+        c = self.config
+        b = mel.shape[0]
+        memory = self.encode(params, mel)
+        prompt = jnp.asarray(prompt_tokens)
+        if prompt.ndim == 1:
+            prompt = jnp.broadcast_to(prompt[None], (b, prompt.shape[0]))
+        cross_kv = self._cross_kv(params, memory)
+
+        def init_dec_cache(bb, max_len):
+            return [self.dec_attn.init_cache(bb, max_len, c.d_model)
+                    for _ in range(c.num_decoder_layers)]
+
+        def decode_step(params, tokens, dec, aux):
+            y = self._embed_tgt(params, tokens, offset=dec[0]["index"])
+            y, dec = self._decoder_stack(params, y, aux["mem"], False,
+                                         None, caches=dec, decode=True,
+                                         cross_kv=aux["ckv"])
+            return self._head(params, y), dec
+
+        return encdec_beam_search(
+            init_dec_cache, decode_step, params, b, 0, steps, beam_size,
+            memory, eos_id=eos_id, alpha=alpha, prompt=prompt,
+            aux_extra={"ckv": cross_kv})
+
+    def transcribe_long(self, params, mel, prompt_tokens, steps: int,
+                        beam_size: int = 1, eos_id: int | None = None,
+                        alpha: float = 0.0):
+        """Long-form transcription: chunk ``mel`` [frames, n_mels] (one
+        utterance, frames > the model's 30s window) into consecutive
+        windows of ``2 * num_audio_positions`` frames (the last window
+        zero-padded — Whisper's pad-to-30s convention), decode ALL windows
+        in one batched beam/greedy decode, EOS-truncate each window's best
+        hypothesis, and stitch. Returns (token list, per-window tokens)."""
+        c = self.config
+        win = 2 * c.num_audio_positions
+        mel = jnp.asarray(mel)
+        assert mel.ndim == 2, "transcribe_long takes ONE utterance " \
+                              "[frames, n_mels]"
+        n_win = max(1, -(-mel.shape[0] // win))
+        pad = n_win * win - mel.shape[0]
+        if pad:
+            mel = jnp.pad(mel, ((0, pad), (0, 0)))
+        chunks = mel.reshape(n_win, win, c.n_mels)
+        if beam_size > 1:
+            seqs, _ = self.beam_decode(params, chunks, prompt_tokens,
+                                       steps, beam_size, eos_id=eos_id,
+                                       alpha=alpha)
+            toks = np.asarray(seqs[:, 0])            # best hypothesis
+        else:
+            toks = np.asarray(self.greedy_decode(params, chunks,
+                                                 prompt_tokens, steps))
+        per_window, stitched = [], []
+        for row in toks:
+            row = row.tolist()
+            if eos_id is not None and eos_id in row:
+                row = row[:row.index(eos_id)]
+            per_window.append(row)
+            stitched.extend(row)
+        return stitched, per_window
