@@ -169,7 +169,12 @@ def kernel_mfu(_probe_unused: float) -> dict:
         t = bench_probe._timed_scan(
             lambda c: matmul(c, x, out_dtype=jnp.bfloat16, block_m=512,
                              block_n=1024, block_k=1024), x, n=4)
-    out["matmul"] = round(2 * n**3 / t / 1e12 / probe_tf, 3)
+    # Explicitly a FORCED-kernel diagnostic (VERDICT r3 #8): the library's
+    # default matmul path is XLA dot_general (dispatch.py), which IS the
+    # probe — this field tracks the hand kernel's documented structural
+    # VMEM-accumulator ceiling (ops/matmul.py:92-101), not a served path.
+    out["matmul_forced_kernel_diagnostic"] = round(
+        2 * n**3 / t / 1e12 / probe_tf, 3)
 
     b, h, s, d = BATCH, HEADS, SEQ, D_MODEL // HEADS
     rng = np.random.default_rng(0)
@@ -200,12 +205,29 @@ def kernel_mfu(_probe_unused: float) -> dict:
             return (qc + 0.0001 * (g[0] + g[1] + g[2])).astype(jnp.bfloat16)
         return run
 
+    # Competitor tuning symmetry (VERDICT r3 #3): the jax-FA backward is
+    # swept over block configs (the fwd already gets hand-picked jfa_bs)
+    # and the BEST jax time is the comparison point — the headline
+    # "vs jax FA" ratios are against a tuned competitor on both passes.
+    def jfa_bwd_blocks(bq, bk):
+        return jfa.BlockSizes(
+            block_q=1024, block_k_major=1024, block_k=1024, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+            block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+            block_q_dq=bq)
+
     bwd_variants = {
         "ours": grad_of(lambda qc, kc, vc: ops.flash_attention(
             qc, kc, vc, causal=True)),
         "jax": grad_of(lambda qc, kc, vc: jfa.flash_attention(
             qc, kc, vc, causal=True, sm_scale=sc,
             block_sizes=jfa.BlockSizes.get_default(b, h, s, s, d))),
+        "jax_1024": grad_of(lambda qc, kc, vc: jfa.flash_attention(
+            qc, kc, vc, causal=True, sm_scale=sc,
+            block_sizes=jfa_bwd_blocks(1024, 1024))),
+        "jax_512": grad_of(lambda qc, kc, vc: jfa.flash_attention(
+            qc, kc, vc, causal=True, sm_scale=sc,
+            block_sizes=jfa_bwd_blocks(512, 512))),
     }
 
     times = {}
@@ -217,20 +239,26 @@ def kernel_mfu(_probe_unused: float) -> dict:
     attn_flops = 4 * b * h * s * s * d * 0.5
     t_fwd = min(times[("fwd", "ours")])
     t_bwd = min(times[("bwd", "ours")])
+    t_jax_bwd = min(min(v) for (tag, name), v in times.items()
+                    if tag == "bwd" and name != "ours")
     out["attn_fwd"] = round(attn_flops / t_fwd / 1e12 / probe_tf, 3)
     # fwd 4bhs2d + split bwd 10bhs2d (7 matmuls, 2 recomputes), causal half.
     out["attn_fwdbwd"] = round(3.5 * attn_flops / t_bwd / 1e12 / probe_tf, 3)
     out["attn_fwd_vs_jax_fa"] = round(min(times[("fwd", "jax")]) / t_fwd, 3)
-    out["attn_fwdbwd_vs_jax_fa"] = round(min(times[("bwd", "jax")]) / t_bwd,
-                                         3)
+    out["attn_fwdbwd_vs_jax_fa"] = round(t_jax_bwd / t_bwd, 3)
     return out
 
 
-def serving_tok_per_s() -> float:
+def serving_tok_per_s() -> dict:
     """Aggregate engine decode throughput (driver-visible serving number,
     VERDICT r2 #7): 8 live sequences at 512-token context on a 4L/d1024
     GPT, bf16 KV pages, one jitted step_many dispatch for 64 tokens x all
-    slots. bench_serving.py has the full per-config study."""
+    slots. bench_serving.py has the full per-config study.
+
+    ANCHORED (VERDICT r3 #4): also measures a same-run DENSE-cache decode
+    of the same workload (contiguous [8, 576] KV caches, one jitted
+    64-step scan — the no-paging baseline) and reports the ratio, so the
+    artifact distinguishes an engine regression from chip drift."""
     from np_modeling_tpu import models
     from np_modeling_tpu.serving import GenerationEngine
     rng = np.random.default_rng(0)
@@ -239,16 +267,45 @@ def serving_tok_per_s() -> float:
                            dtype=jnp.bfloat16)
     gpt = models.GPT(cfg)
     params = gpt.init(jax.random.PRNGKey(0), jnp.zeros((1, 128), jnp.int32))
+    prompts = {s: jnp.asarray(rng.integers(0, 8192, (512,)))
+               for s in range(8)}
+    n = 64
+
+    # Dense baseline: contiguous per-slot caches, jitted 64-step scan.
+    batch = jnp.stack([prompts[s] for s in range(8)])
+
+    @jax.jit
+    def dense_decode(params, batch):
+        caches = gpt.init_cache(8, 512 + n, dtype=jnp.bfloat16)
+        logits, caches = gpt.apply(params, batch, caches=caches,
+                                   decode=True, logits_last_only=True)
+        tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+        def body(carry, _):
+            tok, caches = carry
+            lg, caches = gpt.apply(params, tok[:, None], caches=caches,
+                                   decode=True)
+            return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32), caches), tok
+
+        (_, _), toks = jax.lax.scan(body, (tok0, caches), None,
+                                    length=n - 1)
+        return toks
+
+    jax.block_until_ready(dense_decode(params, batch))   # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(dense_decode(params, batch))
+    dense_tps = 8 * n / (time.perf_counter() - t0)
+
     eng = GenerationEngine(gpt, params, total_pages=128, page_size=64,
                            max_seqs=8, kv_dtype=jnp.bfloat16)
-    eng.add_requests({s: jnp.asarray(rng.integers(0, 8192, (512,)))
-                      for s in range(8)})
-    n = 64
+    eng.add_requests(prompts)
     eng.step_many(n)                       # warm the n-step scan compile
     t0 = time.perf_counter()
     eng.step_many(n)
     per = (time.perf_counter() - t0) / n
-    return 8 / per
+    tps = 8 / per
+    return {"serving_tok_per_s": round(tps, 0),
+            "serving_vs_dense": round(tps / dense_tps, 3)}
 
 
 def _chip_reachable(timeout: int = 180) -> bool:
@@ -296,7 +353,7 @@ def main():
         "probe_tflops": round(probe_tf, 1),
         "step_mfu_vs_probe": round(tflops / probe_tf, 4),
         "kernel_mfu_vs_probe": kernel_mfu(probe_tf),
-        "serving_tok_per_s": round(serving_tok_per_s(), 0),
+        **serving_tok_per_s(),
     }))
 
 
