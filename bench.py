@@ -52,26 +52,40 @@ DTYPE = jnp.bfloat16  # compute dtype both sides; params/grads/loss fp32
 
 
 def _time_scan_steps(step_fn, params, opt_state, tokens):
-    """step_fn(params, opt_state, tokens) -> (params, opt_state, loss)."""
+    """step_fn(params, opt_state, tokens) -> (params, opt_state, loss).
 
-    @jax.jit
-    def run(params, opt_state, tokens):
-        def body(c, _):
-            p, s = c
-            p, s, loss = step_fn(p, s, tokens)
-            return (p, s), loss
+    SLOPE-timed between K- and 3K-step chains: each readback on this
+    tunneled device pays a ~20-45ms round trip, which at K=8 inflated
+    per-step time ~4% (see bench_probe's round-4 notes); the difference
+    of two chain lengths cancels it. The params/opt-state carry is a real
+    data dependence, so the body cannot be hoisted."""
+    import statistics
 
-        (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
-                                      length=K)
-        return losses[-1]
+    def make(length):
+        @jax.jit
+        def run(params, opt_state, tokens):
+            def body(c, _):
+                p, s = c
+                p, s, loss = step_fn(p, s, tokens)
+                return (p, s), loss
 
-    float(run(params, opt_state, tokens))  # compile + warmup
-    best = float("inf")
+            (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                          length=length)
+            return losses[-1]
+        return run
+
+    r1, r2 = make(K), make(3 * K)
+    float(r1(params, opt_state, tokens))   # compile + warm
+    float(r2(params, opt_state, tokens))
+    slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run(params, opt_state, tokens))
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best
+        float(r1(params, opt_state, tokens))
+        t1 = time.perf_counter()
+        float(r2(params, opt_state, tokens))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (2 * K))
+    return statistics.median(slopes)
 
 
 def bench_ours(tokens):
@@ -271,38 +285,54 @@ def serving_tok_per_s() -> dict:
                for s in range(8)}
     n = 64
 
-    # Dense baseline: contiguous per-slot caches, jitted 64-step scan.
+    # Dense baseline: contiguous per-slot caches, jitted decode scans.
+    # Both sides are SLOPE-timed between two chain lengths so the ~20-45ms
+    # per-readback tunnel round trip cancels (it was ~20% of a naive
+    # per-step number at these step times).
     batch = jnp.stack([prompts[s] for s in range(8)])
 
-    @jax.jit
-    def dense_decode(params, batch):
-        caches = gpt.init_cache(8, 512 + n, dtype=jnp.bfloat16)
-        logits, caches = gpt.apply(params, batch, caches=caches,
-                                   decode=True, logits_last_only=True)
-        tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    def make_dense(steps):
+        @jax.jit
+        def dense_decode(params, batch):
+            caches = gpt.init_cache(8, 512 + steps + 1, dtype=jnp.bfloat16)
+            logits, caches = gpt.apply(params, batch, caches=caches,
+                                       decode=True, logits_last_only=True)
+            tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
-        def body(carry, _):
-            tok, caches = carry
-            lg, caches = gpt.apply(params, tok[:, None], caches=caches,
-                                   decode=True)
-            return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32), caches), tok
+            def body(carry, _):
+                tok, caches = carry
+                lg, caches = gpt.apply(params, tok[:, None], caches=caches,
+                                       decode=True)
+                return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32),
+                        caches), tok
 
-        (_, _), toks = jax.lax.scan(body, (tok0, caches), None,
-                                    length=n - 1)
-        return toks
+            (_, _), toks = jax.lax.scan(body, (tok0, caches), None,
+                                        length=steps - 1)
+            return toks
+        return dense_decode
 
-    jax.block_until_ready(dense_decode(params, batch))   # compile + warm
+    d1, d2 = make_dense(n), make_dense(3 * n)
+    jax.block_until_ready(d1(params, batch))   # compile + warm
+    jax.block_until_ready(d2(params, batch))
     t0 = time.perf_counter()
-    jax.block_until_ready(dense_decode(params, batch))
-    dense_tps = 8 * n / (time.perf_counter() - t0)
+    jax.block_until_ready(d1(params, batch))
+    t1 = time.perf_counter()
+    jax.block_until_ready(d2(params, batch))
+    t2 = time.perf_counter()
+    dense_per = ((t2 - t1) - (t1 - t0)) / (2 * n)
+    dense_tps = 8 / dense_per
 
-    eng = GenerationEngine(gpt, params, total_pages=128, page_size=64,
+    eng = GenerationEngine(gpt, params, total_pages=160, page_size=64,
                            max_seqs=8, kv_dtype=jnp.bfloat16)
     eng.add_requests(prompts)
-    eng.step_many(n)                       # warm the n-step scan compile
+    eng.step_many(n)                       # warm both scan compiles
+    eng.step_many(3 * n)
     t0 = time.perf_counter()
     eng.step_many(n)
-    per = (time.perf_counter() - t0) / n
+    t1 = time.perf_counter()
+    eng.step_many(3 * n)
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / (2 * n)
     tps = 8 / per
     return {"serving_tok_per_s": round(tps, 0),
             "serving_vs_dense": round(tps / dense_tps, 3)}

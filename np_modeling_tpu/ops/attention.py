@@ -656,7 +656,7 @@ def _clamp_blocks(block_q, block_kv, mask, bias):
 
 def _fwd_tile_dual(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
                    acc_scr, *, causal, window, kv_len, block_q, block_kv,
-                   n_kv2):
+                   n_kv2, scale=1.0):
     """Two kv HALVES per grid step with both score matmuls issued before
     any softmax VPU work, giving Mosaic independent MXU/VPU chains to
     overlap (the single-block forward serializes s-matmul -> exp -> pv).
@@ -688,6 +688,8 @@ def _fwd_tile_dual(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
                 q, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))
         for h, s in enumerate(halves):
+            if scale != 1.0:
+                s = s * scale
             s = _tile_mask(s, q_idx, 2 * kv_idx + h, causal, window,
                            kv_len, block_q, block_kv, n_kv2, None, None)
             m_prev, l_prev = m_scr[...], l_scr[...]
@@ -716,7 +718,7 @@ def _fwd_tile_dual(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
 def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
               m_scr, l_scr, acc_scr, *,
               causal, window, kv_len, block_q, block_kv, n_kv,
-              softcap=None):
+              softcap=None, scale=1.0):
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -729,12 +731,18 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]                 # pre-scaled by 1/sqrt(d) outside
+        q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if softcap is not None:         # q pre-scaled -> s IS the scaled
-            s = softcap * jnp.tanh(s * (1.0 / softcap))   # scores: cap here
+        if scale != 1.0:
+            # In-kernel score scaling: one VPU pass per [bq, bkv] tile,
+            # hidden under the MXU chain (slope-measured free) — the old
+            # out-of-kernel q pre-scale paid a full HBM read+write of q
+            # per call. EXP2_SCORES still pre-scales (base-2 algebra).
+            s = s * scale
+        if softcap is not None:         # s IS the scaled scores: cap here
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         if bias_ref is not None:
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
@@ -788,10 +796,15 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
-    # Fold the softmax scale (and exp2's log2e) into q here: saves one full
-    # VPU pass over every s^2 score tile in the forward AND backward kernels.
-    qscale = scale * _LOG2E if EXP2_SCORES else scale
-    qp = _pad4((q * qscale).astype(q.dtype), sq_p, d_p)
+    # EXP2_SCORES folds scale*log2e into q (base-2 algebra relies on it);
+    # the default path scales IN-KERNEL (see _fwd_tile) — the pre-scale's
+    # extra HBM read+write of q was a measured ~6% of the forward.
+    if EXP2_SCORES:
+        qp = _pad4((q * (scale * _LOG2E)).astype(q.dtype), sq_p, d_p)
+        kscale = 1.0
+    else:
+        qp = _pad4(q, sq_p, d_p)
+        kscale = scale
     kp = _pad4(k, skv_p, d_p)
     vp = _pad4(v, skv_p, d_p)
     if bias is not None and EXP2_SCORES:
@@ -803,13 +816,15 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
             and softcap is None and n_kv % 2 == 0)
     if dual:
         return _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv,
-                               causal, window, bq, bkv, n_kv, q.dtype)
+                               causal, window, bq, bkv, n_kv, q.dtype,
+                               scale=kscale)
 
     grid = (b, hq, sq_p // bq, n_kv)
     has_seg = q_seg is not None
     tile = functools.partial(_fwd_tile, causal=causal, window=window,
                              kv_len=skv, block_q=bq,
-                             block_kv=bkv, n_kv=n_kv, softcap=softcap)
+                             block_kv=bkv, n_kv=n_kv, softcap=softcap,
+                             scale=kscale)
     if not need_lse:
         # No LSE output ref exists: re-slot the remaining refs around a
         # None lse_ref so the tile skips the residual store entirely.
@@ -870,12 +885,12 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
 
 
 def _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv, causal,
-                    window, bq, bkv, n_kv, out_dtype):
+                    window, bq, bkv, n_kv, out_dtype, scale=1.0):
     """FWD_DUAL_KV dispatch: grid over 2*bkv kv blocks, two halves per
     step (see :func:`_fwd_tile_dual`)."""
     tile = functools.partial(_fwd_tile_dual, causal=causal, window=window,
                              kv_len=skv, block_q=bq, block_kv=bkv,
-                             n_kv2=n_kv)
+                             n_kv2=n_kv, scale=scale)
 
     def kv_map(ib, ih, iq, ik):
         ik = _clamp_kv(iq, ik, causal, window, bq, 2 * bkv)
@@ -925,7 +940,7 @@ def _flash_fwd_dual(qp, kp, vp, b, hq, g, sq, d, sq_p, d_p, skv, causal,
 
 def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
              bias_ref, *rest, causal, window, kv_len, block_q,
-             block_kv, n_kv, softcap=None):
+             block_kv, n_kv, softcap=None, scale=1.0):
     if bias_ref is not None:
         dq_ref, dbias_ref, dq_scr = rest
     else:
@@ -946,6 +961,8 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale        # in-kernel (VPU-hidden); see _fwd_tile
         cap_grad = None
         if softcap is not None:
             t = jnp.tanh(s * (1.0 / softcap))
@@ -963,7 +980,10 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             dbias_ref[0, 0] = ds_raw
         if cap_grad is not None:            # chain through cap*tanh(s/cap)
             ds_raw = ds_raw * cap_grad
-        # dq accumulates ds_raw @ k; the sqrt(d) scale is folded in outside.
+        if scale != 1.0:
+            # ds/dq = scale * k: fold here (VPU-hidden) — the old
+            # out-of-kernel `dq * scale` paid an HBM pass over dq.
+            ds_raw = ds_raw * scale
         dq_scr[...] += jax.lax.dot_general(
             ds_raw.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -982,7 +1002,7 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
               bias_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
               causal, window, kv_len, block_q, block_kv, n_q, n_kv,
-              softcap=None):
+              softcap=None, scale=1.0):
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
 
     @pl.when(q_idx == 0)
@@ -1000,6 +1020,8 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale        # in-kernel (VPU-hidden); see _fwd_tile
         cap_grad = None
         if softcap is not None:
             t = jnp.tanh(s * (1.0 / softcap))
@@ -1019,8 +1041,8 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
         ds_raw = p * (dp - di[:, 0:1])
         if cap_grad is not None:            # chain through cap*tanh(s/cap)
             ds_raw = ds_raw * cap_grad
-        # dk_true = (ds_raw*scale)^T @ q = ds_raw^T @ q_hat — q pre-scaled,
-        # so no scale pass over the s^2 tile and no correction needed.
+        if scale != 1.0:
+            ds_raw = ds_raw * scale         # ds/dk = scale * q
         dk_scr[...] += jax.lax.dot_general(
             ds_raw.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -1033,7 +1055,7 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
 
 def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
                bias_ref, *rest, causal, window, kv_len, block_q,
-               block_kv, n_q, n_kv, softcap=None):
+               block_kv, n_q, n_kv, softcap=None, scale=1.0):
     """FUSED backward tile: one (s, p, dp, ds) recompute feeds dk, dv AND a
     dq partial — 5 matmuls per tile pair vs 7 for the split dq/dkv kernels.
     dq partials [b, h, n_kv, sq, d] are reduced over n_kv outside."""
@@ -1058,6 +1080,8 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             lse = lse * _LOG2E   # residual is base e; kernel works in base 2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = s * scale        # in-kernel (VPU-hidden); see _fwd_tile
         cap_grad = None
         if softcap is not None:
             t = jnp.tanh(s * (1.0 / softcap))
@@ -1078,6 +1102,8 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             dbias_ref[0, 0] = ds_raw
         if cap_grad is not None:            # chain through cap*tanh(s/cap)
             ds_raw = ds_raw * cap_grad
+        if scale != 1.0:
+            ds_raw = ds_raw * scale         # ds/dk, ds/dq both carry scale
         dk_scr[...] += jax.lax.dot_general(
             ds_raw.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -1125,8 +1151,15 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     sq_p, skv_p, d_p = round_up(sq, bq), round_up(skv, bkv), round_up(d, 128)
     n_q, n_kv = sq_p // bq, skv_p // bkv
 
-    qscale = scale * _LOG2E if EXP2_SCORES else scale
-    qp = _pad4((q * qscale).astype(q.dtype), sq_p, d_p)  # see fwd: folded scale
+    # EXP2 pre-scales q (base-2 algebra); default scales IN-KERNEL and
+    # folds scale into ds — no out-of-kernel passes over q or dq (see
+    # _fwd_tile / _dq_tile notes).
+    if EXP2_SCORES:
+        qp = _pad4((q * (scale * _LOG2E)).astype(q.dtype), sq_p, d_p)
+        kscale = 1.0
+    else:
+        qp = _pad4(q, sq_p, d_p)
+        kscale = scale
     kp, vp = _pad4(k, skv_p, d_p), _pad4(v, skv_p, d_p)
     dop = _pad4(do, sq_p, d_p)
     if bias is not None and EXP2_SCORES:
@@ -1158,7 +1191,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     if not FUSED_BWD:
         dq_tile = functools.partial(_dq_tile, causal=causal, window=window,
                                     kv_len=skv, block_q=bq,
-                                    block_kv=bkv, n_kv=n_kv, softcap=softcap)
+                                    block_kv=bkv, n_kv=n_kv, softcap=softcap,
+                                    scale=kscale)
         dq_kernel = _make_wrapper(dq_tile, 6, has_seg, mask is not None,
                                   has_bias)
         dq_specs = [q_spec, kv_spec, kv_spec, q_spec, lm_spec, lm_spec]
@@ -1222,7 +1256,7 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     dkv_tile = functools.partial(tile_cls, causal=causal, window=window,
                                  kv_len=skv, block_q=bq,
                                  block_kv=bkv, n_q=n_q, n_kv=n_kv,
-                                 softcap=softcap)
+                                 softcap=softcap, scale=kscale)
     dkv_kernel = _make_wrapper(dkv_tile, 6, has_seg, mask is not None,
                                has_bias)
     dkv_specs = [q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, lm_spec_t,
@@ -1274,7 +1308,10 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     else:
         dk_full, dv_full = outs
 
-    dq = dq[:, :, :sq, :d] * scale      # fold the pre-scaled q back out
+    if EXP2_SCORES:
+        dq = dq[:, :, :sq, :d] * scale  # fold the pre-scaled q back out
+    else:
+        dq = dq[:, :, :sq, :d]          # scale already folded into ds
     dk = _group_sum(dk_full[:, :, :skv, :d], g)
     if EXP2_SCORES:
         # dk was computed against the log2e-scaled q: fold the constant out.
