@@ -38,8 +38,16 @@ class Linear(Module):
 
     def apply(self, params, x, training=False, rngs=None):
         del training, rngs
+        w = params["w"]
+        if isinstance(w, dict) and "int8" in w:
+            # Weight-only int8 leaf (ops.quantize_params_int8, serving):
+            # fused dequant-in-VMEM matmul — the weight's HBM traffic is
+            # the int8 bytes, no materialized bf16 temp.
+            return ops.int8_matmul(maybe_cast(x, self.dtype), w["int8"],
+                                   w["scale"], params.get("b"),
+                                   out_dtype=self.dtype or x.dtype)
         return ops.linear(maybe_cast(x, self.dtype),
-                          maybe_cast(params["w"], self.dtype),
+                          maybe_cast(w, self.dtype),
                           maybe_cast(params.get("b"), self.dtype))
 
 

@@ -43,7 +43,8 @@ from np_modeling_tpu.ops.quantization import (QuantizedTensor,
                                               quantize_int8,
                                               quantize_int8_stochastic,
                                               quantize_params_int4,
-                                              quantize_params_int8)
+                                              quantize_params_int8,
+                                              int8_matmul)
 from np_modeling_tpu.ops.rope import apply_rope
 
 __all__ = [
@@ -58,6 +59,7 @@ __all__ = [
     "paged_attention",
     "paged_attention_reference", "quantize_int8", "quantize_int8_stochastic",
     "quantize_params_int4", "quantize_params_int8", "dequantize_params",
+    "int8_matmul",
     "kl_divergence_from_logits",
     "quick_gelu", "relu", "rms_norm", "selective_scan",
     "selective_scan_step", "silu", "softmax", "ssd", "ssd_step",

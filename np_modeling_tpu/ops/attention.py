@@ -495,6 +495,26 @@ def _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q, block_kv,
     return s
 
 
+def _lanes(x, width):
+    """Tile a lane-replicated [rows, 128] statistic to [rows, width].
+
+    Subtracting/multiplying a [:, 0:1] lane-0 broadcast against a [rows,
+    width] tile makes Mosaic emit a cross-lane broadcast inside the VPU
+    pass — slope-measured 1.26x SLOWER on the fwd exp pass at the headline
+    shape (exp_fwd_opt.py: lane0 1485us vs tiled 1183us, probe 174). The
+    stats are lane-replicated [rows, 128], so a jnp.tile is layout-aligned
+    and free. Narrow tiles (width < 128, interpret-mode test shapes) slice
+    instead; a non-multiple width falls back to the lane-0 broadcast."""
+    cur = x.shape[1]
+    if width == cur:
+        return x
+    if width < cur:
+        return x[:, :width]
+    if width % cur == 0:
+        return jnp.tile(x, (1, width // cur))
+    return x[:, 0:1]
+
+
 def _make_wrapper(tile, n_in, has_seg, has_mask, has_bias):
     """Adapter from pallas's positional refs to a tile fn taking optional
     (seg, mask_ref, bias_ref) slots. Ref order: n_in main inputs, then
@@ -696,20 +716,22 @@ def _fwd_tile_dual(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
             m_curr = jnp.max(s, axis=1)[:, None]
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, 0:1])
+            p = jnp.exp(s - _lanes(m_next, block_kv))
             l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
             m_scr[...], l_scr[...] = m_next, l_next
             vh = v[h * block_kv:(h + 1) * block_kv]
             pv = jax.lax.dot_general(
                 p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+            acc_scr[...] = (acc_scr[...]
+                            * _lanes(alpha, acc_scr.shape[1]) + pv)
 
     @pl.when(kv_idx == pl.num_programs(3) - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...]
+                       * _lanes(l_inv, acc_scr.shape[1])).astype(o_ref.dtype)
         safe_l = jnp.where(l == 0.0, 1.0, l)
         lse = m_scr[...] + jnp.log(safe_l)
         lse_ref[0, 0] = lse[:, :lse_ref.shape[-1]]
@@ -756,24 +778,26 @@ def _fwd_tile(q_ref, k_ref, v_ref, seg, mask_ref, bias_ref, o_ref, lse_ref,
         if FWD_BF16_EXP:
             # exp on a bf16 score tile: p feeds the bf16 p@v matmul anyway,
             # so the only extra rounding is in l's summands (see flag note).
-            p = exp_fn((s - m_next[:, 0:1]).astype(jnp.bfloat16))
+            p = exp_fn((s - _lanes(m_next, block_kv)).astype(jnp.bfloat16))
             l_next = (alpha * l_prev
                       + jnp.sum(p, axis=1, dtype=jnp.float32)[:, None])
         else:
-            p = exp_fn(s - m_next[:, 0:1])
+            p = exp_fn(s - _lanes(m_next, block_kv))
             l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...], l_scr[...] = m_next, l_next
 
         v = v_ref[0, 0]
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+        acc_scr[...] = (acc_scr[...] * _lanes(alpha, acc_scr.shape[1])
+                        + pv)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
         l = l_scr[...]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...]
+                       * _lanes(l_inv, acc_scr.shape[1])).astype(o_ref.dtype)
         if lse_ref is not None:
             safe_l = jnp.where(l == 0.0, 1.0, l)
             if EXP2_SCORES:
@@ -972,10 +996,11 @@ def _dq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
                        block_kv, n_kv, seg, mask_ref)
-        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(s - lse[:, 0:1])
+        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(
+            s - _lanes(lse, block_kv))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds_raw = p * (dp - di[:, 0:1])      # grad wrt post-bias scores
+        ds_raw = p * (dp - _lanes(di, block_kv))      # grad wrt post-bias scores
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
         if cap_grad is not None:            # chain through cap*tanh(s/cap)
@@ -1031,14 +1056,15 @@ def _dkv_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
                        block_kv, n_kv, seg, mask_ref)
-        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(s - lse[:, 0:1])                          # [bq, bkv]
+        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(
+            s - _lanes(lse, block_kv))                          # [bq, bkv]
         # dv += pᵀ @ do ; transpose folded into dot_general contraction dims.
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds_raw = p * (dp - di[:, 0:1])
+        ds_raw = p * (dp - _lanes(di, block_kv))
         if cap_grad is not None:            # chain through cap*tanh(s/cap)
             ds_raw = ds_raw * cap_grad
         if scale != 1.0:
@@ -1091,13 +1117,14 @@ def _dkvq_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg, mask_ref,
             s = s + bias_ref[0, 0]
         s = _tile_mask(s, q_idx, kv_idx, causal, window, kv_len, block_q,
                        block_kv, n_kv, seg, mask_ref)
-        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(s - lse[:, 0:1])
+        p = (jnp.exp2 if EXP2_SCORES else jnp.exp)(
+            s - _lanes(lse, block_kv))
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds_raw = p * (dp - di[:, 0:1])
+        ds_raw = p * (dp - _lanes(di, block_kv))
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
         if cap_grad is not None:            # chain through cap*tanh(s/cap)

@@ -9,6 +9,7 @@ scale = absmax/127 over the last axis.
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import NamedTuple
 
@@ -229,3 +230,101 @@ def dequantize_params(qparams, dtype=jnp.bfloat16):
     if isinstance(qparams, (list, tuple)):
         return type(qparams)(dequantize_params(v, dtype) for v in qparams)
     return qparams
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 matmul: weights stream from HBM AS INT8 (half the bytes of the
+# dequantize-then-matmul path's materialized bf16 temp), dequantize in VMEM
+# tile-by-tile, and hit the MXU in bf16. Serving/decode path — no VJP.
+# ---------------------------------------------------------------------------
+
+
+def _int8_mm_tile(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_k, bias=False):
+    """One (i_n, i_k) step: dequant the [bk, bn] int8 tile in VMEM (same
+    rounding as dequantize_params: fp32 *scale then bf16) and accumulate
+    x_tile @ w_tile into fp32 scratch."""
+    i_k = pl.program_id(1)
+
+    @pl.when(i_k == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    wb = (w_ref[...].astype(jnp.float32) * s_ref[0:1]).astype(jnp.bfloat16)
+    acc_scr[...] += jax.lax.dot_general(
+        x_ref[...], wb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i_k == n_k - 1)
+    def _store():
+        o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+
+
+def int8_matmul(x, w_int8, scale, bias=None, *, out_dtype=None,
+                block_n: int = 512, block_k: int = 512):
+    """``x @ dequant(w)`` with the weight streamed as int8.
+
+    ``x`` [..., k] (bf16/f32); ``w_int8`` [k, n] int8; ``scale`` [1, n] or
+    [n] fp32 per-OUTPUT-column scales (quantize_params_int8's 2-D layout).
+    Numerics match ``x @ dequantize_params({'int8','scale'}, bf16)``: the
+    tile dequant applies the same fp32-multiply-then-bf16 rounding; only
+    the k-split accumulation order differs (fp32 accumulate both ways).
+
+    This is the decode-side win VERDICT r3 #9 asked for: the
+    dequantize-then-matmul path writes a full bf16 weight temp to HBM and
+    re-reads it every step; here the weight's HBM traffic is the int8
+    bytes only. Falls back to dequant + XLA dot off-TPU (and under
+    ``dispatch.force_pallas(False)``)."""
+    k, n = w_int8.shape
+    scale2 = scale.reshape(1, n).astype(jnp.float32)
+    lead = x.shape[:-1]
+    m = 1
+    for dim in lead:
+        m *= dim
+    x2 = x.reshape(m, k)
+    out_dtype = out_dtype or x.dtype
+
+    use_kernel = dispatch.forced()
+    if use_kernel is None:
+        use_kernel = dispatch.on_tpu()
+    if not use_kernel:
+        w = (w_int8.astype(jnp.float32) * scale2).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(x2, w, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.reshape(*lead, n).astype(out_dtype)
+
+    bn = min(round_up(n, 128), block_n)
+    bk = min(round_up(k, 128), block_k)
+    m_p = round_up(max(m, 1), 16)            # bf16 sublane tile
+    n_p, k_p = round_up(n, bn), round_up(k, bk)
+    x_p = jnp.pad(x2.astype(jnp.bfloat16),
+                  ((0, m_p - m), (0, k_p - k)))
+    w_p = jnp.pad(w_int8, ((0, k_p - k), (0, n_p - n)))
+    s_p = jnp.pad(scale2, ((0, 0), (0, n_p - n)))
+    n_k = k_p // bk
+
+    out = pl.pallas_call(
+        functools.partial(_int8_mm_tile, n_k=n_k),
+        grid=(n_p // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m_p, bk), lambda i_n, i_k: (0, i_k)),
+            pl.BlockSpec((bk, bn), lambda i_n, i_k: (i_k, i_n)),
+            pl.BlockSpec((1, bn), lambda i_n, i_k: (0, i_n)),
+        ],
+        out_specs=pl.BlockSpec((m_p, bn), lambda i_n, i_k: (0, i_n)),
+        out_shape=jax.ShapeDtypeStruct((m_p, n_p), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m_p, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * n_p * k_p,
+            bytes_accessed=w_p.size + x_p.size * 2 + m_p * n_p * 2,
+            transcendentals=0),
+        interpret=dispatch.interpret_mode(),
+    )(x_p, w_p, s_p)
+    out = out[:m, :n]
+    if bias is not None:
+        out = (out.astype(jnp.float32)
+               + bias.astype(jnp.float32)).astype(out_dtype)
+    return out.reshape(*lead, n)
