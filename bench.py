@@ -354,25 +354,50 @@ def _chip_reachable(timeout: int = 180) -> bool:
         return False
 
 
-def main():
-    if not _chip_reachable():
-        print(json.dumps({
-            "metric": f"gpt_4L_d1024_h8_s{SEQ}_b{BATCH}_train_step",
-            "value": 0.0,
-            "unit": "us/step",
-            "vs_baseline": 0.0,
-            "error": "TPU unreachable (jax.devices() hung past the probe "
-                     "timeout); no measurement possible this run",
-        }))
-        return
+def _error_line(msg: str, partial: dict | None = None) -> None:
+    line = {
+        "metric": f"gpt_4L_d1024_h8_s{SEQ}_b{BATCH}_train_step",
+        "value": 0.0,
+        "unit": "us/step",
+        "vs_baseline": 0.0,
+        "error": msg,
+    }
+    if partial:
+        line["partial"] = partial
+    print(json.dumps(line))
+
+
+def _measure():
+    """The actual measurement (runs in the watchdog child, see main()).
+
+    After each phase a ``BENCH_PARTIAL <json>`` line goes to stderr so the
+    parent can report last-known-good numbers if the chip hangs mid-run
+    (observed: the tunnel passes the reachability probe, then a later
+    dispatch blocks forever)."""
+    import sys
+
     import bench_probe
+
+    acc = {}
+
+    def partial(**kv):
+        acc.update(kv)
+        print("BENCH_PARTIAL " + json.dumps(acc), file=sys.stderr, flush=True)
+
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(0, VOCAB, (BATCH, SEQ)))
     probe_tf = bench_probe.probe()       # same-run chip ceiling (TFLOP/s)
+    partial(probe_tflops=round(probe_tf, 1))
     ours = bench_ours(tokens)
+    partial(step_us=round(ours * 1e6, 1))
     flax_t = bench_flax(tokens)
+    partial(vs_baseline=round(flax_t / ours, 4))
     probe_tf = max(probe_tf, bench_probe.probe())   # re-probe after the runs
     tflops = step_flops() / ours / 1e12
+    kmfu = kernel_mfu(probe_tf)
+    partial(kernel_mfu_vs_probe=kmfu)
+    serving = serving_tok_per_s()
+    partial(**serving)
     print(json.dumps({
         "metric": f"gpt_4L_d1024_h8_s{SEQ}_b{BATCH}_train_step",
         "value": round(ours * 1e6, 1),
@@ -382,9 +407,60 @@ def main():
         "mfu_vs_197tf_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
         "probe_tflops": round(probe_tf, 1),
         "step_mfu_vs_probe": round(tflops / probe_tf, 4),
-        "kernel_mfu_vs_probe": kernel_mfu(probe_tf),
-        **serving_tok_per_s(),
+        "kernel_mfu_vs_probe": kmfu,
+        **serving,
     }))
+
+
+def main():
+    """Watchdog wrapper: the measurement runs in a CHILD process under a
+    hard timeout (env BENCH_TIMEOUT, default 2400s). The tunneled chip can
+    hang on any dispatch — not just the first (seen: reachability probe
+    passes, a later compile/readback blocks >20min) — and a hung bench
+    stalls the whole round. On timeout/crash, emit an error JSON line
+    carrying the child's last BENCH_PARTIAL phase results."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_CHILD") == "1":
+        _measure()
+        return
+    if not _chip_reachable():
+        _error_line("TPU unreachable (jax.devices() hung past the probe "
+                    "timeout); no measurement possible this run")
+        return
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "2400"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        r = subprocess.run([sys.executable, __file__], env=env,
+                           timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired as e:
+        stderr = (e.stderr or b"")
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+        _error_line(f"bench child hung past {timeout}s (TPU tunnel stall "
+                    "mid-run); partial = last completed phases",
+                    _last_partial(stderr))
+        return
+    out = [ln for ln in r.stdout.splitlines() if ln.strip().startswith("{")]
+    if r.returncode == 0 and out:
+        print(out[-1])
+        return
+    tail = "\n".join(r.stderr.splitlines()[-8:])
+    _error_line(f"bench child exited rc={r.returncode}: {tail[-500:]}",
+                _last_partial(r.stderr))
+
+
+def _last_partial(stderr: str) -> dict | None:
+    last = None
+    for ln in (stderr or "").splitlines():
+        if ln.startswith("BENCH_PARTIAL "):
+            try:
+                last = json.loads(ln[len("BENCH_PARTIAL "):])
+            except json.JSONDecodeError:
+                pass
+    return last
 
 
 if __name__ == "__main__":
