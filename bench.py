@@ -244,11 +244,16 @@ def kernel_mfu(_probe_unused: float) -> dict:
             block_sizes=jfa_bwd_blocks(512, 512))),
     }
 
+    # Chain lengths: a ~1.2ms fwd kernel at n=4/n2=12 puts the 8-iteration
+    # device-time difference (~10ms) inside the tunnel's RTT drift — a
+    # slope can come out <=0 (observed). n=8/n2=40 (fwd) and n=6/n2=24
+    # (bwd, ~4.5-7ms/iter) keep the difference at ~40ms+.
+    lens = {"fwd": dict(n=8, n2=40), "bwd": dict(n=6, n2=24)}
     times = {}
     for _ in range(2):                    # interleave ours/jax, ours/jax
         for tag, variants in (("fwd", fwd_variants), ("bwd", bwd_variants)):
             for name, fn in variants.items():
-                t = bench_probe._timed_scan(fn, q, n=4)
+                t = bench_probe._timed_scan(fn, q, **lens[tag])
                 times.setdefault((tag, name), []).append(t)
     attn_flops = 4 * b * h * s * s * d * 0.5
     t_fwd = min(times[("fwd", "ours")])
