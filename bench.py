@@ -449,8 +449,15 @@ def main():
                     _last_partial(stderr))
         return
     out = [ln for ln in r.stdout.splitlines() if ln.strip().startswith("{")]
-    if r.returncode == 0 and out:
+    if out:
+        # A complete final line beats the partial fallback even if the
+        # child crashed during teardown AFTER measuring (ADVICE r4).
         print(out[-1])
+        if r.returncode != 0:
+            import sys
+            print(f"bench child exited rc={r.returncode} after printing "
+                  "the final line (teardown crash); result kept",
+                  file=sys.stderr)
         return
     tail = "\n".join(r.stderr.splitlines()[-8:])
     _error_line(f"bench child exited rc={r.returncode}: {tail[-500:]}",

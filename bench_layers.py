@@ -1,14 +1,17 @@
 """Per-layer fwd+bwd µs/step vs Flax (the BASELINE.json metric).
 
 For each layer type, times a jitted grad of an MSE objective through our
-layer vs the equivalent Flax layer on identical weights/shapes. Chained
-in-jit iterations + scalar readback (tunnel-safe). Prints one JSON line per
-layer: {"layer", "ours_us", "flax_us", "speedup"}.
+layer vs the equivalent Flax layer on identical weights/shapes. SLOPE-timed
+between two chain lengths (r5: the old per-call form carried +RTT/K ~3ms
+per iteration through this tunnel — larger than the LayerNorm iteration
+itself). Prints one JSON line per layer:
+{"layer", "ours_us", "flax_us", "speedup"}.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import flax.linen as fnn
@@ -18,7 +21,6 @@ import numpy as np
 
 from np_modeling_tpu import nn, ops
 
-K = 10
 rng = np.random.default_rng(0)
 
 
@@ -26,23 +28,33 @@ def _r(*s):
     return jnp.asarray(rng.standard_normal(s, dtype=np.float32))
 
 
-def _time_grad(loss_fn, x):
+def _time_grad(loss_fn, x, n=8, n2=40):
+    """Slope-timed fwd+bwd seconds/iteration. Chain lengths sized so the
+    (n2-n)-iteration device-time difference clears the tunnel's RTT drift
+    (use longer chains for sub-ms layers)."""
     g = jax.grad(loss_fn)
 
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            return (c + 1e-6 * g(c)).astype(c.dtype), None
-        c, _ = jax.lax.scan(body, x, None, length=K)
-        return jnp.sum(c.astype(jnp.float32))
+    def make(length):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return (c + 1e-6 * g(c)).astype(c.dtype), None
+            c, _ = jax.lax.scan(body, x, None, length=length)
+            return jnp.sum(c.astype(jnp.float32))
+        return run
 
-    float(run(x))
-    best = float("inf")
+    r1, r2 = make(n), make(n2)
+    float(r1(x))
+    float(r2(x))
+    slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run(x))
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best
+        float(r1(x))
+        t1 = time.perf_counter()
+        float(r2(x))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n))
+    return max(statistics.median(slopes), 1e-9)
 
 
 def bench_dense():

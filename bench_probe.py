@@ -98,7 +98,8 @@ _PROBE_N = 8192     # 8k^3 bf16 is compute-bound; slope-measured healthy
                     # band ~170-180 TF/s on this chip
 
 
-def probe() -> float:
+def probe(n: int = 4, n2: int = 16, reps: int = 5,
+          raw: bool = False):
     """Current chip throughput (TFLOP/s) on a plain 8k bf16 matmul chain.
 
     Slope-measured AND output-chained (each iteration's product feeds the
@@ -106,7 +107,14 @@ def probe() -> float:
     this is the exact matmul time. Chained 8k products stay finite in
     bf16 only because the operand is orthonormal-ish noise/sqrt(N); a
     tanh squash keeps values bounded regardless (one VPU pass, ~1% of the
-    6.3ms matmul)."""
+    6.3ms matmul).
+
+    Chain lengths (r5, VERDICT #4): the old n=2/n2=6 pair put only ~25ms
+    of device time in the slope difference — inside this tunnel's RTT
+    drift, which is how a probe once read 203.7 TF/s (>100% of a v5e's
+    nominal 197 peak). n=4/n2=16 is a ~76ms difference; with reps=5 the
+    median slope is stable to a few percent. ``raw=True`` additionally
+    returns the per-rep slope TF/s list for the artifact."""
     global _PROBE_A
     if _PROBE_A is None:
         _PROBE_A = (jax.random.normal(jax.random.PRNGKey(0),
@@ -123,19 +131,23 @@ def probe() -> float:
             return jnp.sum(x.astype(jnp.float32))
         return run
 
-    r1, r2 = make(2), make(6)
+    r1, r2 = make(n), make(n2)
     float(r1(a))
     float(r2(a))
     slopes = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         float(r1(a))
         t1 = time.perf_counter()
         float(r2(a))
         t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / 4)
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n))
     t = max(statistics.median(slopes), 1e-9)
-    return 2 * _PROBE_N ** 3 / t / 1e12
+    tf = 2 * _PROBE_N ** 3 / t / 1e12
+    if raw:
+        return tf, [round(2 * _PROBE_N ** 3 / max(s, 1e-9) / 1e12, 1)
+                    for s in slopes]
+    return tf
 
 
 def ab(variants: dict, rounds: int = 3) -> dict:

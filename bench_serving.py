@@ -45,14 +45,26 @@ def main():
     # asserted in tests/test_int8_matmul.py.
     qparams = _ops.quantize_params_int8(
         params, match=r".*(dense1/linear/w|dense2/w)$")
+    # The int8-speedup baseline must actually stream 2-byte weights: Linear
+    # holds fp32 masters, and whether XLA hoists the in-graph bf16 cast out
+    # of the decode scan is unverified (ADVICE r4) — pre-cast the SAME FFN
+    # leaves the int8 row quantizes, so both rows' weight HBM bytes are
+    # what the metric name claims.
+    import re as _re
+    from np_modeling_tpu.parallel.sharding import _path_str
+    _pat = _re.compile(r".*(dense1/linear/w|dense2/w)$")
+    bf16_params = jax.tree_util.tree_map_with_path(
+        lambda kp, v: v.astype(_jnp.bfloat16)
+        if _pat.match(_path_str(kp)) and v.ndim >= 2 else v, params)
     times = {}
     for tag, p, kw in [
             ("", params, {}),
-            ("_bf16kv", params, {"kv_dtype": _jnp.bfloat16}),
+            ("_bf16kv", bf16_params, {"kv_dtype": _jnp.bfloat16}),
             ("_int8kv", params, {"quantize_kv": True}),
             ("_int8w_bf16kv", qparams, {"kv_dtype": _jnp.bfloat16})]:
-        # 8 seqs x (512 prompt + 8N decoded) = 9216 tokens -> 144 pages;
-        # 176 leaves headroom so no slot is ever preempted mid-timing.
+        # 8 seqs x (512 prompt + 8N decoded) = 8192 tokens -> 128 pages
+        # (+<=1 in-flight page/seq = 136); 176 leaves headroom so no slot
+        # is ever preempted mid-timing.
         eng = GenerationEngine(gpt, p, total_pages=176, page_size=64,
                                max_seqs=SEQS, **kw)
         for s in range(SEQS):
@@ -60,6 +72,9 @@ def main():
         # Slope between N- and 3N-token runs: one host<->device round trip
         # per step_many call (~20-45ms through this tunnel) cancels in the
         # difference — at ~2ms/token it was a ~20% inflation at N=64.
+        # NOTE (ADVICE r4): contexts grow 640->1152 across the warm+timed
+        # calls, so the slope reflects per-token cost at ctx ~640-1152
+        # (growing paged walk included), not the nominal 512.
         eng.step_many(N)          # warm the n-step scan compile
         eng.step_many(3 * N)
         t0 = time.perf_counter()

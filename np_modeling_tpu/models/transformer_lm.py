@@ -382,33 +382,56 @@ class GPT(Module):
              segment_ids=None, positions=None):
         """Next-token CE (mean over positions) via the fused softmax-xent op.
 
+        FULL-LENGTH inputs (r5): the model runs on all ``S`` tokens and the
+        last position is excluded via the ``valid`` mask instead of slicing
+        to ``S-1``. Mathematically identical (the masked position
+        contributes zero loss, hence zero gradient through it), but the
+        odd S-1 sequence forced a pad-to-tile copy of q/k/v (+ their
+        backward mirrors) inside EVERY flash-attention call — measured
+        ~6ms/step of the s4096 headline. Falls back to slicing only when
+        ``S > max_len`` (full-length wouldn't fit the position table).
+
         With MoE layers, adds the load-balancing aux loss
         (moe_aux_weight * Σ per-layer GShard aux)."""
         c = self.config
-        seg = segment_ids[..., :-1] if segment_ids is not None else None
-        pos = positions[..., :-1] if positions is not None else None
+        full = tokens.shape[-1] <= c.max_len
+        if full:
+            inputs, seg, pos = tokens, segment_ids, positions
+            # roll wraps tokens[0] into the last slot — masked by `valid`.
+            targets = jnp.roll(tokens, -1, axis=-1)
+            last = jnp.zeros_like(tokens[..., :1], jnp.float32)
+            valid = jnp.concatenate(
+                [jnp.ones_like(tokens[..., 1:], jnp.float32), last], -1)
+            if segment_ids is not None:
+                valid = valid * jnp.concatenate(
+                    [(segment_ids[..., 1:] == segment_ids[..., :-1]
+                      ).astype(jnp.float32), last], -1)
+        else:
+            inputs = tokens[..., :-1]
+            seg = segment_ids[..., :-1] if segment_ids is not None else None
+            pos = positions[..., :-1] if positions is not None else None
+            targets = tokens[..., 1:]
+            valid = None
+            if segment_ids is not None:
+                # Don't learn to predict across document boundaries.
+                valid = (segment_ids[..., 1:]
+                         == segment_ids[..., :-1]).astype(jnp.float32)
         fused = c.fused_loss
         assert not (fused and c.final_logit_softcap is not None), (
             "fused_loss never materializes logits, so the final logit "
             "softcap cannot be applied — disable one")
         if c.moe_experts:
-            out, aux = self.apply(params, tokens[..., :-1],
+            out, aux = self.apply(params, inputs,
                                   training=training, rngs=rngs,
                                   collect_aux=True, segment_ids=seg,
                                   positions=pos, return_hidden=fused,
                                   logits_dtype=c.dtype)
         else:
-            out, aux = self.apply(params, tokens[..., :-1],
+            out, aux = self.apply(params, inputs,
                                   training=training, rngs=rngs,
                                   segment_ids=seg, positions=pos,
                                   return_hidden=fused,
                                   logits_dtype=c.dtype), 0.0
-        targets = tokens[..., 1:]
-        valid = None
-        if segment_ids is not None:
-            # Don't learn to predict across document boundaries.
-            valid = (segment_ids[..., 1:]
-                     == segment_ids[..., :-1]).astype(jnp.float32)
         if fused:
             if c.tie_embeddings:
                 ce_mean = ops.fused_lm_head_loss(

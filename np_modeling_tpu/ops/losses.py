@@ -241,11 +241,21 @@ def _pad_rows(x, labels, valid, chunk):
 
 def _fused_lm_fwd_impl(x, table, labels, valid, chunk):
     xp, lp, vp, n_p = _pad_rows(x, labels, valid, chunk)
-    tb = table.astype(jnp.float32)
+    # Matmul operands in x.dtype / fp32 MXU accumulation (r5): the previous
+    # unconditional fp32-operand matmuls ran at the v5e's fp32-decomposed
+    # rate even for bf16 models — the isolated head loss measured 9.6ms
+    # where the bf16 matmul floor is ~4.3ms. Casting the head to the
+    # HIDDEN-STATE dtype matches the unfused path's semantics exactly
+    # (nn.Linear computes in module dtype: bf16 models get bf16 matmuls,
+    # fp32 models stay exact); lse/softmax statistics stay fp32 on the
+    # fp32-accumulated logits (house invariant).
+    tb = table.astype(x.dtype)
 
     def body(acc, args):
         xc, lc, vc = args
-        logits = (xc.astype(jnp.float32) @ tb.T)        # [chunk, vocab]
+        logits = jax.lax.dot_general(
+            xc, tb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [chunk, vocab]
         lse = jax.nn.logsumexp(logits, axis=-1)
         correct = jnp.take_along_axis(logits, lc[:, None], axis=1)[:, 0]
         loss_sum, n_valid = acc
@@ -269,23 +279,33 @@ def _fused_lm_fwd(x, table, labels, valid, chunk):
 def _fused_lm_bwd(chunk, res, dy):
     x, table, labels, valid, denom = res
     xp, lp, vp, n_p = _pad_rows(x, labels, valid, chunk)
-    tb = table.astype(jnp.float32)
+    tb = table.astype(x.dtype)           # matmuls in the hidden dtype (r5)
     scale = dy / denom
 
     def body(dtable, args):
         xc, lc, vc = args
-        logits = (xc.astype(jnp.float32) @ tb.T)
+        logits = jax.lax.dot_general(
+            xc, tb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         p = jax.nn.softmax(logits, axis=-1)
-        dlogits = p.at[jnp.arange(chunk), lc].add(-1.0)
-        dlogits = dlogits * (vc * scale)[:, None]       # [chunk, vocab]
-        dxc = dlogits @ tb                              # [chunk, d]
-        dtable = dtable + dlogits.T @ xc.astype(jnp.float32)
+        # (p - onehot) via iota-compare — fuses into the softmax loop; the
+        # earlier .at[].add scatter serializes on TPU (see _sxe_int_bwd's
+        # measured +11.5 ms/step note).
+        classes = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        dlogits = ((p - (classes == lc[:, None]).astype(jnp.float32))
+                   * (vc * scale)[:, None])             # [chunk, vocab] f32
+        dlc = dlogits.astype(x.dtype)
+        dxc = jax.lax.dot_general(dlc, tb, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dtable = dtable + jax.lax.dot_general(
+            dlc, xc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return dtable, dxc
 
     n_chunks = n_p // chunk
     reshape = lambda a: a.reshape(n_chunks, chunk, *a.shape[1:])
     dtable, dx = jax.lax.scan(
-        body, jnp.zeros_like(tb),
+        body, jnp.zeros(table.shape, jnp.float32),   # fp32 grad accumulator
         (reshape(xp), reshape(lp), reshape(vp)))
     dx = dx.reshape(n_p, -1)[:x.shape[0]]
     return dx.astype(x.dtype), dtable.astype(table.dtype), None, None

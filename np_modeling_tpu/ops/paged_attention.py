@@ -218,9 +218,112 @@ def _paged_kernel(lengths_ref, page_idx_ref, q_ref, *rest, scale, page_size,
         o_ref[0, 0] = (acc_scr[...] * l_inv[:, 0:1]).astype(o_ref.dtype)
 
 
+def _paged_kernel_folded(lengths_ref, page_idx_ref, q_ref, *rest, scale,
+                         page_size, n_blocks, npb, quantized, window, sq, g,
+                         hkv, has_bias=False, softcap=None, has_sinks=False):
+    """Head-FOLDED variant: grid is (batch, page_block) — every kv head of
+    a page block rides ONE grid step (the page index is head-invariant, so
+    the hkv per-head DMAs batch into one pipelined transfer and the 8-odd
+    tiny per-head matmuls run back-to-back without paying a grid-step
+    boundary each). At decode shapes the unfolded kernel is GRID-OVERHEAD
+    bound — b*hkv*n_blocks steps of ~2us around ~1us of work; folding
+    divides the step count by hkv. rest = k_0..k_{npb-1}, [ks_0..],
+    v_0.., [vs_0..], [bias], [sinks], o_ref, m, l, acc (scratch carries a
+    leading hkv axis)."""
+    del page_idx_ref
+    if quantized:
+        k_refs, rest = rest[:npb], rest[npb:]
+        ks_refs, rest = rest[:npb], rest[npb:]
+        v_refs, rest = rest[:npb], rest[npb:]
+        vs_refs, rest = rest[:npb], rest[npb:]
+    else:
+        k_refs, rest = rest[:npb], rest[npb:]
+        v_refs, rest = rest[:npb], rest[npb:]
+        ks_refs = vs_refs = None
+    bias_ref = None
+    if has_bias:
+        bias_ref, rest = rest[0], rest[1:]
+    sinks_ref = None
+    if has_sinks:
+        sinks_ref, rest = rest[0], rest[1:]
+    o_ref, m_scr, l_scr, acc_scr = rest
+
+    b_idx, blk = pl.program_id(0), pl.program_id(1)
+    block_tokens = npb * page_size
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lengths_ref[b_idx]
+
+    should_run = blk * block_tokens < length
+    if window is not None:
+        should_run = jnp.logical_and(
+            should_run,
+            (blk + 1) * block_tokens > length - sq + 1 - window)
+
+    @pl.when(should_run)
+    def _run():
+        pos = None
+        for h in range(hkv):
+            if quantized:
+                k = jnp.concatenate(
+                    [r[h, 0].astype(jnp.float32) * s[h, 0]
+                     for r, s in zip(k_refs, ks_refs)], axis=0)
+                v = jnp.concatenate(
+                    [r[h, 0].astype(jnp.float32) * s[h, 0]
+                     for r, s in zip(v_refs, vs_refs)], axis=0)
+            else:
+                k = jnp.concatenate([r[h, 0] for r in k_refs], axis=0)
+                v = jnp.concatenate([r[h, 0] for r in v_refs], axis=0)
+            qh = q_ref[0, h]                   # [sq*g (padded), d]
+            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            if softcap is not None:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            if bias_ref is not None:
+                s = s + bias_ref[0, h]
+            if pos is None:
+                pos = blk * block_tokens + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                own = (length - sq
+                       + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                       // g)
+                keep = pos <= own
+                if window is not None:
+                    keep = jnp.logical_and(keep, pos > own - window)
+            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+
+            m_prev, l_prev = m_scr[h], l_scr[h]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, 0:1])
+            l_scr[h] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scr[h] = m_next
+            pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_scr[h] = acc_scr[h] * alpha[:, 0:1] + pv
+
+    @pl.when(blk == n_blocks - 1)
+    def _store():
+        for h in range(hkv):
+            l = l_scr[h]
+            if sinks_ref is not None:
+                l = l + jnp.exp(sinks_ref[h] - m_scr[h])
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, h] = (acc_scr[h] * l_inv[:, 0:1]).astype(o_ref.dtype)
+
+
 def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
-                    k_scales=None, v_scales=None, pages_per_block=8,
-                    window=None, bias=None, softcap=None, sinks=None):
+                    k_scales=None, v_scales=None, pages_per_block=16,
+                    window=None, bias=None, softcap=None, sinks=None,
+                    fold_heads=None):
     """Paged-KV decode attention (Pallas on TPU, jnp oracle elsewhere).
 
     ``bias``: optional additive score bias over absolute cache positions —
@@ -250,6 +353,22 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
     pages_per_seq = page_indices.shape[1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
 
+    if fold_heads is None:
+        # MEASURED (exp_paged_fold.py, r5, slope-timed same-process, v5e,
+        # probes 173-174 TF/s): the unfolded kernel is grid-overhead bound
+        # at decode shapes — b*hkv*n_blocks tiny steps. Folding all kv
+        # heads into one step per page block (b8/hkv8/d128/psize64, bf16):
+        # 2.6x at ctx1k (42.1 vs 110.5 us, npb8) and 2.9x at ctx4k
+        # (162.7 vs 469.4 us, npb16); outputs bit-identical. It can only
+        # lose when hkv == 1 (no fold) — on whenever a fold exists.
+        fold_heads = hkv > 1
+    if fold_heads:
+        # VMEM guard: one (k + v) page block across all heads, double-
+        # buffered, must fit comfortably — clamp npb to ~4MB of blocks.
+        per_page = 2 * hkv * psize * max(d, 128) * k_pages.dtype.itemsize
+        pages_per_block = max(1, min(pages_per_block,
+                                     (4 << 20) // per_page))
+
     npb = max(1, min(pages_per_block, pages_per_seq))
     pps_pad = round_up(pages_per_seq, npb)
     if pps_pad != pages_per_seq:
@@ -269,6 +388,13 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
     if d_pad != d:
         k_pages = jnp.pad(k_pages, ((0, 0),) * 3 + ((0, d_pad - d),))
         v_pages = jnp.pad(v_pages, ((0, 0),) * 3 + ((0, d_pad - d),))
+
+    if fold_heads:
+        return _paged_call_folded(qg, k_pages, v_pages, k_scales, v_scales,
+                                  lengths, page_indices, bias, sinks, scale,
+                                  window, softcap, quantized, b, sq, hq, hkv,
+                                  g, rows, g_pad, d, d_pad, psize, npb,
+                                  n_blocks, squeeze)
 
     grid = (b, hkv, n_blocks)
 
@@ -353,6 +479,100 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d_pad), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=dispatch.interpret_mode(),
+    )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), *inputs)
+    o = jnp.moveaxis(out[:, :, :rows, :d].reshape(b, hkv, sq, g, d), 2, 1)
+    o = o.reshape(b, sq, hq, d)
+    return o[:, 0] if squeeze else o
+
+
+def _paged_call_folded(qg, k_pages, v_pages, k_scales, v_scales, lengths,
+                       page_indices, bias, sinks, scale, window, softcap,
+                       quantized, b, sq, hq, hkv, g, rows, g_pad, d, d_pad,
+                       psize, npb, n_blocks, squeeze):
+    """pallas_call assembly for the head-folded kernel: grid (b, n_blocks);
+    every input block carries the FULL hkv axis (one pipelined DMA per page
+    covers all heads — the page index is head-invariant)."""
+    grid = (b, n_blocks)
+
+    def q_map(b_i, blk, lengths_ref, page_idx_ref):
+        del blk, lengths_ref, page_idx_ref
+        return (b_i, 0, 0, 0)
+
+    def kv_map_at(j):
+        def kv_map(b_i, blk, lengths_ref, page_idx_ref):
+            del lengths_ref
+            return (0, page_idx_ref[b_i, blk * npb + j], 0, 0)
+        return kv_map
+
+    kv_specs = [pl.BlockSpec((hkv, 1, psize, d_pad), kv_map_at(j))
+                for j in range(npb)]
+    scale_specs = [pl.BlockSpec((hkv, 1, psize, 1), kv_map_at(j))
+                   for j in range(npb)]
+    in_specs = [pl.BlockSpec((1, hkv, g_pad, d_pad), q_map)]
+    inputs = [qg]
+    if quantized:
+        in_specs += kv_specs + scale_specs + kv_specs + scale_specs
+        inputs += ([k_pages] * npb + [k_scales] * npb
+                   + [v_pages] * npb + [v_scales] * npb)
+    else:
+        in_specs += kv_specs + kv_specs
+        inputs += [k_pages] * npb + [v_pages] * npb
+
+    bias = _normalize_bias(bias, b, hq, sq)
+    if bias is not None:
+        block_tokens = npb * psize
+        bg = jnp.moveaxis(bias.reshape(b, hkv, g, sq, -1), 2, 3).reshape(
+            b, hkv, rows, -1)
+        cover = n_blocks * block_tokens
+        pad_pos = cover - bg.shape[-1]
+        assert pad_pos >= 0, (
+            f"bias covers {bg.shape[-1]} positions > page table's {cover}")
+        bg = jnp.pad(bg, ((0, 0), (0, 0), (0, g_pad - rows), (0, pad_pos)))
+
+        def bias_map(b_i, blk, lengths_ref, page_idx_ref):
+            del lengths_ref, page_idx_ref
+            return (b_i, 0, 0, blk)
+
+        in_specs.append(
+            pl.BlockSpec((1, hkv, g_pad, block_tokens), bias_map))
+        inputs.append(bg)
+
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(hkv, g)
+        rows_sink = jnp.tile(sk[:, None, :], (1, sq, 1)).reshape(hkv, rows)
+        rows_sink = jnp.pad(rows_sink, ((0, 0), (0, g_pad - rows)))
+        rows_sink = jnp.broadcast_to(rows_sink[:, :, None],
+                                     (hkv, g_pad, 128))
+
+        def sink_map(b_i, blk, lengths_ref, page_idx_ref):
+            del b_i, blk, lengths_ref, page_idx_ref
+            return (0, 0, 0)
+
+        in_specs.append(pl.BlockSpec((hkv, g_pad, 128), sink_map))
+        inputs.append(rows_sink)
+
+    kernel = functools.partial(
+        _paged_kernel_folded, scale=scale, page_size=psize,
+        n_blocks=n_blocks, npb=npb, quantized=quantized, window=window,
+        sq=sq, g=g, hkv=hkv, has_bias=bias is not None, softcap=softcap,
+        has_sinks=sinks is not None)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, hkv, g_pad, d_pad), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((hkv, g_pad, 128), jnp.float32),
+                pltpu.VMEM((hkv, g_pad, 128), jnp.float32),
+                pltpu.VMEM((hkv, g_pad, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g_pad, d_pad), qg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=dispatch.interpret_mode(),
     )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), *inputs)
     o = jnp.moveaxis(out[:, :, :rows, :d].reshape(b, hkv, sq, g, d), 2, 1)

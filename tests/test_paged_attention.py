@@ -45,12 +45,13 @@ class TestPagedKernel:
                                           k_seq[None], v_seq[None], mask=mask)
             assert_allclose(out[i], ref[0, :, 0], rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("fold", [False, True])
     @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
-    def test_kernel_vs_oracle(self, hq, hkv):
+    def test_kernel_vs_oracle(self, hq, hkv, fold):
         q, k_pages, v_pages, lengths, page_indices = _setup(hq=hq, hkv=hkv)
         with dispatch.force_pallas(True, interpret=True):
             out = ops.paged_attention(q, k_pages, v_pages, lengths,
-                                      page_indices)
+                                      page_indices, fold_heads=fold)
         ref = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
                                             page_indices)
         assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
@@ -85,6 +86,34 @@ class TestPagedKernel:
                                             k_seq[None], v_seq[None],
                                             mask=mask)
             assert_allclose(ref[i], dense[0, :, 0], rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("fold", [False, True])
+    @pytest.mark.parametrize("window", [3, 8, 20])
+    def test_kernel_window_vs_oracle_folded(self, window, fold):
+        # Folded-vs-unfolded parity on the sliding-window path.
+        q, k_pages, v_pages, lengths, page_indices = _setup()
+        with dispatch.force_pallas(True, interpret=True):
+            out = ops.paged_attention(q, k_pages, v_pages, lengths,
+                                      page_indices, window=window,
+                                      pages_per_block=2, fold_heads=fold)
+        ref = ops.paged_attention_reference(q, k_pages, v_pages, lengths,
+                                            page_indices, window=window)
+        assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("fold", [False, True])
+    def test_kernel_quantized_folded(self, fold):
+        from np_modeling_tpu.ops.quantization import quantize_int8
+        q, k_pages, v_pages, lengths, page_indices = _setup(hq=8, hkv=2)
+        kq, vq = quantize_int8(k_pages), quantize_int8(v_pages)
+        want = ops.paged_attention_reference(
+            q, kq.values.astype(jnp.float32) * kq.scales,
+            vq.values.astype(jnp.float32) * vq.scales, lengths, page_indices)
+        with dispatch.force_pallas(True, interpret=True):
+            got = ops.paged_attention(q, kq.values, vq.values, lengths,
+                                      page_indices, k_scales=kq.scales,
+                                      v_scales=vq.scales, pages_per_block=2,
+                                      fold_heads=fold)
+        assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
     @pytest.mark.parametrize("hq,hkv,sq", [(4, 4, 1), (8, 2, 1), (4, 2, 3)])
     def test_kernel_bias_vs_oracle(self, hq, hkv, sq):
@@ -284,6 +313,32 @@ class TestMultiTokenQueries:
                                       v_scales=vq.scales,
                                       pages_per_block=2)
         assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_paged_sinks_match_reference_folded(fold):
+    """Sinks through BOTH kernel grids (head-folded and unfolded)."""
+    import importlib
+    P = importlib.import_module("np_modeling_tpu.ops.paged_attention")
+    r = np.random.default_rng(93)
+    hkv, pages, psize, d = 2, 8, 4, 32
+    hq, b = 4, 3
+    k_pages = jnp.asarray(r.standard_normal((hkv, pages, psize, d)),
+                          jnp.float32)
+    v_pages = jnp.asarray(r.standard_normal((hkv, pages, psize, d)),
+                          jnp.float32)
+    table = jnp.asarray(np.arange(b * 2).reshape(b, 2) % pages, jnp.int32)
+    lengths = jnp.asarray([7, 3, 5], jnp.int32)
+    q = jnp.asarray(r.standard_normal((b, hq, d)), jnp.float32)
+    sinks = jnp.asarray(r.standard_normal(hq), jnp.float32)
+    want = P.paged_attention_reference(q, k_pages, v_pages, lengths, table,
+                                       sinks=sinks)
+    with dispatch.force_pallas(True, interpret=True):
+        got = P.paged_attention(q, k_pages, v_pages, lengths, table,
+                                sinks=sinks, pages_per_block=2,
+                                fold_heads=fold)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=2e-5)
 
 
 def test_paged_sinks_match_reference():
