@@ -69,13 +69,16 @@ def bench_dense():
 
 
 def bench_layernorm():
+    # Sub-ms iterations: long chains so the slope difference clears RTT
+    # drift (~0.2ms/iter x 112 extra iters ~= 22ms).
     x = _r(8192, 1024)
     t = _r(8192, 1024)
     g, b = _r(1024), _r(1024)
-    ours = _time_grad(lambda x: ops.mse(ops.layer_norm(x, g, b, 1e-3), t), x)
+    ours = _time_grad(lambda x: ops.mse(ops.layer_norm(x, g, b, 1e-3), t), x,
+                      n=16, n2=128)
     ln = fnn.LayerNorm(epsilon=1e-3, use_fast_variance=False)
     fl = _time_grad(lambda x: ops.mse(ln.apply(
-        {"params": {"scale": g, "bias": b}}, x), t), x)
+        {"params": {"scale": g, "bias": b}}, x), t), x, n=16, n2=128)
     return "layernorm_8192x1024", ours, fl
 
 
@@ -103,10 +106,11 @@ def bench_conv():
     x = _r(16, 32, 32, 64)
     t = _r(16, 32, 32, 128)
     w, bb = _r(3, 3, 64, 128), _r(128)
-    ours = _time_grad(lambda x: ops.mse(ops.conv2d(x, w, bb), t), x)
+    ours = _time_grad(lambda x: ops.mse(ops.conv2d(x, w, bb), t), x,
+                      n=16, n2=128)
     conv = fnn.Conv(128, (3, 3), padding="SAME")
     fl = _time_grad(lambda x: ops.mse(conv.apply(
-        {"params": {"kernel": w, "bias": bb}}, x), t), x)
+        {"params": {"kernel": w, "bias": bb}}, x), t), x, n=16, n2=128)
     return "conv3x3_16x32x32_64to128", ours, fl
 
 

@@ -353,21 +353,31 @@ def paged_attention(q, k_pages, v_pages, lengths, page_indices, scale=None,
     pages_per_seq = page_indices.shape[1]
     scale = float(scale if scale is not None else 1.0 / math.sqrt(d))
 
+    # ---- head-folding policy + VMEM plan ---------------------------------
+    # MEASURED (exp_paged_fold.py, r5, slope-timed same-process, v5e,
+    # probes 173-174 TF/s): the unfolded kernel is grid-overhead bound at
+    # decode shapes — b*hkv*n_blocks tiny steps. Folding all kv heads into
+    # one step per page block (b8/hkv8/d128/psize64, bf16): 2.6x at ctx1k
+    # (42.1 vs 110.5 us, npb8) and 2.9x at ctx4k (162.7 vs 469.4 us,
+    # npb16); outputs bit-identical. It can only lose when hkv == 1 (no
+    # fold) or when the folded working set exceeds scoped VMEM (large
+    # sq*g prefill chunks: q/out/scratch all scale by hkv — seen 18.2MB >
+    # the 16MB limit at sq=256/hkv=8), where we fall back to the unfolded
+    # grid.
+    rows_ = sq * (hq // hkv)
+    g_pad_ = max(-(-rows_ // 8) * 8, 8)
+    d_pad_ = max(d, 128)
+    isz = k_pages.dtype.itemsize
+    # Double-buffered q + out blocks, m/l/acc scratch (fp32), per-page kv.
+    fixed = (4 * hkv * g_pad_ * d_pad_ * max(isz, 2)          # q + out x2
+             + hkv * g_pad_ * (2 * 128 + d_pad_) * 4)         # m, l, acc
+    per_page = 2 * 2 * hkv * psize * d_pad_ * isz             # k+v, 2-buf
+    budget = 10 << 20
     if fold_heads is None:
-        # MEASURED (exp_paged_fold.py, r5, slope-timed same-process, v5e,
-        # probes 173-174 TF/s): the unfolded kernel is grid-overhead bound
-        # at decode shapes — b*hkv*n_blocks tiny steps. Folding all kv
-        # heads into one step per page block (b8/hkv8/d128/psize64, bf16):
-        # 2.6x at ctx1k (42.1 vs 110.5 us, npb8) and 2.9x at ctx4k
-        # (162.7 vs 469.4 us, npb16); outputs bit-identical. It can only
-        # lose when hkv == 1 (no fold) — on whenever a fold exists.
-        fold_heads = hkv > 1
+        fold_heads = hkv > 1 and fixed + per_page <= budget
     if fold_heads:
-        # VMEM guard: one (k + v) page block across all heads, double-
-        # buffered, must fit comfortably — clamp npb to ~4MB of blocks.
-        per_page = 2 * hkv * psize * max(d, 128) * k_pages.dtype.itemsize
         pages_per_block = max(1, min(pages_per_block,
-                                     (4 << 20) // per_page))
+                                     (budget - fixed) // per_page))
 
     npb = max(1, min(pages_per_block, pages_per_seq))
     pps_pad = round_up(pages_per_seq, npb)
