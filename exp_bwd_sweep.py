@@ -41,6 +41,7 @@ def main():
                 a, b_, c, causal=True, block_q=bq, block_kv=bkv), k, v),
             q, **lens)
         out[f"{bq}x{bkv}"] = round(t * 1e6, 1)
+        print(f"PARTIAL {bq}x{bkv} us={out[f'{bq}x{bkv}']}", flush=True)
     res["fwdbwd_us"] = out
     res["probe1"] = round(bench_probe.probe(), 1)
     res["best"] = min(out, key=out.get)

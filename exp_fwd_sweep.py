@@ -41,6 +41,8 @@ def main():
                 qc, k, v, causal=True, block_q=bq, block_kv=bkv),
             q, **lens)
         ours[f"{bq}x{bkv}"] = round(t * 1e6, 1)
+        print(f"PARTIAL ours {bq}x{bkv} us={ours[f'{bq}x{bkv}']}",
+              flush=True)
     res["ours_fwd_us"] = ours
     res["probe1"] = round(bench_probe.probe(), 1)
 
@@ -53,6 +55,8 @@ def main():
                 qc, k, v, causal=True, sm_scale=sc, block_sizes=bs),
             q, **lens)
         jaxs[f"{bq}x{bkv}"] = round(t * 1e6, 1)
+        print(f"PARTIAL jax {bq}x{bkv} us={jaxs[f'{bq}x{bkv}']}",
+              flush=True)
     res["jax_fwd_us"] = jaxs
     res["probe2"] = round(bench_probe.probe(), 1)
 
