@@ -585,17 +585,21 @@ def serving_tok_per_s() -> dict:
     return res
 
 
-def _chip_reachable(timeout: int = 180) -> bool:
+def _chip_reachable(timeout: int = 300) -> bool:
     """Probe the TPU in a SUBPROCESS with a timeout. The tunneled chip
-    occasionally goes fully unreachable (jax.devices() hangs forever,
-    observed for multi-hour stretches); a bench that hangs would stall
-    the whole round, so emit an honest error line instead."""
+    occasionally goes fully unreachable — sometimes jax.devices() hangs,
+    but the r5 outage mode is nastier: devices() returns fine and the
+    first TRANSFER or DISPATCH blocks forever. Probe an actual tiny
+    matmul readback, so a half-dead tunnel fails here in minutes instead
+    of hanging the measurement child to its full BENCH_TIMEOUT."""
     import subprocess
     import sys
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); "
+            "assert float((x @ x).sum()) == 128.0 * 128 * 128")
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout, capture_output=True)
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
@@ -714,10 +718,15 @@ def main():
     if os.environ.get("BENCH_CHILD") == "1":
         _measure()
         return
-    if not _chip_reachable():
-        _error_line("TPU unreachable (jax.devices() hung past the probe "
-                    "timeout); no measurement possible this run")
-        return
+    for attempt in range(3):
+        if _chip_reachable():
+            break
+        if attempt == 2:
+            _error_line("TPU unreachable (tiny-matmul readback hung past "
+                        "the probe timeout, 3 attempts over ~15min); no "
+                        "measurement possible this run")
+            return
+        time.sleep(120)
     timeout = int(os.environ.get("BENCH_TIMEOUT", "3300"))
     env = dict(os.environ, BENCH_CHILD="1")
     try:
