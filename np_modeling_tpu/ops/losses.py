@@ -161,27 +161,23 @@ softmax_cross_entropy_with_integer_labels.defvjp(_sxe_int_fwd, _sxe_int_bwd)
 # ---------------------------------------------------------------------------
 
 
-_CHUNK_LOGIT_BUDGET = 32 * 1024 * 1024   # fp32 logits-buffer elements
-
-
 def _auto_chunk(n_total: int, vocab: int) -> int:
-    """Default chunk for ``fused_lm_head_loss`` (chunk=None).
+    """Default chunk for ``fused_lm_head_loss`` (chunk=None): 512, by
+    measurement.
 
-    The backward drags a [vocab, d] fp32 dtable accumulator through the
-    chunk scan — one read+write of it PER ITERATION — and re-streams the
-    head table per chunk, so fewer/larger chunks are strictly less HBM
-    traffic; the ceiling is the [chunk, vocab] fp32 logits buffer this
-    fusion exists to bound. Largest power-of-two chunk with logits
-    <= _CHUNK_LOGIT_BUDGET elements (128MB fp32), floored at the old 512
-    default (small-vocab heads never regress the prior behavior) and
-    capped at the padded row count. At the bench headline (n=16k, V=8k)
-    this picks 4096: 4 bwd iterations instead of 32.
+    An r5 theory said larger chunks must win (the backward drags a
+    [vocab, d] fp32 dtable accumulator through the chunk scan — read+write
+    PER ITERATION — and re-streams the head table per chunk). The
+    slope-timed sweep (exp_head_chunk.py, v5e, n=16k V=8k d=1024, isolated
+    fwd+bwd) refuted it: 512 -> 4952us, 1024 -> 5027, 2048 -> 5119,
+    4096 -> 5656, 8192 -> 5672, 16384 -> 5159. The chunk loop is
+    matmul-bound and XLA overlaps the accumulator traffic with compute, so
+    shrinking the iteration count buys nothing; larger chunks only add
+    [chunk, vocab] buffer pressure. Kept as a hook so the policy has one
+    place to change if a future shape measures differently.
     """
-    c = 512
-    while (c * 2 * vocab <= _CHUNK_LOGIT_BUDGET
-           and c < round_up(n_total, 512)):
-        c *= 2
-    return c
+    del n_total, vocab
+    return 512
 
 
 def fused_lm_head_loss(x: jax.Array, table: jax.Array, labels: jax.Array,

@@ -108,10 +108,11 @@ class TestFusedLMHeadLoss:
 
     def test_auto_chunk_heuristic(self):
         from np_modeling_tpu.ops.losses import _auto_chunk
-        # Bench headline (n=16k, V=8k): 4 bwd iterations instead of 32.
-        assert _auto_chunk(16384, 8192) == 4096
-        assert _auto_chunk(100, 8192) == 512          # capped by row count
-        assert _auto_chunk(1 << 20, 262144) == 512    # floor: old default
+        # Measured policy (exp_head_chunk.py r5 sweep): 512 at every shape
+        # — the chunk loop is matmul-bound, larger chunks don't pay.
+        assert _auto_chunk(16384, 8192) == 512
+        assert _auto_chunk(100, 8192) == 512
+        assert _auto_chunk(1 << 20, 262144) == 512
         # chunk=None routes through the heuristic and matches an explicit
         # chunk exactly (same math, different scan length).
         x = jnp.asarray(rand(2, 9, 16, rng=rng))
