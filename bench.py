@@ -354,22 +354,25 @@ def kernel_mfu(probe_tf: float, probes: list) -> dict:
         return jfa.BlockSizes(block_q=bq, block_k_major=bk, block_k=bk,
                               block_b=1)
 
+    # Configs: each side's r5-sweep winner plus its two runners-up
+    # (exp_fwd_sweep.py: ours 512x512 > 1024x1024 > 1024x512; jax
+    # 512x512 > 1024x1024 > 512x1024).
     fwd_variants = {
         "ours": lambda qc: ops.flash_attention(qc, k, v, causal=True),
-        "ours_512x1024": lambda qc: ops.flash_attention(
-            qc, k, v, causal=True, block_q=512, block_kv=1024),
-        "ours_2048x1024": lambda qc: ops.flash_attention(
-            qc, k, v, causal=True, block_q=2048, block_kv=1024),
+        "ours_1024x1024": lambda qc: ops.flash_attention(
+            qc, k, v, causal=True, block_q=1024, block_kv=1024),
+        "ours_1024x512": lambda qc: ops.flash_attention(
+            qc, k, v, causal=True, block_q=1024, block_kv=512),
         "jax": lambda qc: jfa.flash_attention(qc, k, v, causal=True,
                                               sm_scale=sc,
                                               block_sizes=jfa_fwd_blocks(
                                                   1024, 1024)),
-        "jax_512": lambda qc: jfa.flash_attention(
+        "jax_512x512": lambda qc: jfa.flash_attention(
+            qc, k, v, causal=True, sm_scale=sc,
+            block_sizes=jfa_fwd_blocks(512, 512)),
+        "jax_512x1024": lambda qc: jfa.flash_attention(
             qc, k, v, causal=True, sm_scale=sc,
             block_sizes=jfa_fwd_blocks(512, 1024)),
-        "jax_2048": lambda qc: jfa.flash_attention(
-            qc, k, v, causal=True, sm_scale=sc,
-            block_sizes=jfa_fwd_blocks(2048, 1024)),
     }
 
     def grad_of(fn):

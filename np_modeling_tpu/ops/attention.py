@@ -42,16 +42,26 @@ NUM_LANES = 128
 NUM_SUBLANES = 8
 
 # Skip structural (causal/window/pad) masking on interior tiles via
-# lax.cond. Same-process A/B (bench_probe.ab, b8 h8 s2048 d128 causal):
-# cond is 0.85x fwd / 0.81x fwd+bwd — the Mosaic branch costs more than
-# the ~5 saved VPU passes at these tile counts, so it stays OFF.
+# lax.cond. Slope-timed r5 re-measure under the fixed harness (v5e,
+# b4 h8 s4096 d128 causal fwd, 512x512 blocks, exp_fwd_sweep.py): cond is
+# 2220.0us vs 1325.9-1399.3us baseline — decisively SLOWER (the r4 verdict
+# stands with clean numbers). Stays OFF.
 STRUCT_MASK_COND = False
 
-# Block-size retune at the headline shape (b4 h8 s4096 d128 causal bf16,
-# fwd+bwd, probe 138 TF/s, same process): 1024x1024 stays the winner —
-# 512x1024 0.969x, 512x2048 0.930x, 512x512 0.877x, 2048x512 0.848x,
-# 1024x512 0.823x. Larger KV blocks don't pay: the VPU score-tile work is
-# fixed and the fp32 score tile (bq x bkv) starts pressuring VMEM.
+# Block sizes are a per-pass MEASURED policy (block_q/block_kv=None picks
+# them). Slope-timed r5 sweeps at the headline shape (b4 h8 s4096 d128
+# causal bf16, v5e, probes 169-176 TF/s, exp_fwd_sweep.py /
+# exp_bwd_sweep.py):
+#   fwd:  512x512 wins — 1399.3us (recheck 1325.9) vs 1024x1024 1442.4,
+#         1024x512 1449.2, 512x1024 1505.3, 2048x512 1591.8,
+#         2048x1024 1622.3, 1024x2048 1673.7, 512x2048 1676.0.
+#   bwd:  1024x1024 wins — 4614.8us fwd+bwd vs 512x1024 4700.9,
+#         1024x512 4833.8, 512x512 5246.5; 2048-wide blocks are
+#         scoped-VMEM infeasible for the fused dkvq tile.
+# The r4 note claiming 1024x1024 won the FORWARD too predates the harness
+# fix (RTT-biased). An explicit block_q/block_kv applies to both passes.
+FWD_BLOCK_Q, FWD_BLOCK_KV = 512, 512
+BWD_BLOCK_Q, BWD_BLOCK_KV = 1024, 1024
 
 # Compute softmax via exp2 with log2(e) folded into the q pre-scale — the
 # hypothesis being that Mosaic lowers exp(x) as exp2(x * log2e), a VPU
@@ -60,7 +70,10 @@ STRUCT_MASK_COND = False
 # delete. MEASURED (same process, probe 122 TF/s, b4 h8 s4096 d128 causal
 # fwd+bwd): exp2 is 0.961x (8590 vs 8255 us) — i.e. SLOWER, so exp does
 # not pay a separate multiply pass on this toolchain (and jnp.exp2 may
-# itself lower through exp). Kept as a tested flag; default OFF. Gradient
+# itself lower through exp). r5 RE-MEASURE under the fixed slope harness
+# (fwd only, 512x512 blocks, exp_fwd_sweep.py): 1427.7us vs
+# 1325.9-1399.3us baseline — still slower. Kept as a tested flag;
+# default OFF. Gradient
 # bookkeeping when ON: ds stays the true d/ds_e, dq's outside `* scale` is
 # unchanged, dk picks up one `* ln2` on its small group-summed output, and
 # dbias is unchanged (bias is pre-scaled by log2e on the way in).
@@ -92,7 +105,10 @@ FWD_DUAL_KV = False
 # ~2^-8/sqrt(bkv) — noise next to the bf16 output cast). MEASURED (same
 # process, b4 h8 s4096 d128 causal, probe 125.6): 1.0097x — a WASH;
 # Mosaic does not pack bf16 transcendentals, so halving the tile bytes
-# saves nothing. Kept as a tested flag; default OFF.
+# saves nothing. r5 RE-MEASURE under the fixed slope harness (fwd,
+# 512x512 blocks, exp_fwd_sweep.py): 1439.6us vs 1325.9-1399.3us
+# baseline — slower, verdict unchanged. Kept as a tested flag;
+# default OFF.
 FWD_BF16_EXP = False
 
 
@@ -139,8 +155,8 @@ def _apply_masks(s, mask, causal, window=None):
 
 
 def flash_attention(q, k, v, mask=None, bias=None, segment_ids=None, *,
-                    causal=False, window=None, scale=None, block_q=1024,
-                    block_kv=1024, softcap=None, sinks=None):
+                    causal=False, window=None, scale=None, block_q=None,
+                    block_kv=None, softcap=None, sinks=None):
     """Scaled dot-product attention with a hand-written VJP.
 
     ``mask``: optional boolean [b|1, h|1, sq, skv], True = attend (reference
@@ -816,6 +832,8 @@ def _flash_fwd_pallas(q, k, v, mask, bias, q_seg, kv_seg, causal, window,
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
+    block_q = FWD_BLOCK_Q if block_q is None else block_q
+    block_kv = FWD_BLOCK_KV if block_kv is None else block_kv
     block_q, block_kv = _clamp_blocks(block_q, block_kv, mask, bias)
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)
@@ -1172,6 +1190,8 @@ def _flash_bwd_pallas(q, k, v, o, lse, do, mask, bias, q_seg, kv_seg, causal,
     b, hq, sq, d = q.shape
     hkv, skv = k.shape[1], k.shape[2]
     g = hq // hkv
+    block_q = BWD_BLOCK_Q if block_q is None else block_q
+    block_kv = BWD_BLOCK_KV if block_kv is None else block_kv
     block_q, block_kv = _clamp_blocks(block_q, block_kv, mask, bias)
     bq = min(round_up(sq, 128), block_q)
     bkv = min(round_up(skv, 128), block_kv)

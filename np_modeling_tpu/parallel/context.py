@@ -88,7 +88,7 @@ def _ring_block_mask(step, axis_name, s_local, batch, causal, window,
 
 def ring_attention(q, k, v, axis_name: str, causal: bool = False,
                    scale=None, window=None, segment_ids=None,
-                   block_q: int = 1024, block_kv: int = 1024):
+                   block_q: int | None = None, block_kv: int | None = None):
     """Attention with seq-sharded q/k/v — call INSIDE shard_map.
 
     q: [b, hq, s_local, d]; k/v: [b, hkv, s_local, d] (GQA when hkv < hq);
@@ -255,12 +255,28 @@ def make_context_parallel_attention(mesh: Mesh, axis: str = "sp",
     shard_map over ``axis`` with q/k/v sequence-sharded and batch/head
     replicated on it. ``segment_ids``: optional [b, S] (self-attention) for
     packed-sequence masking.
+
+    Sequence lengths that don't divide the mesh axis are padded at the END
+    with segment-id -1 keys/queries: the in-kernel segment mask removes pad
+    keys for every real query (exact for causal and bidirectional alike)
+    and the pad query rows are sliced off the output.
     """
     assert impl in ("ring", "gather"), impl
     spec = P(None, None, axis, None)
     seg_spec = P(None, axis)
 
     def fn(q, k, v, segment_ids=None):
+        n_shards = mesh.shape[axis]
+        s = q.shape[2]
+        pad = (-s) % n_shards
+        if pad:
+            widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
+            if segment_ids is None:
+                segment_ids = jnp.zeros((q.shape[0], s), jnp.int32)
+            segment_ids = jnp.pad(segment_ids, ((0, 0), (0, pad)),
+                                  constant_values=-1)
+            return fn(q, k, v, segment_ids)[:, :, :s]
         if segment_ids is None:
             @functools.partial(jax.shard_map, mesh=mesh,
                                in_specs=(spec, spec, spec), out_specs=spec,
