@@ -454,14 +454,18 @@ def kernel_mfu(probe_tf: float, probes: list) -> dict:
 
     # Roofline (VERDICT r5 #6): utilization vs a ceiling a flash kernel
     # can actually reach (MXU matmuls + mandatory VPU softmax passes,
-    # rates measured same-process).
-    rf = attn_roofline(probe_tf)
+    # rates measured same-process). Failure-isolated: a roofline crash
+    # must not take the kernel ratios down with it.
     fwd_tf = attn_flops / t_fwd / 1e12
-    out["attn_roofline"] = rf
-    out["attn_fwd_vs_roofline_strict"] = round(
-        fwd_tf / rf["ceiling_strict_tflops"], 3)
-    out["attn_fwd_vs_roofline_realistic"] = round(
-        fwd_tf / rf["ceiling_realistic_tflops"], 3)
+    try:
+        rf = attn_roofline(probe_tf)
+        out["attn_roofline"] = rf
+        out["attn_fwd_vs_roofline_strict"] = round(
+            fwd_tf / rf["ceiling_strict_tflops"], 3)
+        out["attn_fwd_vs_roofline_realistic"] = round(
+            fwd_tf / rf["ceiling_realistic_tflops"], 3)
+    except Exception as e:      # noqa: BLE001 — report, don't die
+        out["attn_roofline_error"] = repr(e)[:200]
     return out
 
 
